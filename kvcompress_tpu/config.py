@@ -1,0 +1,184 @@
+"""Engine configuration objects.
+
+Mirrors the capability surface of the reference config system
+(vllm/config.py:622-638,971-1143 and vllm/engine/arg_utils.py:783-915) with a
+TPU-native shape: all limits are static so that every device program (prefill,
+decode, compression) compiles to a fixed-shape XLA executable.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import List, Optional, Tuple
+
+
+def cdiv(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+def round_up(x: int, m: int) -> int:
+    return cdiv(x, m) * m
+
+
+@dataclasses.dataclass
+class ModelConfig:
+    """Shape and metadata of the model being served.
+
+    Populated either from a HuggingFace config (see models/registry.py) or
+    directly for tests.
+    """
+
+    model: str = ""
+    num_layers: int = 32
+    num_heads: int = 32
+    num_kv_heads: int = 8
+    head_size: int = 128
+    hidden_size: int = 4096
+    intermediate_size: int = 14336
+    vocab_size: int = 128256
+    max_model_len: int = 8192
+    rope_theta: float = 500000.0
+    rope_scaling: Optional[dict] = None
+    rms_norm_eps: float = 1e-5
+    dtype: str = "bfloat16"
+    tie_word_embeddings: bool = False
+    architecture: str = "LlamaForCausalLM"
+    # Activation / misc knobs used by non-llama families.
+    hidden_act: str = "silu"
+    attention_bias: bool = False
+    mlp_bias: bool = False
+    logit_soft_cap: Optional[float] = None
+    sliding_window: Optional[int] = None
+    # Qwen2-style bias on QKV projections only.
+    qkv_bias: bool = False
+
+    @property
+    def num_queries_per_kv(self) -> int:
+        return self.num_heads // self.num_kv_heads
+
+    def get_num_kv_heads(self, tp_size: int = 1) -> int:
+        return max(1, self.num_kv_heads // tp_size)
+
+
+@dataclasses.dataclass
+class CacheConfig:
+    """Paged KV cache shape.
+
+    The cache is unified across layers: one (k, v) pair of tensors whose
+    blocks each hold KVs of a single (layer, kv_head) pair, following
+    reference vllm/worker/cache_engine.py:74-122 / vllm/core/kv_cache.py:31-46
+    but laid out TPU-natively as [num_blocks, block_size, head_size].
+    """
+
+    block_size: int = 16
+    num_blocks: int = 0  # 0 -> derived from memory utilisation at init
+    gpu_memory_utilization: float = 0.9
+    cache_dtype: str = "bfloat16"
+
+    def block_bytes(self, head_size: int) -> int:
+        itemsize = 2 if self.cache_dtype in ("bfloat16", "float16") else 4
+        # k + v + metric(f32) + position(i32)
+        return self.block_size * (2 * head_size * itemsize + 4 + 4)
+
+
+@dataclasses.dataclass
+class KVCompressConfig:
+    """KV-Compress knobs.
+
+    Mirrors reference vllm/config.py:971-1143 (KVCompressConfig) and the
+    CLI flags at vllm/engine/arg_utils.py:783-915.
+    """
+
+    enabled: bool = True
+    # Cadence: run compression every N engine iterations
+    # (reference kvcompress/scheduler.py:565-575).
+    compression_interval: int = 16
+    # Alternative cadence: compress after this many new tokens (-1 = off).
+    new_token_limit: int = -1
+    # Hard cap on KVs touched per compression round; bounds the size of the
+    # sort workspace (reference config.py:974-985).
+    max_kv_per_compression: int = 5_000_000
+    # Cap on scheduled cache moves per round (bounds the gather/scatter
+    # workspace; total evicted KVs per round never exceeds this).
+    max_cache_moves_per_compression: int = 262_144
+    # Default per-request knobs (reference sampling_params.py:152-156).
+    protected_window_size: int = 32
+    target_compression_rate: float = 1.0
+    max_cache_tokens: int = -1
+    metric_collection_buffer_size: int = 0
+    compress_once: bool = False
+    # Metric aggregation flags (reference metrics.py:94-150).
+    use_l2: bool = True
+    use_average: bool = False
+    use_maxpool: bool = True
+    record_decoding_metrics: bool = True
+    num_attention_sinks: int = 0
+    random_eviction: bool = False
+    even_layer_evict: bool = False
+    # Per-head bias (reference metrics.py:44-81).
+    kv_head_bias_file: Optional[str] = None
+    kv_head_bias_weight: float = 1.0
+    # Prefill metric collection (reference flash_attn.py:1122-1211).
+    prefill_metric_collection_window_size: int = 32
+    prefill_metric_collection_block_size: int = 1024
+    # Derived from the model at engine build (reference arg_utils.py:1151-1182).
+    num_layers: int = 0
+    num_kv_heads: int = 0
+
+
+@dataclasses.dataclass
+class SchedulerConfig:
+    max_num_seqs: int = 64
+    max_num_batched_tokens: int = 8192
+    max_model_len: int = 8192
+    # Prefill length buckets (tokens are padded up to the nearest bucket so
+    # XLA compiles a bounded set of prefill programs).
+    prefill_buckets: Tuple[int, ...] = (128, 256, 512, 1024, 2048, 4096, 8192)
+    # Watermark fraction of blocks kept free when admitting a prefill
+    # (reference kvcompress/block_manager.py:356-382).
+    watermark: float = 0.01
+
+
+@dataclasses.dataclass
+class ParallelConfig:
+    """Mesh shape. data axis shards the batch; model axis shards weights and
+    the kv-head dimension of the cache (KVC is embarrassingly parallel per
+    head - see SURVEY.md section 2.7)."""
+
+    tensor_parallel_size: int = 1
+    data_parallel_size: int = 1
+
+    @property
+    def world_size(self) -> int:
+        return self.tensor_parallel_size * self.data_parallel_size
+
+
+@dataclasses.dataclass
+class EngineConfig:
+    model: ModelConfig
+    cache: CacheConfig
+    kvcompress: KVCompressConfig
+    scheduler: SchedulerConfig
+    parallel: ParallelConfig
+    seed: int = 0
+    enforce_eager: bool = False
+
+    def __post_init__(self):
+        mc, sc, kc = self.model, self.scheduler, self.kvcompress
+        kc.num_layers = mc.num_layers
+        kc.num_kv_heads = mc.get_num_kv_heads(
+            self.parallel.tensor_parallel_size
+        ) if False else mc.num_kv_heads
+        sc.max_model_len = min(sc.max_model_len, mc.max_model_len)
+
+    @property
+    def max_blocks_per_head(self) -> int:
+        return cdiv(self.scheduler.max_model_len, self.cache.block_size)
+
+    def min_blocks_for_seq(self, seq_len: int) -> int:
+        """Blocks needed to prefill a sequence of seq_len tokens: one block
+        per (layer, kv_head) per block_size tokens
+        (reference kvcompress/block_manager.py:196-222)."""
+        per_head = cdiv(seq_len, self.cache.block_size)
+        return per_head * self.model.num_layers * self.model.num_kv_heads
