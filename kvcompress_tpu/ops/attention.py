@@ -1,0 +1,249 @@
+"""Attention + cache ops with KV-metric emission (pure-JAX reference path).
+
+These are the XLA reference implementations of the three hot kernels; the
+Pallas production kernels in kvcompress_tpu/ops/pallas/ are validated against
+them (the same oracle pattern as the reference's ref_* functions):
+
+- write_to_cache: per-(token, kv-head) paged cache write, replacing
+  csrc/kvcompress_cache_kernels.cu:28-89 (reshape_and_cache_kvc). New KV
+  metric slots are initialised to zero (bias is applied at compression time).
+- prefill_attention: causal attention over one prompt plus aggregation of
+  squared attention received by each KV from the last
+  `metric_window` queries, replacing flash_attn_kvc / _naive_kvc_attention
+  (reference vllm/attention/backends/flash_attn.py:1122-1211).
+- paged_decode_attention: decode attention over per-(seq, kv-head) block
+  tables emitting per-KV squared-attention metric contributions, replacing
+  csrc/attention/kvcompress_attention_kernels.cu (v1/v2) plus
+  CompressionMetrics.aggregate_decode (reference metrics.py:429-439) fused
+  into one op.
+
+GQA convention: query head q belongs to kv head q // queries_per_kv.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = -1e30
+
+
+def write_to_cache(
+    k_cache: jax.Array,      # [num_blocks, block_size, head_size]
+    v_cache: jax.Array,
+    kv_metrics: jax.Array,   # [num_blocks, block_size] f32
+    kv_positions: jax.Array,  # [num_blocks, block_size] i32
+    key: jax.Array,          # [T, H_kv, head_size]
+    value: jax.Array,        # [T, H_kv, head_size]
+    slot_mapping: jax.Array,  # [T, H_kv] i32 physical slots (<0 -> drop)
+    positions: jax.Array,    # [T] i32 token positions (-1 for padding)
+) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    num_blocks, block_size, head_size = k_cache.shape
+    T, H = slot_mapping.shape
+    flat_slots = jnp.where(slot_mapping < 0, 0, slot_mapping).reshape(-1)
+    valid = (slot_mapping >= 0).reshape(-1)
+    # invalid writes land on the trash block (block 0)
+    flat_slots = jnp.where(valid, flat_slots, 0)
+
+    kf = k_cache.reshape(-1, head_size).at[flat_slots].set(
+        key.reshape(-1, head_size).astype(k_cache.dtype))
+    vf = v_cache.reshape(-1, head_size).at[flat_slots].set(
+        value.reshape(-1, head_size).astype(v_cache.dtype))
+    mf = kv_metrics.reshape(-1).at[flat_slots].set(
+        jnp.zeros((T * H,), jnp.float32))
+    pos = jnp.broadcast_to(positions[:, None], (T, H)).reshape(-1)
+    pf = kv_positions.reshape(-1).at[flat_slots].set(
+        jnp.where(valid, pos, -1))
+    return (
+        kf.reshape(k_cache.shape), vf.reshape(v_cache.shape),
+        mf.reshape(kv_metrics.shape), pf.reshape(kv_positions.shape),
+    )
+
+
+def _maxpool1d_k7(x: jax.Array) -> jax.Array:
+    """Max-pool with kernel 7, stride 1, same padding over the last axis
+    (reference flash_attn.py:1204-1210)."""
+    pads = [(0, 0)] * (x.ndim - 1) + [(3, 3)]
+    xp = jnp.pad(x, pads, constant_values=-jnp.inf)
+    out = x
+    for s in range(7):
+        out = jnp.maximum(out, jax.lax.slice_in_dim(
+            xp, s, s + x.shape[-1], axis=-1))
+    return out
+
+
+def prefill_attention(
+    query: jax.Array,   # [T, H_q, d] (padded; positions >= seq_len masked)
+    key: jax.Array,     # [T, H_kv, d]
+    value: jax.Array,   # [T, H_kv, d]
+    seq_len: jax.Array,  # [] i32 actual length
+    scale: float,
+    *,
+    metric_window: int = 32,
+    metric_block: int = 1024,
+    buffer_len: jax.Array | int = 0,
+    use_l2: bool = True,
+    use_average: bool = False,
+    use_maxpool: bool = True,
+    q_chunk: int = 256,
+) -> Tuple[jax.Array, jax.Array]:
+    """Causal self-attention for one prompt + per-KV prefill metrics.
+
+    Returns (output [T, H_q, d], kv_metrics [T, H_kv] f32). Metrics aggregate
+    the (squared) attention each KV receives from the last `metric_window`
+    queries, with keys within `buffer_len` of the query excluded
+    (reference flash_attn.py:1122-1211 _naive_kvc_attention).
+    """
+    T, Hq, d = query.shape
+    _, Hkv, _ = key.shape
+    qpk = Hq // Hkv
+    dtype = query.dtype
+
+    kt = key.astype(jnp.float32)
+    qf = query.astype(jnp.float32)
+
+    # --- output: chunked causal attention (flash-style over query chunks) ---
+    n_chunks = -(-T // q_chunk)
+    qpad = n_chunks * q_chunk
+
+    def attend_chunk(carry, qc_and_idx):
+        qc, c0 = qc_and_idx
+        # qc: [q_chunk, Hq, d]; keys: full [T]
+        logits = jnp.einsum("qhd,khd->hqk", qc,
+                            jnp.repeat(kt, qpk, axis=1)) * scale
+        qpos = c0 + jnp.arange(q_chunk)[None, :, None]
+        kpos = jnp.arange(T)[None, None, :]
+        mask = (kpos <= qpos) & (kpos < seq_len)
+        logits = jnp.where(mask, logits, NEG_INF)
+        probs = jax.nn.softmax(logits, axis=-1)
+        out = jnp.einsum("hqk,khd->qhd", probs,
+                         jnp.repeat(value.astype(jnp.float32), qpk, axis=1))
+        return carry, out
+
+    qf_pad = jnp.pad(qf, ((0, qpad - T), (0, 0), (0, 0)))
+    q_chunks = qf_pad.reshape(n_chunks, q_chunk, Hq, d)
+    starts = jnp.arange(n_chunks) * q_chunk
+    _, outs = jax.lax.scan(attend_chunk, None, (q_chunks, starts))
+    output = outs.reshape(qpad, Hq, d)[:T].astype(dtype)
+
+    # --- metrics: last `metric_window` queries, processed in blocks ---
+    w = min(metric_window, T)
+    n_mblocks = -(-w // metric_block)
+    mb = min(metric_block, w)
+    buffer_len = jnp.asarray(buffer_len, jnp.int32)
+
+    def metric_chunk(acc, i):
+        # query block i covers absolute positions [start, start+mb) where
+        # start >= 0 always; blocks tile the observed window without overlap
+        start = jnp.maximum(seq_len - w, 0) + i * mb
+        qb = jax.lax.dynamic_slice_in_dim(
+            jnp.pad(qf, ((0, mb), (0, 0), (0, 0))), start, mb, axis=0)
+        logits = jnp.einsum("qhd,khd->hqk", qb,
+                            jnp.repeat(kt, qpk, axis=1)) * scale
+        qpos = start + jnp.arange(mb)[None, :, None]
+        kpos = jnp.arange(T)[None, None, :]
+        causal = (kpos <= qpos) & (kpos < seq_len) & (qpos < seq_len)
+        logits = jnp.where(causal, logits, NEG_INF)
+        probs = jax.nn.softmax(logits, axis=-1)
+        probs = jnp.where(causal, probs, 0.0)
+        if use_l2:
+            probs = probs ** 2
+        # exclude keys inside the metric buffer window of each query
+        rec = kpos <= qpos - buffer_len
+        m = jnp.sum(jnp.where(rec, probs, 0.0), axis=-2)  # [Hq, T]
+        if use_average:
+            # rescale so later normalisation by query count is correct
+            # (reference flash_attn.py:1196-1203)
+            m = m * ((kpos[0].astype(jnp.float32) + 1.0) / w)
+        if use_maxpool:
+            m = _maxpool1d_k7(m)
+        return acc + m, None
+
+    acc0 = jnp.zeros((Hq, T), jnp.float32)
+    acc, _ = jax.lax.scan(metric_chunk, acc0, jnp.arange(n_mblocks))
+    # fold query heads into their kv head (reference metrics.py:413-427)
+    kv_metrics = acc.reshape(Hkv, qpk, T).sum(axis=1).T  # [T, H_kv]
+    kv_metrics = jnp.where(jnp.arange(T)[:, None] < seq_len, kv_metrics, 0.0)
+    return output, kv_metrics
+
+
+def aggregate_prefill(
+    kv_metrics: jax.Array,       # [num_blocks, block_size] f32
+    prefill_metrics: jax.Array,  # [T, H_kv] f32
+    slot_mapping: jax.Array,     # [T, H_kv] i32 (<0 -> drop)
+) -> jax.Array:
+    """Scatter-add prefill metric sums into the running metric tensor
+    (reference metrics.py:396-427)."""
+    flat_slots = slot_mapping.reshape(-1)
+    vals = jnp.where(flat_slots >= 0, prefill_metrics.reshape(-1), 0.0)
+    return kv_metrics.reshape(-1).at[jnp.clip(flat_slots, 0)].add(
+        vals).reshape(kv_metrics.shape)
+
+
+def paged_decode_attention(
+    query: jax.Array,        # [S, H_q, d]
+    k_cache: jax.Array,      # [num_blocks, block_size, d]
+    v_cache: jax.Array,
+    kv_metrics: jax.Array,   # [num_blocks, block_size] f32 (running)
+    kv_positions: jax.Array,  # [num_blocks, block_size] i32
+    block_tables_l: jax.Array,   # [S, H_kv, nb] i32 (this layer)
+    context_lens_l: jax.Array,   # [S, H_kv] i32
+    last_positions: jax.Array,   # [S] i32 position of the query token
+    buffer_len: jax.Array,       # [S] i32 metric collection buffer
+    scale: float,
+    *,
+    active: Optional[jax.Array] = None,  # [S] bool
+    use_l2: bool = True,
+    record_metrics: bool = True,
+) -> Tuple[jax.Array, jax.Array]:
+    """One decode step of paged attention over per-head block tables, fused
+    with metric recording: each attended KV accumulates
+    sum_over_query_heads(attn_prob^2) unless its position is within the
+    sequence's metric buffer window
+    (reference csrc/attention/kvcompress_attention_kernels.cu:297-314 +
+    metrics.py:429-439).
+
+    This XLA path gathers K/V densely and is used for testing and as the
+    oracle for the Pallas kernel; production decode uses
+    kvcompress_tpu/ops/pallas/paged_attention.py.
+
+    Returns (output [S, H_q, d], updated kv_metrics).
+    """
+    S, Hq, d = query.shape
+    _, Hkv, nb = block_tables_l.shape
+    num_blocks, block_size, _ = k_cache.shape
+    qpk = Hq // Hkv
+    n = nb * block_size
+
+    phys = (
+        block_tables_l[..., None] * block_size
+        + jnp.arange(block_size, dtype=jnp.int32)
+    ).reshape(S, Hkv, n)
+    kg = k_cache.reshape(-1, d)[phys].astype(jnp.float32)   # [S, Hkv, n, d]
+    vg = v_cache.reshape(-1, d)[phys].astype(jnp.float32)
+
+    q = query.reshape(S, Hkv, qpk, d).astype(jnp.float32)
+    logits = jnp.einsum("shqd,shnd->shqn", q, kg) * scale
+    valid = (jnp.arange(n)[None, None, :] < context_lens_l[..., None])
+    logits = jnp.where(valid[:, :, None, :], logits, NEG_INF)
+    probs = jax.nn.softmax(logits, axis=-1)
+    probs = jnp.where(valid[:, :, None, :], probs, 0.0)
+    out = jnp.einsum("shqn,shnd->shqd", probs, vg)
+    output = out.reshape(S, Hq, d).astype(query.dtype)
+
+    if record_metrics:
+        contrib = probs ** 2 if use_l2 else probs
+        contrib = contrib.sum(axis=2)  # [S, Hkv, n] over query heads
+        pos = kv_positions.reshape(-1)[phys]
+        rec = valid & (pos <= (last_positions - buffer_len)[:, None, None])
+        if active is not None:
+            rec = rec & active[:, None, None]
+        contrib = jnp.where(rec, contrib, 0.0)
+        flat_phys = jnp.where(rec, phys, 0).reshape(-1)
+        kv_metrics = kv_metrics.reshape(-1).at[flat_phys].add(
+            contrib.reshape(-1)).reshape(kv_metrics.shape)
+
+    return output, kv_metrics
