@@ -1,0 +1,299 @@
+"""LLMEngine: the synchronous continuous-batching engine core.
+
+The counterpart of reference vllm/engine/llm_engine.py:209-1679 with the KVC
+hooks fused into device programs: step() = [compress?] -> [prefill | decode]
+-> output processing. Compare the reference hot loop (llm_engine.py:1556-1658:
+schedule_kvcompress + execute_cache_moves -> schedule -> clear_temp_metrics ->
+execute_model -> aggregate_decode): here compression is one device program and
+metric aggregation is fused into the attention ops, so a decode iteration is
+a single XLA dispatch.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Dict, List, Optional, Sequence as Seq, Set
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from kvcompress_tpu.config import EngineConfig, cdiv
+from kvcompress_tpu.core.scheduler import Scheduler
+from kvcompress_tpu.core.state import init_cache_state
+from kvcompress_tpu.engine.programs import EnginePrograms
+from kvcompress_tpu.engine.sampler import SamplingTensors
+from kvcompress_tpu.sampling_params import SamplingParams
+from kvcompress_tpu.sequence import (CompletionOutput, RequestOutput,
+                                     Sequence, SequenceStatus)
+from kvcompress_tpu.utils.metrics import EngineStats
+
+
+class LLMEngine:
+    def __init__(
+        self,
+        cfg: EngineConfig,
+        params,
+        *,
+        num_blocks: Optional[int] = None,
+        eos_token_ids: Optional[Set[int]] = None,
+        attn_impl: str = "auto",
+        tokenizer=None,
+        mesh=None,
+    ):
+        self.cfg = cfg
+        self.tokenizer = tokenizer
+        self.eos_token_ids = set(eos_token_ids or ())
+        if tokenizer is not None and tokenizer.eos_token_id is not None:
+            self.eos_token_ids.add(tokenizer.eos_token_id)
+
+        if attn_impl == "auto":
+            attn_impl = ("pallas"
+                         if jax.devices()[0].platform in ("tpu", "axon")
+                         else "xla")
+        self.attn_impl = attn_impl
+
+        if num_blocks is None:
+            num_blocks = cfg.cache.num_blocks or self._profile_num_blocks(
+                params)
+        self.num_blocks = num_blocks
+
+        mc, sc, cc = cfg.model, cfg.scheduler, cfg.cache
+        self.state = init_cache_state(
+            num_blocks=num_blocks, block_size=cc.block_size,
+            head_size=mc.head_size, num_layers=mc.num_layers,
+            max_num_seqs=sc.max_num_seqs, num_kv_heads=mc.num_kv_heads,
+            max_blocks_per_head=cfg.max_blocks_per_head,
+            cache_dtype=jnp.bfloat16 if cc.cache_dtype == "bfloat16"
+            else jnp.float32,
+        )
+        self.programs = EnginePrograms(cfg, params, attn_impl=attn_impl,
+                                       mesh=mesh)
+        self.scheduler = Scheduler(cfg, num_blocks)
+        self.stats = EngineStats()
+        self._seqs: Dict[str, Sequence] = {}
+        self._rng = jax.random.PRNGKey(cfg.seed)
+        self._force_compress = False
+        self._request_counter = 0
+
+    def _profile_num_blocks(self, params) -> int:
+        """Size the cache from device memory
+        (reference worker/worker.py:230-275 determine_num_available_blocks).
+        """
+        cc, mc = self.cfg.cache, self.cfg.model
+        dev = jax.devices()[0]
+        stats = getattr(dev, "memory_stats", lambda: None)() or {}
+        total = stats.get("bytes_limit", 16 << 30)
+        used = stats.get("bytes_in_use", 0)
+        budget = int(total * cc.gpu_memory_utilization) - used
+        # reserve workspace for the compression sort (~6 arrays over the
+        # workspace; reference config.py:974-985 documents the sort bound)
+        workspace = self.cfg.kvcompress.max_kv_per_compression * 4 * 8
+        budget -= workspace
+        nblocks = max(budget, 0) // cc.block_bytes(mc.head_size)
+        return int(min(nblocks, 2 ** 24))
+
+    # ------------------------------------------------------------- requests
+    def add_request(
+        self,
+        request_id: Optional[str],
+        prompt: Optional[str] = None,
+        sampling_params: Optional[SamplingParams] = None,
+        prompt_token_ids: Optional[List[int]] = None,
+    ) -> str:
+        if request_id is None:
+            request_id = str(self._request_counter)
+            self._request_counter += 1
+        if prompt_token_ids is None:
+            assert self.tokenizer is not None, "no tokenizer for str prompt"
+            prompt_token_ids = self.tokenizer.encode(prompt)
+        seq = Sequence(
+            request_id=request_id,
+            prompt_token_ids=list(prompt_token_ids),
+            sampling_params=sampling_params or SamplingParams(),
+            prompt=prompt,
+        )
+        self._seqs[request_id] = seq
+        self.scheduler.add_seq(seq)
+        self.stats.counter("requests_added")
+        return request_id
+
+    def abort_request(self, request_id: str) -> None:
+        seq = self._seqs.get(request_id)
+        if seq is None or seq.status.is_finished:
+            return
+        if seq.status == SequenceStatus.WAITING:
+            self.scheduler.waiting.remove(seq)
+            seq.status = SequenceStatus.FINISHED_ABORTED
+        else:
+            self._finish(seq, SequenceStatus.FINISHED_ABORTED)
+
+    def has_unfinished_requests(self) -> bool:
+        return bool(self.scheduler.waiting or self.scheduler.running)
+
+    # ----------------------------------------------------------------- step
+    def step(self) -> List[RequestOutput]:
+        t0 = time.monotonic()
+        self._maybe_compress()
+        while (self.scheduler.must_preempt()
+               and len(self.scheduler.running) > 1):
+            victim, slot = self.scheduler.preempt_last()
+            if victim is None:
+                break
+            self.state, free_top = self.programs.free_slots(
+                self.state, [slot])
+            self.scheduler.free_blocks = int(free_top)
+            self.stats.counter("preemptions")
+
+        outputs: List[RequestOutput] = []
+        prefill_seq = self.scheduler.next_prefill()
+        if prefill_seq is not None:
+            outputs += self._do_prefill(prefill_seq)
+        elif self.scheduler.running:
+            outputs += self._do_decode()
+        self.stats.timer("step_seconds", time.monotonic() - t0)
+        return outputs
+
+    # ------------------------------------------------------------- prefill
+    def _do_prefill(self, seq: Sequence) -> List[RequestOutput]:
+        sp = seq.sampling_params
+        st = SamplingTensors.from_params([sp], pad_to=1)
+        self._rng, key = jax.random.split(self._rng)
+        self.state, token, free_top = self.programs.prefill(
+            self.state, np.asarray(seq.prompt_token_ids, np.int32),
+            seq.num_prompt_tokens, seq.slot,
+            sp.metric_collection_buffer_size, st, key)
+        self.scheduler.free_blocks = int(free_top)
+        seq.output_token_ids.append(int(token))
+        seq.first_token_time = time.monotonic()
+        self.stats.counter("prompt_tokens", seq.num_prompt_tokens)
+        self.stats.counter("generation_tokens")
+        # force compression after prefill for sequences with compression
+        # enabled (reference core/scheduler.py:1163-1164, 1320-1331)
+        if (self.cfg.kvcompress.enabled
+                and (sp.max_cache_tokens >= 0
+                     or sp.target_compression_rate < 1.0)):
+            self._force_compress = True
+        return self._process_finished([seq])
+
+    # -------------------------------------------------------------- decode
+    def _do_decode(self) -> List[RequestOutput]:
+        S = self.cfg.scheduler.max_num_seqs
+        tokens = np.zeros((S,), np.int32)
+        positions = np.zeros((S,), np.int32)
+        active = np.zeros((S,), bool)
+        buffer_lens = np.zeros((S,), np.int32)
+        params_by_slot: List[Optional[SamplingParams]] = [None] * S
+        running = list(self.scheduler.running)
+        for seq in running:
+            s = seq.slot
+            active[s] = True
+            tokens[s] = seq.last_token_id
+            positions[s] = seq.get_len() - 1
+            buffer_lens[s] = seq.sampling_params.metric_collection_buffer_size
+            params_by_slot[s] = seq.sampling_params
+        st = SamplingTensors.from_params(params_by_slot, pad_to=S)
+        self._rng, key = jax.random.split(self._rng)
+        self.state, out = self.programs.decode(
+            self.state, jnp.asarray(tokens), jnp.asarray(positions),
+            jnp.asarray(active), jnp.asarray(buffer_lens), st, key)
+        new_tokens = np.asarray(out.tokens)
+        blk = np.asarray(out.seq_block_counts)
+        kvs = np.asarray(out.seq_kv_counts)
+        self.scheduler.free_blocks = int(out.free_top)
+        for seq in running:
+            s = seq.slot
+            seq.output_token_ids.append(int(new_tokens[s]))
+            seq.block_count = int(blk[s])
+            seq.kv_count = int(kvs[s])
+        self.scheduler.new_tokens += len(running)
+        self.stats.counter("generation_tokens", len(running))
+        return self._process_finished(running)
+
+    # ------------------------------------------------------------ compress
+    def _maybe_compress(self) -> None:
+        force = self._force_compress or (
+            self.scheduler.must_preempt() and bool(self.scheduler.running))
+        batch = self.scheduler.schedule_compression(force=force)
+        self._force_compress = False
+        if batch is None:
+            return
+        self.state, evicted_per_seq, seq_blocks, seq_kv, free_top = (
+            self.programs.compress(
+                self.state,
+                np.asarray(batch.slots, np.int32),
+                np.asarray(batch.last_positions, np.int32),
+                np.asarray(batch.protected, np.int32),
+                np.asarray(batch.evict_blocks, np.int32),
+                nb=batch.nb_bucket,
+            ))
+        seq_blocks = np.asarray(seq_blocks)
+        seq_kv = np.asarray(seq_kv)
+        evicted = np.asarray(evicted_per_seq)
+        for i, seq in enumerate(batch.seqs):
+            seq.block_count = int(seq_blocks[i])
+            seq.kv_count = int(seq_kv[i])
+        self.scheduler.free_blocks = int(free_top)
+        n_evicted = int(evicted.sum()) * self.cfg.cache.block_size
+        self.scheduler.total_evicted_kvs += n_evicted
+        self.stats.counter("compression_rounds")
+        self.stats.counter("evicted_kvs", n_evicted)
+
+    # ------------------------------------------------------------- outputs
+    def _check_stop(self, seq: Sequence) -> Optional[SequenceStatus]:
+        sp = seq.sampling_params
+        last = seq.output_token_ids[-1]
+        if not sp.ignore_eos and last in self.eos_token_ids:
+            return SequenceStatus.FINISHED_STOPPED
+        if sp.stop_token_ids and last in sp.stop_token_ids:
+            return SequenceStatus.FINISHED_STOPPED
+        if (sp.max_tokens is not None
+                and seq.num_output_tokens >= sp.max_tokens):
+            return SequenceStatus.FINISHED_LENGTH
+        if seq.get_len() >= self.cfg.scheduler.max_model_len:
+            return SequenceStatus.FINISHED_LENGTH
+        return None
+
+    def _finish(self, seq: Sequence, status: SequenceStatus) -> None:
+        slot = seq.slot
+        self.scheduler.finish_seq(seq, status)
+        if slot >= 0:
+            self.state, free_top = self.programs.free_slots(self.state,
+                                                            [slot])
+            self.scheduler.free_blocks = int(free_top)
+        seq.finish_time = time.monotonic()
+
+    def _process_finished(self, seqs: List[Sequence]) -> List[RequestOutput]:
+        outputs = []
+        freed_slots = []
+        for seq in seqs:
+            status = self._check_stop(seq)
+            if status is not None:
+                slot = seq.slot
+                self.scheduler.finish_seq(seq, status)
+                freed_slots.append(slot)
+                seq.finish_time = time.monotonic()
+                outputs.append(self._make_output(seq))
+        if freed_slots:
+            self.state, free_top = self.programs.free_slots(
+                self.state, freed_slots)
+            self.scheduler.free_blocks = int(free_top)
+            self.stats.counter("requests_finished", len(freed_slots))
+        return outputs
+
+    def _make_output(self, seq: Sequence) -> RequestOutput:
+        text = ""
+        if self.tokenizer is not None:
+            text = self.tokenizer.decode(seq.output_token_ids,
+                                         skip_special_tokens=True)
+        reason = ("stop" if seq.status == SequenceStatus.FINISHED_STOPPED
+                  else "length")
+        return RequestOutput(
+            request_id=seq.request_id,
+            prompt=seq.prompt,
+            prompt_token_ids=seq.prompt_token_ids,
+            outputs=[CompletionOutput(
+                index=0, text=text, token_ids=list(seq.output_token_ids),
+                finish_reason=reason)],
+            finished=True,
+        )

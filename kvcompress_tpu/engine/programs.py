@@ -1,0 +1,274 @@
+"""Jitted device programs: prefill, decode, compress, free.
+
+The TPU-native replacement for the reference's worker/model-runner layer
+(vllm/worker/model_runner.py + worker.py): instead of per-step host-built
+metadata and kernel launches, each engine action is ONE fixed-shape XLA
+program over the donated CacheState. Shapes are bucketed (prefill length,
+compression batch/blocks) and compiled programs are cached per bucket.
+
+Program inventory:
+- prefill: allocate blocks for one prompt, run the model prefill pass
+  (writes KVs + prefill metrics), sample the first token.
+- decode: batched single-token step - device-side block append (free-stack
+  pop where a head crosses a block boundary), model decode pass with fused
+  metric recording, sampling. Mirrors the engine hot loop at reference
+  llm_engine.py:1484-1679 with all per-head state staying on device.
+- compress: the full eviction round (kvcompress/eviction.py run_compression).
+- free: release all blocks of finished/preempted sequences.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from kvcompress_tpu.config import EngineConfig, cdiv
+from kvcompress_tpu.core.state import CacheState, stack_pop, stack_push
+from kvcompress_tpu.kvcompress.eviction import run_compression
+from kvcompress_tpu.models import llama
+from kvcompress_tpu.models.llama import AttentionSpec, KVCache
+from kvcompress_tpu.engine import sampler as sampler_mod
+from kvcompress_tpu.engine.sampler import SamplingTensors
+
+
+class DecodeOutput(NamedTuple):
+    tokens: jax.Array            # [S] i32
+    free_top: jax.Array          # [] i32
+    seq_block_counts: jax.Array  # [S] i32
+    seq_kv_counts: jax.Array     # [S] i32
+
+
+def _cache_of(state: CacheState) -> KVCache:
+    return KVCache(state.k_cache, state.v_cache, state.kv_metrics,
+                   state.kv_positions)
+
+
+def _with_cache(state: CacheState, cache: KVCache, **kw) -> CacheState:
+    return CacheState(
+        k_cache=cache.k, v_cache=cache.v, kv_metrics=cache.metrics,
+        kv_positions=cache.positions,
+        block_tables=kw.get("block_tables", state.block_tables),
+        context_lens=kw.get("context_lens", state.context_lens),
+        free_stack=kw.get("free_stack", state.free_stack),
+        free_top=kw.get("free_top", state.free_top),
+    )
+
+
+class EnginePrograms:
+    def __init__(self, cfg: EngineConfig, params: Dict[str, Any],
+                 attn_impl: str = "xla", mesh=None):
+        self.cfg = cfg
+        self.params = params
+        self.mesh = mesh
+        kc = cfg.kvcompress
+        self.prefill_spec = AttentionSpec(
+            mode="prefill", use_l2=kc.use_l2, use_average=kc.use_average,
+            use_maxpool=kc.use_maxpool, record_metrics=not kc.random_eviction,
+            metric_window=kc.prefill_metric_collection_window_size,
+            metric_block=kc.prefill_metric_collection_block_size,
+            impl=attn_impl)
+        self.decode_spec = AttentionSpec(
+            mode="decode", use_l2=kc.use_l2, use_average=kc.use_average,
+            record_metrics=kc.record_decoding_metrics
+            and not kc.random_eviction,
+            impl=attn_impl)
+        self._prefill_fns: Dict[int, Any] = {}
+        self._compress_fns: Dict[Tuple[int, int], Any] = {}
+        self._decode_fn = None
+        self._free_fn = None
+
+    # ------------------------------------------------------------- prefill
+    def _build_prefill(self, T: int):
+        cfg, mcfg, ccfg = self.cfg, self.cfg.model, self.cfg.cache
+        bs = ccfg.block_size
+        nbb = cdiv(T, bs)
+        spec = self.prefill_spec
+
+        def prefill_fn(state: CacheState, params, tokens, seq_len, slot,
+                       buffer_len, st: SamplingTensors, rng):
+            L, S, H, B = state.block_tables.shape
+            # allocate ceil(seq_len / bs) blocks per (layer, head)
+            # (reference kvcompress/block_manager.py:196-222 _add_sequence)
+            nb_seq = cdiv(seq_len, bs) if isinstance(seq_len, int) else (
+                (seq_len + bs - 1) // bs)
+            need = jnp.broadcast_to(
+                jnp.arange(nbb, dtype=jnp.int32)[None, None, :] < nb_seq,
+                (L, H, nbb))
+            ids, free_top = stack_pop(state.free_stack, state.free_top, need)
+            block_tables = state.block_tables.at[:, slot, :, :nbb].set(ids)
+            context_lens = state.context_lens.at[:, slot, :].set(
+                seq_len.astype(jnp.int32))
+
+            t_idx = jnp.arange(T, dtype=jnp.int32)
+            blocks_t = jnp.take(ids, t_idx // bs, axis=2)  # [L, H, T]
+            sm = blocks_t * bs + (t_idx % bs)[None, None, :]
+            sm = jnp.where(t_idx[None, None, :] < seq_len, sm, -1)
+            slot_mappings = jnp.transpose(sm, (0, 2, 1))  # [L, T, H]
+
+            last_hidden, cache = llama.prefill(
+                params, mcfg, tokens, seq_len, slot_mappings,
+                _cache_of(state), buffer_len, spec)
+            logits = llama.compute_logits(params, mcfg, last_hidden)[None]
+            token = sampler_mod.sample(logits, st, rng)[0]
+            new_state = _with_cache(
+                state, cache, block_tables=block_tables,
+                context_lens=context_lens, free_stack=state.free_stack,
+                free_top=free_top)
+            return new_state, token, free_top
+
+        return jax.jit(prefill_fn, donate_argnums=(0,))
+
+    def prefill(self, state, tokens_np, seq_len: int, slot: int,
+                buffer_len: int, st: SamplingTensors, rng):
+        buckets = [b for b in self.cfg.scheduler.prefill_buckets
+                   if b >= seq_len]
+        T = buckets[0] if buckets else self.cfg.scheduler.max_model_len
+        if T not in self._prefill_fns:
+            self._prefill_fns[T] = self._build_prefill(T)
+        tokens = np.zeros((T,), np.int32)
+        tokens[:seq_len] = tokens_np
+        return self._prefill_fns[T](
+            state, self.params, jnp.asarray(tokens),
+            jnp.asarray(seq_len, jnp.int32), jnp.asarray(slot, jnp.int32),
+            jnp.asarray(buffer_len, jnp.int32), st, rng)
+
+    # -------------------------------------------------------------- decode
+    def _build_decode(self):
+        cfg, mcfg, ccfg = self.cfg, self.cfg.model, self.cfg.cache
+        bs = ccfg.block_size
+        spec = self.decode_spec
+
+        def decode_fn(state: CacheState, params, tokens, positions, active,
+                      buffer_lens, st: SamplingTensors, rng):
+            L, S, H, B = state.block_tables.shape
+            ctx = state.context_lens
+            # device-side batched append (reference
+            # block_manager.py:269-307 _append_to_sequence_batch)
+            need = active[None, :, None] & (ctx % bs == 0)
+            ids, free_top = stack_pop(state.free_stack, state.free_top, need)
+            li = jnp.arange(L)[:, None, None]
+            si = jnp.arange(S)[None, :, None]
+            hi = jnp.arange(H)[None, None, :]
+            blk_idx = jnp.where(need, ctx // bs, B)  # drop where not needed
+            block_tables = state.block_tables.at[li, si, hi, blk_idx].set(
+                ids, mode="drop")
+            new_ctx = ctx + active[None, :, None].astype(jnp.int32)
+            last = new_ctx - 1
+            sm = jnp.take_along_axis(
+                block_tables, (last // bs)[..., None], axis=-1
+            )[..., 0] * bs + last % bs  # [L, S, H]
+
+            hidden, cache = llama.decode(
+                params, mcfg, tokens, positions, block_tables, new_ctx, sm,
+                _cache_of(state), buffer_lens, active, spec)
+            logits = llama.compute_logits(params, mcfg, hidden)
+            out_tokens = sampler_mod.sample(logits, st, rng)
+
+            nb_alloc = (new_ctx + bs - 1) // bs
+            seq_block_counts = jnp.sum(nb_alloc, axis=(0, 2)).astype(
+                jnp.int32)
+            seq_kv_counts = jnp.sum(new_ctx, axis=(0, 2)).astype(jnp.int32)
+
+            new_state = _with_cache(
+                state, cache, block_tables=block_tables,
+                context_lens=new_ctx, free_top=free_top)
+            return new_state, DecodeOutput(
+                tokens=out_tokens, free_top=free_top,
+                seq_block_counts=seq_block_counts,
+                seq_kv_counts=seq_kv_counts)
+
+        return jax.jit(decode_fn, donate_argnums=(0,))
+
+    def decode(self, state, tokens, positions, active, buffer_lens,
+               st: SamplingTensors, rng):
+        if self._decode_fn is None:
+            self._decode_fn = self._build_decode()
+        return self._decode_fn(state, self.params, tokens, positions, active,
+                               buffer_lens, st, rng)
+
+    # ------------------------------------------------------------ compress
+    def _build_compress(self, B: int, nb: int):
+        kc = self.cfg.kvcompress
+        bias = None
+        position_bins = None
+        if kc.kv_head_bias_file:
+            from kvcompress_tpu.kvcompress.head_bias import load_kv_head_bias
+            hb = load_kv_head_bias(kc.kv_head_bias_file)
+            bias, position_bins = hb.bias, hb.position_bins
+
+        fn = functools.partial(
+            run_compression, nb=nb,
+            moves_cap=kc.max_cache_moves_per_compression,
+            num_sinks=kc.num_attention_sinks, use_average=kc.use_average,
+            bias=bias, position_bins=position_bins,
+            bias_weight=kc.kv_head_bias_weight)
+
+        def compress_fn(state, slots, last_pos, protected, evict_blocks):
+            state, blk_count, new_ctx_w = fn(
+                state, slots, last_pos, protected, evict_blocks)
+            seq_kv = jnp.sum(new_ctx_w, axis=(1, 2)).astype(jnp.int32)
+            bs = self.cfg.cache.block_size
+            seq_blocks = jnp.sum((new_ctx_w + bs - 1) // bs,
+                                 axis=(1, 2)).astype(jnp.int32)
+            return state, blk_count.sum(axis=(1, 2)), seq_blocks, seq_kv, \
+                state.free_top
+
+        return jax.jit(compress_fn, donate_argnums=(0,))
+
+    def compress(self, state, slots, last_pos, protected, evict_blocks,
+                 nb: int):
+        B = len(slots)
+        # bucket B and nb to powers of two to bound compilations
+        Bb = 1 << (B - 1).bit_length()
+        nbb = min(
+            self.cfg.max_blocks_per_head,
+            1 << (max(nb, 1) - 1).bit_length())
+        key = (Bb, nbb)
+        if key not in self._compress_fns:
+            self._compress_fns[key] = self._build_compress(Bb, nbb)
+
+        def pad(arr, fill):
+            out = np.full((Bb,), fill, np.int32)
+            out[:B] = arr
+            return jnp.asarray(out)
+
+        return self._compress_fns[key](
+            state, pad(slots, -1), pad(last_pos, 0), pad(protected, 0),
+            pad(evict_blocks, 0))
+
+    # ---------------------------------------------------------------- free
+    def _build_free(self):
+        bs = self.cfg.cache.block_size
+
+        def free_fn(state: CacheState, free_mask):
+            # free all allocated blocks of the masked batch slots
+            # (reference block_manager.py:224-259 _remove_sequence_batch)
+            L, S, H, B = state.block_tables.shape
+            ctx = state.context_lens
+            nb_alloc = (ctx + bs - 1) // bs
+            blk = jnp.arange(B, dtype=jnp.int32)[None, None, None, :]
+            alloc = (blk < nb_alloc[..., None]) & free_mask[None, :, None,
+                                                            None]
+            stack, top = stack_push(state.free_stack, state.free_top,
+                                    state.block_tables, alloc)
+            context_lens = jnp.where(free_mask[None, :, None],
+                                     0, ctx)
+            return CacheState(
+                k_cache=state.k_cache, v_cache=state.v_cache,
+                kv_metrics=state.kv_metrics, kv_positions=state.kv_positions,
+                block_tables=state.block_tables, context_lens=context_lens,
+                free_stack=stack, free_top=top), top
+
+        return jax.jit(free_fn, donate_argnums=(0,))
+
+    def free_slots(self, state, slot_ids):
+        if self._free_fn is None:
+            self._free_fn = self._build_free()
+        S = state.block_tables.shape[1]
+        mask = np.zeros((S,), bool)
+        mask[list(slot_ids)] = True
+        return self._free_fn(state, jnp.asarray(mask))
