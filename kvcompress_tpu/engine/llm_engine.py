@@ -11,12 +11,23 @@ a single XLA dispatch.
 
 from __future__ import annotations
 
+import os
 import time
 from typing import Dict, List, Optional, Sequence as Seq, Set
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+# Persistent XLA compilation cache: engine programs are fixed-shape and
+# bucketed, so across restarts every program is a cache hit.
+_CACHE_DIR = os.environ.get("KVC_COMPILATION_CACHE",
+                            os.path.expanduser("~/.cache/kvc_xla"))
+try:  # pragma: no cover
+    jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:
+    pass
 
 from kvcompress_tpu.config import EngineConfig, cdiv
 from kvcompress_tpu.core.scheduler import Scheduler

@@ -92,16 +92,18 @@ def rms_norm(x: jax.Array, w: jax.Array, eps: float) -> jax.Array:
 
 def init_llama_params(cfg: ModelConfig, seed: int = 0,
                       dtype=jnp.bfloat16) -> Dict[str, Any]:
-    """Random-initialised parameters (tests / benchmarks)."""
-    rng = np.random.default_rng(seed)
+    """Random-initialised parameters (tests / benchmarks), generated on
+    device (host RNG is far too slow for billion-parameter shapes)."""
+    key = jax.random.PRNGKey(seed)
+    keys = iter(jax.random.split(key, 16))
     D, L = cfg.hidden_size, cfg.num_layers
     Hq, Hkv, d = cfg.num_heads, cfg.num_kv_heads, cfg.head_size
     I, V = cfg.intermediate_size, cfg.vocab_size
 
     def w(*shape, scale=None):
         scale = scale or (shape[-2] ** -0.5 if len(shape) > 1 else 0.02)
-        return jnp.asarray(
-            rng.standard_normal(shape).astype(np.float32) * scale, dtype)
+        return (jax.random.normal(next(keys), shape, jnp.float32)
+                * scale).astype(dtype)
 
     params = {
         "embed": w(V, D, scale=0.02),
