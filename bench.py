@@ -35,14 +35,15 @@ def build_engine(compress: bool, quick: bool):
         dtype = jnp.float32
         cache_dtype = "float32"
     else:
-        # Llama-3.2-1B shape (largest of the family with full headroom for
-        # the uncompressed baseline run on one v5e chip)
+        # Llama-3.1-8B per-layer shape at quarter depth (head_size 128,
+        # GQA 32/8) - the per-token compute/bandwidth profile of the 8B
+        # flagship scaled to fit one v5e chip with the uncompressed baseline
         model = ModelConfig(
-            num_layers=16, num_heads=32, num_kv_heads=8, head_size=64,
-            hidden_size=2048, intermediate_size=8192, vocab_size=128256,
+            num_layers=8, num_heads=32, num_kv_heads=8, head_size=128,
+            hidden_size=4096, intermediate_size=14336, vocab_size=128256,
             max_model_len=2048, rope_theta=500000.0,
             tie_word_embeddings=True)
-        num_blocks, max_seqs = 40960, 8
+        num_blocks, max_seqs = 24576, 8
         dtype = jnp.bfloat16
         cache_dtype = "bfloat16"
 
@@ -59,7 +60,8 @@ def build_engine(compress: bool, quick: bool):
         parallel=ParallelConfig(),
     )
     params = init_llama_params(model, seed=0, dtype=dtype)
-    return LLMEngine(cfg, params, num_blocks=num_blocks, attn_impl="xla")
+    return LLMEngine(cfg, params, num_blocks=num_blocks,
+                     attn_impl=os.environ.get("BENCH_ATTN", "auto"))
 
 
 def run(engine, prompts, output_len, max_cache_tokens):

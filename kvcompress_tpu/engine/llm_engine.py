@@ -59,8 +59,10 @@ class LLMEngine:
             self.eos_token_ids.add(tokenizer.eos_token_id)
 
         if attn_impl == "auto":
-            attn_impl = ("pallas"
-                         if jax.devices()[0].platform in ("tpu", "axon")
+            on_tpu = jax.devices()[0].platform in ("tpu", "axon")
+            # the pallas decode kernel DMAs [block_size, head_size] rows and
+            # needs a full 128-lane last dim
+            attn_impl = ("pallas" if on_tpu and cfg.model.head_size % 128 == 0
                          else "xla")
         self.attn_impl = attn_impl
 

@@ -1,0 +1,135 @@
+"""Offline batch inference API (reference vllm/entrypoints/llm.py:31-277).
+
+Usage:
+    llm = LLM(model="/path/to/llama", enable_kvcompress=True)
+    outputs = llm.generate(prompts, SamplingParams(max_cache_tokens=128))
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence, Union
+
+from kvcompress_tpu.config import (CacheConfig, EngineConfig,
+                                   KVCompressConfig, ModelConfig,
+                                   ParallelConfig, SchedulerConfig)
+from kvcompress_tpu.engine.llm_engine import LLMEngine
+from kvcompress_tpu.sampling_params import SamplingParams
+from kvcompress_tpu.sequence import RequestOutput
+
+
+def build_engine_config(
+    model_cfg: ModelConfig,
+    *,
+    block_size: int = 16,
+    max_num_seqs: int = 64,
+    max_model_len: Optional[int] = None,
+    gpu_memory_utilization: float = 0.9,
+    enable_kvcompress: bool = True,
+    compression_interval: int = 16,
+    max_kv_per_compression: int = 5_000_000,
+    prefill_metric_collection_window_size: int = 32,
+    prefill_metric_collection_block_size: int = 1024,
+    metric_aggregation: str = "L2-maxpool",
+    kv_head_bias_file: Optional[str] = None,
+    kv_head_bias_weight: float = 1.0,
+    record_decoding_metrics: bool = True,
+    tensor_parallel_size: int = 1,
+    seed: int = 0,
+) -> EngineConfig:
+    """Assemble an EngineConfig the way reference
+    EngineArgs.create_engine_config does (arg_utils.py:936-1222), including
+    the metric-aggregation variants (arg_utils.py:868-886)."""
+    use_l2 = "L2" in metric_aggregation
+    use_average = "average" in metric_aggregation
+    use_maxpool = "maxpool" in metric_aggregation
+    max_model_len = max_model_len or model_cfg.max_model_len
+    return EngineConfig(
+        model=model_cfg,
+        cache=CacheConfig(block_size=block_size,
+                          gpu_memory_utilization=gpu_memory_utilization),
+        kvcompress=KVCompressConfig(
+            enabled=enable_kvcompress,
+            compression_interval=compression_interval,
+            max_kv_per_compression=max_kv_per_compression,
+            prefill_metric_collection_window_size=(
+                prefill_metric_collection_window_size),
+            prefill_metric_collection_block_size=(
+                prefill_metric_collection_block_size),
+            use_l2=use_l2, use_average=use_average, use_maxpool=use_maxpool,
+            record_decoding_metrics=record_decoding_metrics,
+            kv_head_bias_file=kv_head_bias_file,
+            kv_head_bias_weight=kv_head_bias_weight,
+        ),
+        scheduler=SchedulerConfig(max_num_seqs=max_num_seqs,
+                                  max_model_len=max_model_len),
+        parallel=ParallelConfig(tensor_parallel_size=tensor_parallel_size),
+        seed=seed,
+    )
+
+
+class LLM:
+    def __init__(
+        self,
+        model: str,
+        *,
+        tokenizer: Optional[str] = None,
+        dtype: str = "bfloat16",
+        num_blocks: Optional[int] = None,
+        **engine_kw,
+    ):
+        import jax.numpy as jnp
+        from kvcompress_tpu.models.weights import load_model
+
+        jdtype = jnp.bfloat16 if dtype == "bfloat16" else jnp.float32
+        model_cfg, params = load_model(model, dtype=jdtype)
+        cfg = build_engine_config(model_cfg, **engine_kw)
+
+        from transformers import AutoTokenizer
+        tok = AutoTokenizer.from_pretrained(tokenizer or model)
+        self.llm_engine = LLMEngine(cfg, params, num_blocks=num_blocks,
+                                    tokenizer=tok)
+
+    def generate(
+        self,
+        prompts: Optional[Union[str, List[str]]] = None,
+        sampling_params: Optional[Union[SamplingParams,
+                                        List[SamplingParams]]] = None,
+        prompt_token_ids: Optional[List[List[int]]] = None,
+        use_tqdm: bool = False,
+    ) -> List[RequestOutput]:
+        if isinstance(prompts, str):
+            prompts = [prompts]
+        n = len(prompts) if prompts is not None else len(prompt_token_ids)
+        if sampling_params is None:
+            sampling_params = SamplingParams()
+        if isinstance(sampling_params, SamplingParams):
+            sampling_params = [sampling_params] * n
+
+        ids = []
+        for i in range(n):
+            ids.append(self.llm_engine.add_request(
+                None,
+                prompt=prompts[i] if prompts else None,
+                prompt_token_ids=(prompt_token_ids[i]
+                                  if prompt_token_ids else None),
+                sampling_params=sampling_params[i],
+            ))
+        return self._run_engine(ids, use_tqdm)
+
+    def _run_engine(self, request_ids: List[str],
+                    use_tqdm: bool) -> List[RequestOutput]:
+        """(reference llm.py:684-735)"""
+        pbar = None
+        if use_tqdm:
+            from tqdm.auto import tqdm
+            pbar = tqdm(total=len(request_ids))
+        results: Dict[str, RequestOutput] = {}
+        while self.llm_engine.has_unfinished_requests():
+            for out in self.llm_engine.step():
+                if out.finished:
+                    results[out.request_id] = out
+                    if pbar:
+                        pbar.update(1)
+        if pbar:
+            pbar.close()
+        return [results[rid] for rid in request_ids]

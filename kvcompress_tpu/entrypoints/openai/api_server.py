@@ -1,0 +1,137 @@
+"""OpenAI-compatible HTTP server (stdlib-only: http.server + threads).
+
+The serving surface of reference vllm/entrypoints/openai/api_server.py:
+/v1/completions, /v1/chat/completions, /v1/models, /health, /metrics
+(Prometheus), /tokenize, /detokenize — with the KV-Compress per-request
+fields accepted on both completion endpoints."""
+
+from __future__ import annotations
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Any, Dict, Optional
+
+from kvcompress_tpu.engine.async_engine import AsyncEngine
+from kvcompress_tpu.entrypoints.openai import protocol as proto
+
+
+def _apply_chat_template(tokenizer, messages) -> str:
+    if hasattr(tokenizer, "apply_chat_template") and getattr(
+            tokenizer, "chat_template", None):
+        return tokenizer.apply_chat_template(
+            messages, tokenize=False, add_generation_prompt=True)
+    # fallback: simple role-tagged concatenation
+    parts = [f"{m['role']}: {m['content']}" for m in messages]
+    parts.append("assistant:")
+    return "\n".join(parts)
+
+
+class OpenAIServer:
+    def __init__(self, engine, model_name: str = "model"):
+        self.async_engine = AsyncEngine(engine)
+        self.engine = engine
+        self.model_name = model_name
+        self.tokenizer = engine.tokenizer
+        self._httpd: Optional[ThreadingHTTPServer] = None
+
+    # ------------------------------------------------------------ handlers
+    def handle(self, method: str, path: str,
+               body: Optional[Dict[str, Any]]) -> tuple:
+        try:
+            if method == "GET" and path == "/health":
+                return 200, {"status": "ok"}
+            if method == "GET" and path == "/v1/models":
+                return 200, {"object": "list", "data": [{
+                    "id": self.model_name, "object": "model",
+                    "created": 0, "owned_by": "kvcompress-tpu"}]}
+            if method == "GET" and path == "/metrics":
+                return 200, self.engine.stats.prometheus()
+            if method == "POST" and path == "/v1/completions":
+                return self._completions(body)
+            if method == "POST" and path == "/v1/chat/completions":
+                return self._chat(body)
+            if method == "POST" and path == "/tokenize":
+                ids = self.tokenizer.encode(body["prompt"])
+                return 200, {"tokens": ids, "count": len(ids)}
+            if method == "POST" and path == "/detokenize":
+                return 200, {"prompt": self.tokenizer.decode(body["tokens"])}
+            return 404, proto.error_response("not found", 404)
+        except (KeyError, ValueError, TypeError) as e:
+            return 400, proto.error_response(str(e))
+
+    def _completions(self, body: Dict[str, Any]) -> tuple:
+        prompt = body.get("prompt")
+        if isinstance(prompt, list) and prompt and isinstance(prompt[0], int):
+            ids, text = prompt, None
+        else:
+            if isinstance(prompt, list):
+                prompt = prompt[0]
+            text, ids = prompt, None
+        sp = proto.sampling_params_from_request(body)
+        out = self.async_engine.generate(text, ids, sp)
+        n_prompt = len(out.prompt_token_ids)
+        return 200, proto.completion_response(self.model_name, n_prompt,
+                                              out.outputs)
+
+    def _chat(self, body: Dict[str, Any]) -> tuple:
+        prompt = _apply_chat_template(self.tokenizer, body["messages"])
+        sp = proto.sampling_params_from_request(body)
+        out = self.async_engine.generate(prompt, None, sp)
+        n_prompt = len(out.prompt_token_ids)
+        return 200, proto.chat_response(self.model_name, n_prompt,
+                                        out.outputs)
+
+    # --------------------------------------------------------------- serve
+    def serve(self, host: str = "0.0.0.0", port: int = 8000,
+              background: bool = False):
+        server = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *a):  # quiet
+                pass
+
+            def _respond(self, code: int, payload):
+                if isinstance(payload, str):
+                    data = payload.encode()
+                    ctype = "text/plain; version=0.0.4"
+                else:
+                    data = json.dumps(payload).encode()
+                    ctype = "application/json"
+                self.send_response(code)
+                self.send_header("Content-Type", ctype)
+                self.send_header("Content-Length", str(len(data)))
+                self.end_headers()
+                self.wfile.write(data)
+
+            def do_GET(self):
+                code, payload = server.handle("GET", self.path, None)
+                self._respond(code, payload)
+
+            def do_POST(self):
+                n = int(self.headers.get("Content-Length", 0))
+                try:
+                    body = json.loads(self.rfile.read(n) or b"{}")
+                except json.JSONDecodeError:
+                    self._respond(400, proto.error_response("invalid json"))
+                    return
+                code, payload = server.handle("POST", self.path, body)
+                self._respond(code, payload)
+
+        self._httpd = ThreadingHTTPServer((host, port), Handler)
+        if background:
+            t = threading.Thread(target=self._httpd.serve_forever,
+                                 daemon=True)
+            t.start()
+            return self._httpd
+        try:
+            self._httpd.serve_forever()
+        except KeyboardInterrupt:
+            pass
+        finally:
+            self.async_engine.shutdown()
+
+    def close(self):
+        if self._httpd:
+            self._httpd.shutdown()
+        self.async_engine.shutdown()

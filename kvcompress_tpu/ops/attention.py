@@ -218,6 +218,10 @@ def paged_decode_attention(
     qpk = Hq // Hkv
     n = nb * block_size
 
+    if active is not None:
+        # inactive sequences produce zero output and record nothing
+        context_lens_l = jnp.where(active[:, None], context_lens_l, 0)
+
     phys = (
         block_tables_l[..., None] * block_size
         + jnp.arange(block_size, dtype=jnp.int32)

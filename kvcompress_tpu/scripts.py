@@ -1,0 +1,114 @@
+"""CLI: `python -m kvcompress_tpu.scripts serve ...` / console entry `kvc`.
+
+The analogue of reference vllm/scripts.py (vllm serve :27-37,121-123) with
+the KVC engine flags of vllm/engine/arg_utils.py:783-915.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def add_engine_args(p: argparse.ArgumentParser) -> None:
+    p.add_argument("model", help="path to a local HF model directory")
+    p.add_argument("--tokenizer", default=None)
+    p.add_argument("--dtype", default="bfloat16",
+                   choices=["bfloat16", "float32"])
+    p.add_argument("--block-size", type=int, default=16)
+    p.add_argument("--max-num-seqs", type=int, default=64)
+    p.add_argument("--max-model-len", type=int, default=None)
+    p.add_argument("--gpu-memory-utilization", type=float, default=0.9)
+    p.add_argument("--num-blocks", type=int, default=None,
+                   help="override profiled cache size (blocks)")
+    p.add_argument("--tensor-parallel-size", "-tp", type=int, default=1)
+    p.add_argument("--seed", type=int, default=0)
+    # --- KV-Compress flags (reference arg_utils.py:783-915) ---
+    p.add_argument("--enable-kvc", action="store_true", default=False)
+    p.add_argument("--compression-interval", type=int, default=16)
+    p.add_argument("--max-kv-per-compression", type=int, default=5_000_000)
+    p.add_argument("--prefill-metric-collection-window-size", type=int,
+                   default=32)
+    p.add_argument("--prefill-metric-collection-block-size", type=int,
+                   default=1024)
+    p.add_argument("--metric-aggregation", default="L2-maxpool",
+                   choices=["L2-maxpool", "L2", "average-maxpool", "average"])
+    p.add_argument("--kv-head-bias-path", default=None)
+    p.add_argument("--kv-head-bias-weight", type=float, default=1.0)
+    p.add_argument("--disable-decoding-metrics", action="store_true")
+
+
+def build_llm(args):
+    from kvcompress_tpu.entrypoints.llm import LLM
+    return LLM(
+        args.model,
+        tokenizer=args.tokenizer,
+        dtype=args.dtype,
+        num_blocks=args.num_blocks,
+        block_size=args.block_size,
+        max_num_seqs=args.max_num_seqs,
+        max_model_len=args.max_model_len,
+        gpu_memory_utilization=args.gpu_memory_utilization,
+        enable_kvcompress=args.enable_kvc,
+        compression_interval=args.compression_interval,
+        max_kv_per_compression=args.max_kv_per_compression,
+        prefill_metric_collection_window_size=(
+            args.prefill_metric_collection_window_size),
+        prefill_metric_collection_block_size=(
+            args.prefill_metric_collection_block_size),
+        metric_aggregation=args.metric_aggregation,
+        kv_head_bias_file=args.kv_head_bias_path,
+        kv_head_bias_weight=args.kv_head_bias_weight,
+        record_decoding_metrics=not args.disable_decoding_metrics,
+        tensor_parallel_size=args.tensor_parallel_size,
+        seed=args.seed,
+    )
+
+
+def cmd_serve(args) -> None:
+    from kvcompress_tpu.entrypoints.openai.api_server import OpenAIServer
+    llm = build_llm(args)
+    server = OpenAIServer(llm.llm_engine, model_name=args.model)
+    print(f"kvcompress-tpu serving {args.model} on "
+          f"{args.host}:{args.port}", flush=True)
+    server.serve(host=args.host, port=args.port)
+
+
+def cmd_generate(args) -> None:
+    from kvcompress_tpu.sampling_params import SamplingParams
+    llm = build_llm(args)
+    sp = SamplingParams(temperature=args.temperature,
+                        max_tokens=args.max_tokens,
+                        max_cache_tokens=args.max_cache_tokens,
+                        protected_window_size=args.protected_window_size,
+                        compress_once=args.compress_once)
+    outs = llm.generate([args.prompt], sp)
+    print(outs[0].outputs[0].text)
+
+
+def main(argv=None) -> None:
+    parser = argparse.ArgumentParser("kvc")
+    sub = parser.add_subparsers(dest="cmd", required=True)
+
+    serve = sub.add_parser("serve", help="start the OpenAI-compatible server")
+    add_engine_args(serve)
+    serve.add_argument("--host", default="0.0.0.0")
+    serve.add_argument("--port", type=int, default=8000)
+    serve.set_defaults(fn=cmd_serve)
+
+    gen = sub.add_parser("generate", help="one-shot generation")
+    add_engine_args(gen)
+    gen.add_argument("--prompt", required=True)
+    gen.add_argument("--temperature", type=float, default=0.0)
+    gen.add_argument("--max-tokens", type=int, default=64)
+    gen.add_argument("--max-cache-tokens", type=int, default=-1)
+    gen.add_argument("--protected-window-size", type=int, default=32)
+    gen.add_argument("--compress-once", action="store_true")
+    gen.set_defaults(fn=cmd_generate)
+
+    args = parser.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,136 @@
+"""OpenAI-compatible server tests (the role of the reference's
+tests/entrypoints/ with RemoteOpenAIServer): a real HTTP server over a tiny
+engine, exercised with stdlib urllib."""
+
+import json
+import urllib.request
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from kvcompress_tpu.engine.llm_engine import LLMEngine
+from kvcompress_tpu.entrypoints.openai.api_server import OpenAIServer
+from kvcompress_tpu.models.llama import init_llama_params
+
+from test_engine import tiny_cfg, VOCAB
+
+
+class FakeTokenizer:
+    eos_token_id = 0
+    chat_template = None
+
+    def encode(self, text):
+        return [(ord(c) % (VOCAB - 1)) + 1 for c in text][:32]
+
+    def decode(self, ids, skip_special_tokens=True):
+        return "".join(chr(97 + (i % 26)) for i in ids)
+
+
+@pytest.fixture(scope="module")
+def server():
+    cfg = tiny_cfg()
+    params = init_llama_params(cfg.model, seed=0, dtype=jnp.float32)
+    engine = LLMEngine(cfg, params, num_blocks=512, attn_impl="xla",
+                       tokenizer=FakeTokenizer())
+    srv = OpenAIServer(engine, model_name="tiny-llama")
+    httpd = srv.serve(host="127.0.0.1", port=0, background=True)
+    port = httpd.server_address[1]
+    yield f"http://127.0.0.1:{port}", srv
+    srv.close()
+
+
+def _post(url, path, body):
+    req = urllib.request.Request(
+        url + path, data=json.dumps(body).encode(),
+        headers={"Content-Type": "application/json"})
+    with urllib.request.urlopen(req) as r:
+        return json.loads(r.read())
+
+
+def _get(url, path):
+    with urllib.request.urlopen(url + path) as r:
+        data = r.read()
+        try:
+            return json.loads(data)
+        except json.JSONDecodeError:
+            return data.decode()
+
+
+def test_health_and_models(server):
+    url, _ = server
+    assert _get(url, "/health")["status"] == "ok"
+    models = _get(url, "/v1/models")
+    assert models["data"][0]["id"] == "tiny-llama"
+
+
+def test_completions_with_kvc_fields(server):
+    url, _ = server
+    out = _post(url, "/v1/completions", {
+        "model": "tiny-llama",
+        "prompt": "hello world this is a test prompt",
+        "max_tokens": 6,
+        "temperature": 0.0,
+        "ignore_eos": True,
+        "max_cache_tokens": 8,
+        "protected_window_size": 4,
+        "compress_once": True,
+    })
+    assert out["object"] == "text_completion"
+    assert out["usage"]["completion_tokens"] == 6
+    assert isinstance(out["choices"][0]["text"], str)
+    assert out["choices"][0]["finish_reason"] == "length"
+
+
+def test_chat_completions(server):
+    url, _ = server
+    out = _post(url, "/v1/chat/completions", {
+        "model": "tiny-llama",
+        "messages": [{"role": "user", "content": "hi there"}],
+        "max_tokens": 4,
+        "temperature": 0.0,
+        "ignore_eos": True,
+    })
+    assert out["object"] == "chat.completion"
+    assert out["choices"][0]["message"]["role"] == "assistant"
+
+
+def test_concurrent_requests(server):
+    import threading
+    url, _ = server
+    results = []
+
+    def go(i):
+        out = _post(url, "/v1/completions", {
+            "prompt": f"prompt number {i} padded with text",
+            "max_tokens": 4, "temperature": 0.0, "ignore_eos": True})
+        results.append(out["usage"]["completion_tokens"])
+
+    threads = [threading.Thread(target=go, args=(i,)) for i in range(6)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=120)
+    assert results == [4] * 6
+
+
+def test_tokenize_roundtrip_and_metrics(server):
+    url, _ = server
+    toks = _post(url, "/tokenize", {"prompt": "abc"})
+    assert toks["count"] == 3
+    det = _post(url, "/detokenize", {"tokens": toks["tokens"]})
+    assert isinstance(det["prompt"], str)
+    metrics = _get(url, "/metrics")
+    assert "kvc_requests_added_total" in metrics
+
+
+def test_bad_request(server):
+    url, _ = server
+    req = urllib.request.Request(
+        url + "/v1/completions", data=b"not json",
+        headers={"Content-Type": "application/json"})
+    try:
+        urllib.request.urlopen(req)
+        assert False, "expected 400"
+    except urllib.error.HTTPError as e:
+        assert e.code == 400
