@@ -138,6 +138,9 @@ class SchedulerConfig:
     # Watermark fraction of blocks kept free when admitting a prefill
     # (reference kvcompress/block_manager.py:356-382).
     watermark: float = 0.01
+    # Decode iterations per host round-trip (0 = pick by platform; the
+    # reference's --num-scheduler-steps multi-step decoding).
+    num_scheduler_steps: int = 0
 
 
 @dataclasses.dataclass

@@ -79,15 +79,17 @@ class Scheduler:
         return seq
 
     # ---------------------------------------------------------- preemption
-    def blocks_needed_next_decode(self) -> int:
-        """Worst-case blocks a decode step may allocate: every head of every
-        running sequence crossing a block boundary."""
+    def blocks_needed_next_decode(self, steps: int = 1) -> int:
+        """Worst-case blocks a decode burst may allocate: every head of
+        every running sequence crossing ceil(steps / block_size) block
+        boundaries."""
         per_seq = self.cfg.model.num_layers * self.cfg.model.num_kv_heads
-        return len(self.running) * per_seq
+        crossings = cdiv(steps, self.block_size) if steps > 1 else 1
+        return len(self.running) * per_seq * crossings
 
-    def must_preempt(self) -> bool:
+    def must_preempt(self, steps: int = 1) -> bool:
         """(reference core/scheduler.py:1299-1306)"""
-        return self.free_blocks < self.blocks_needed_next_decode()
+        return self.free_blocks < self.blocks_needed_next_decode(steps)
 
     def preempt_last(self) -> Tuple[Optional[Sequence], int]:
         """Preemption by recompute: pop the most recent running sequence
@@ -149,14 +151,16 @@ class Scheduler:
         max_evictable = max(0, seq.block_count - protected_blocks)
         return min(evict_block_count, max_evictable)
 
-    def schedule_compression(self, force: bool = False
+    def schedule_compression(self, force: bool = False, n_iters: int = 1
                              ) -> Optional[CompressionBatch]:
         """Cadence + batch selection
-        (reference kvcompress/scheduler.py:184-243, 565-575)."""
+        (reference kvcompress/scheduler.py:184-243, 565-575). n_iters is the
+        number of engine iterations the next step will run (multi-step
+        decode advances the cadence by k)."""
         kc = self.cfg.kvcompress
         if not kc.enabled:
             return None
-        self.iteration_count += 1
+        self.iteration_count += n_iters
         if not (force or self.iteration_count >= kc.compression_interval
                 or (kc.new_token_limit > -1
                     and self.new_tokens > kc.new_token_limit)):

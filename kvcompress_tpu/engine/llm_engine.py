@@ -58,8 +58,12 @@ class LLMEngine:
         if tokenizer is not None and tokenizer.eos_token_id is not None:
             self.eos_token_ids.add(tokenizer.eos_token_id)
 
+        on_tpu = jax.devices()[0].platform in ("tpu", "axon")
+        # multi-step decode: tokens per host round-trip (reference
+        # num_scheduler_steps); dominated by dispatch/fetch latency on TPU
+        self.multi_step = cfg.scheduler.num_scheduler_steps or (
+            8 if on_tpu else 1)
         if attn_impl == "auto":
-            on_tpu = jax.devices()[0].platform in ("tpu", "axon")
             # the pallas decode kernel DMAs [block_size, head_size] rows and
             # needs a full 128-lane last dim
             attn_impl = ("pallas" if on_tpu and cfg.model.head_size % 128 == 0
@@ -88,6 +92,7 @@ class LLMEngine:
         self._rng = jax.random.PRNGKey(cfg.seed)
         self._force_compress = False
         self._request_counter = 0
+        self._carry: Optional[dict] = None
 
     def _profile_num_blocks(self, params) -> int:
         """Size the cache from device memory
@@ -148,7 +153,7 @@ class LLMEngine:
     def step(self) -> List[RequestOutput]:
         t0 = time.monotonic()
         self._maybe_compress()
-        while (self.scheduler.must_preempt()
+        while (self.scheduler.must_preempt(self.multi_step)
                and len(self.scheduler.running) > 1):
             victim, slot = self.scheduler.preempt_last()
             if victim is None:
@@ -172,12 +177,14 @@ class LLMEngine:
         sp = seq.sampling_params
         st = SamplingTensors.from_params([sp], pad_to=1)
         self._rng, key = jax.random.split(self._rng)
-        self.state, token, free_top = self.programs.prefill(
+        self.state, packed = self.programs.prefill(
             self.state, np.asarray(seq.prompt_token_ids, np.int32),
             seq.num_prompt_tokens, seq.slot,
             sp.metric_collection_buffer_size, st, key)
-        self.scheduler.free_blocks = int(free_top)
-        seq.output_token_ids.append(int(token))
+        packed = np.asarray(packed)  # one fetch: [token, free_top]
+        self._carry = None  # batch composition changed
+        self.scheduler.free_blocks = int(packed[1])
+        seq.output_token_ids.append(int(packed[0]))
         seq.first_token_time = time.monotonic()
         self.stats.counter("prompt_tokens", seq.num_prompt_tokens)
         self.stats.counter("generation_tokens")
@@ -190,63 +197,113 @@ class LLMEngine:
         return self._process_finished([seq])
 
     # -------------------------------------------------------------- decode
-    def _do_decode(self) -> List[RequestOutput]:
+    def _build_carry(self, running: List[Sequence]) -> dict:
+        """Device-resident decode inputs, rebuilt only when the batch
+        composition changes; between rebuilds the step feeds its own device
+        outputs (tokens, positions, rng) back in - zero per-step host->device
+        traffic on the steady decode path."""
         S = self.cfg.scheduler.max_num_seqs
+        sig = tuple(sorted((s.slot, s.request_id) for s in running))
+        if self._carry is not None and self._carry["sig"] == sig:
+            return self._carry
         tokens = np.zeros((S,), np.int32)
         positions = np.zeros((S,), np.int32)
         active = np.zeros((S,), bool)
         buffer_lens = np.zeros((S,), np.int32)
+        ignore_eos = np.zeros((S,), bool)
+        remaining = np.zeros((S,), np.int32)
         params_by_slot: List[Optional[SamplingParams]] = [None] * S
-        running = list(self.scheduler.running)
+        max_len = self.cfg.scheduler.max_model_len
         for seq in running:
             s = seq.slot
+            sp = seq.sampling_params
             active[s] = True
             tokens[s] = seq.last_token_id
             positions[s] = seq.get_len() - 1
-            buffer_lens[s] = seq.sampling_params.metric_collection_buffer_size
-            params_by_slot[s] = seq.sampling_params
-        st = SamplingTensors.from_params(params_by_slot, pad_to=S)
+            buffer_lens[s] = sp.metric_collection_buffer_size
+            ignore_eos[s] = sp.ignore_eos
+            budget = max_len - seq.get_len()
+            if sp.max_tokens is not None:
+                budget = min(budget, sp.max_tokens - seq.num_output_tokens)
+            remaining[s] = max(budget, 0)
+            params_by_slot[s] = sp
+        eos = sorted(self.eos_token_ids) or [-1]
         self._rng, key = jax.random.split(self._rng)
+        self._carry = {
+            "sig": sig,
+            "tokens": jnp.asarray(tokens),
+            "positions": jnp.asarray(positions),
+            "active": jnp.asarray(active),
+            "buffer_lens": jnp.asarray(buffer_lens),
+            "st": SamplingTensors.from_params(params_by_slot, pad_to=S),
+            "rng": key,
+            "eos_ids": jnp.asarray(eos, jnp.int32),
+            "ignore_eos": jnp.asarray(ignore_eos),
+            "remaining": jnp.asarray(remaining),
+        }
+        return self._carry
+
+    def _do_decode(self) -> List[RequestOutput]:
+        S = self.cfg.scheduler.max_num_seqs
+        k = self.multi_step
+        running = list(self.scheduler.running)
+        carry = self._build_carry(running)
         self.state, out = self.programs.decode(
-            self.state, jnp.asarray(tokens), jnp.asarray(positions),
-            jnp.asarray(active), jnp.asarray(buffer_lens), st, key)
-        new_tokens = np.asarray(out.tokens)
-        blk = np.asarray(out.seq_block_counts)
-        kvs = np.asarray(out.seq_kv_counts)
-        self.scheduler.free_blocks = int(out.free_top)
+            self.state, carry["tokens"], carry["positions"],
+            carry["active"], carry["buffer_lens"], carry["st"],
+            carry["rng"], carry["eos_ids"], carry["ignore_eos"],
+            carry["remaining"], multi_steps=k)
+        packed = np.asarray(out.packed)  # the single per-k-steps fetch
+        token_matrix = packed[:k * S].reshape(k, S)
+        blk = packed[k * S:k * S + S]
+        kvs = packed[k * S + S:k * S + 2 * S]
+        self.scheduler.free_blocks = int(packed[k * S + 2 * S])
+        carry["tokens"] = out.tokens
+        carry["positions"] = out.positions_next
+        carry["rng"] = out.rng_next
+        carry["remaining"] = out.remaining_next
+        carry["active"] = out.active_next
+        n_generated = 0
         for seq in running:
             s = seq.slot
-            seq.output_token_ids.append(int(new_tokens[s]))
             seq.block_count = int(blk[s])
             seq.kv_count = int(kvs[s])
-        self.scheduler.new_tokens += len(running)
-        self.stats.counter("generation_tokens", len(running))
+            for t in range(k):
+                seq.output_token_ids.append(int(token_matrix[t, s]))
+                n_generated += 1
+                if self._check_stop(seq) is not None:
+                    break
+        self.scheduler.new_tokens += n_generated
+        self.stats.counter("generation_tokens", n_generated)
         return self._process_finished(running)
 
     # ------------------------------------------------------------ compress
     def _maybe_compress(self) -> None:
         force = self._force_compress or (
-            self.scheduler.must_preempt() and bool(self.scheduler.running))
-        batch = self.scheduler.schedule_compression(force=force)
+            self.scheduler.must_preempt(self.multi_step) and bool(self.scheduler.running))
+        n_iters = self.multi_step if self.scheduler.running else 1
+        batch = self.scheduler.schedule_compression(force=force,
+                                                    n_iters=n_iters)
         self._force_compress = False
         if batch is None:
             return
-        self.state, evicted_per_seq, seq_blocks, seq_kv, free_top = (
-            self.programs.compress(
-                self.state,
-                np.asarray(batch.slots, np.int32),
-                np.asarray(batch.last_positions, np.int32),
-                np.asarray(batch.protected, np.int32),
-                np.asarray(batch.evict_blocks, np.int32),
-                nb=batch.nb_bucket,
-            ))
-        seq_blocks = np.asarray(seq_blocks)
-        seq_kv = np.asarray(seq_kv)
-        evicted = np.asarray(evicted_per_seq)
+        self.state, packed = self.programs.compress(
+            self.state,
+            np.asarray(batch.slots, np.int32),
+            np.asarray(batch.last_positions, np.int32),
+            np.asarray(batch.protected, np.int32),
+            np.asarray(batch.evict_blocks, np.int32),
+            nb=batch.nb_bucket,
+        )
+        packed = np.asarray(packed)  # one fetch
+        B = (len(packed) - 1) // 3
+        evicted = packed[:B]
+        seq_blocks = packed[B:2 * B]
+        seq_kv = packed[2 * B:3 * B]
         for i, seq in enumerate(batch.seqs):
             seq.block_count = int(seq_blocks[i])
             seq.kv_count = int(seq_kv[i])
-        self.scheduler.free_blocks = int(free_top)
+        self.scheduler.free_blocks = int(packed[3 * B])
         n_evicted = int(evicted.sum()) * self.cfg.cache.block_size
         self.scheduler.total_evicted_kvs += n_evicted
         self.stats.counter("compression_rounds")

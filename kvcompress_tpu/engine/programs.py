@@ -36,10 +36,14 @@ from kvcompress_tpu.engine.sampler import SamplingTensors
 
 
 class DecodeOutput(NamedTuple):
-    tokens: jax.Array            # [S] i32
-    free_top: jax.Array          # [] i32
-    seq_block_counts: jax.Array  # [S] i32
-    seq_kv_counts: jax.Array     # [S] i32
+    tokens: jax.Array          # [S] i32 (device-resident, fed back next step)
+    positions_next: jax.Array  # [S] i32 (device-resident)
+    rng_next: jax.Array        # PRNG key (device-resident)
+    remaining_next: jax.Array = None  # [S] i32 (multi-step budget left)
+    active_next: jax.Array = None     # [S] bool
+    packed: jax.Array = None   # [kS + 2S + 1 + S] i32: token matrix |
+    #                            block_counts | kv_counts | free_top |
+    #                            active - ONE host fetch per k steps
 
 
 def _cache_of(state: CacheState) -> KVCache:
@@ -79,6 +83,7 @@ class EnginePrograms:
         self._prefill_fns: Dict[int, Any] = {}
         self._compress_fns: Dict[Tuple[int, int], Any] = {}
         self._decode_fn = None
+        self._decode_steps = None
         self._free_fn = None
 
     # ------------------------------------------------------------- prefill
@@ -118,7 +123,8 @@ class EnginePrograms:
                 state, cache, block_tables=block_tables,
                 context_lens=context_lens, free_stack=state.free_stack,
                 free_top=free_top)
-            return new_state, token, free_top
+            # packed [2]: token | free_top - one host fetch
+            return new_state, jnp.stack([token, free_top])
 
         return jax.jit(prefill_fn, donate_argnums=(0,))
 
@@ -137,13 +143,55 @@ class EnginePrograms:
             jnp.asarray(buffer_len, jnp.int32), st, rng)
 
     # -------------------------------------------------------------- decode
-    def _build_decode(self):
+    def _build_decode(self, multi_steps: int = 1):
+        """One jitted program running `multi_steps` decode iterations via
+        lax.scan: ONE dispatch + ONE host fetch per k tokens. EOS and
+        max-tokens termination are enforced on device (a finished slot's
+        active flag drops, freezing its cache), so overgeneration never
+        corrupts state; the host trims the token matrix afterwards.
+        (The reference's multi-step worker, vllm/worker/multi_step_*,
+        achieves the same host-sync amortisation with CUDA-side advance.)"""
         cfg, mcfg, ccfg = self.cfg, self.cfg.model, self.cfg.cache
         bs = ccfg.block_size
         spec = self.decode_spec
 
         def decode_fn(state: CacheState, params, tokens, positions, active,
-                      buffer_lens, st: SamplingTensors, rng):
+                      buffer_lens, st: SamplingTensors, rng, eos_ids,
+                      ignore_eos, remaining):
+            def one_step(carry, _):
+                state, tokens, positions, active, rng, remaining = carry
+                state, out = decode_step(state, params, tokens, positions,
+                                         active, buffer_lens, st, rng)
+                remaining = remaining - active.astype(jnp.int32)
+                is_eos = jnp.isin(out.tokens, eos_ids) & ~ignore_eos
+                next_active = active & ~is_eos & (remaining > 0)
+                carry = (state, out.tokens, out.positions_next, next_active,
+                         out.rng_next, remaining)
+                return carry, (out.tokens, out.packed)
+
+            carry0 = (state, tokens, positions, active, rng, remaining)
+            if multi_steps == 1:
+                carry, (tok_seq, packed_seq) = one_step(carry0, None)
+                tok_seq = tok_seq[None]
+                last_packed = packed_seq
+            else:
+                carry, (tok_seq, packed_seq) = jax.lax.scan(
+                    one_step, carry0, None, length=multi_steps)
+                last_packed = packed_seq[-1]
+            state, tokens, positions, active, rng, remaining = carry
+            S = tokens.shape[0]
+            # packed: k*S token matrix | blk | kv | free_top | active
+            packed = jnp.concatenate([
+                tok_seq.reshape(-1), last_packed[S:],
+                active.astype(jnp.int32)])
+            return state, DecodeOutput(
+                tokens=tokens, positions_next=positions, rng_next=rng,
+                remaining_next=remaining, active_next=active,
+                packed=packed)
+
+        def decode_step(state: CacheState, params, tokens, positions, active,
+                        buffer_lens, st: SamplingTensors, rng):
+            rng, sample_rng = jax.random.split(rng)
             L, S, H, B = state.block_tables.shape
             ctx = state.context_lens
             # device-side batched append (reference
@@ -166,7 +214,7 @@ class EnginePrograms:
                 params, mcfg, tokens, positions, block_tables, new_ctx, sm,
                 _cache_of(state), buffer_lens, active, spec)
             logits = llama.compute_logits(params, mcfg, hidden)
-            out_tokens = sampler_mod.sample(logits, st, rng)
+            out_tokens = sampler_mod.sample(logits, st, sample_rng)
 
             nb_alloc = (new_ctx + bs - 1) // bs
             seq_block_counts = jnp.sum(nb_alloc, axis=(0, 2)).astype(
@@ -176,19 +224,25 @@ class EnginePrograms:
             new_state = _with_cache(
                 state, cache, block_tables=block_tables,
                 context_lens=new_ctx, free_top=free_top)
+            packed = jnp.concatenate([
+                out_tokens, seq_block_counts, seq_kv_counts, free_top[None]])
             return new_state, DecodeOutput(
-                tokens=out_tokens, free_top=free_top,
-                seq_block_counts=seq_block_counts,
-                seq_kv_counts=seq_kv_counts)
+                tokens=out_tokens,
+                positions_next=positions + active.astype(jnp.int32),
+                rng_next=rng,
+                packed=packed)
 
         return jax.jit(decode_fn, donate_argnums=(0,))
 
     def decode(self, state, tokens, positions, active, buffer_lens,
-               st: SamplingTensors, rng):
-        if self._decode_fn is None:
-            self._decode_fn = self._build_decode()
+               st: SamplingTensors, rng, eos_ids, ignore_eos, remaining,
+               multi_steps: int = 1):
+        if self._decode_fn is None or self._decode_steps != multi_steps:
+            self._decode_fn = self._build_decode(multi_steps)
+            self._decode_steps = multi_steps
         return self._decode_fn(state, self.params, tokens, positions, active,
-                               buffer_lens, st, rng)
+                               buffer_lens, st, rng, eos_ids, ignore_eos,
+                               remaining)
 
     # ------------------------------------------------------------ compress
     def _build_compress(self, B: int, nb: int):
@@ -214,8 +268,11 @@ class EnginePrograms:
             bs = self.cfg.cache.block_size
             seq_blocks = jnp.sum((new_ctx_w + bs - 1) // bs,
                                  axis=(1, 2)).astype(jnp.int32)
-            return state, blk_count.sum(axis=(1, 2)), seq_blocks, seq_kv, \
-                state.free_top
+            # packed [3B+1]: evicted_blocks | seq_blocks | seq_kv | free_top
+            packed = jnp.concatenate([
+                blk_count.sum(axis=(1, 2)).astype(jnp.int32), seq_blocks,
+                seq_kv, state.free_top[None]])
+            return state, packed
 
         return jax.jit(compress_fn, donate_argnums=(0,))
 

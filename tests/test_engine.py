@@ -209,6 +209,49 @@ def test_preemption_recovery(tiny_params):
         assert len(outs[rid].outputs[0].token_ids) == 6
 
 
+def test_multi_step_decode_parity(tiny_params):
+    """k-step device decode must produce exactly the same greedy tokens and
+    respect max_tokens / EOS on device."""
+    rng = np.random.default_rng(7)
+    prompt = rng.integers(0, VOCAB, size=15).tolist()
+
+    e1 = make_engine(tiny_params)
+    base = greedy_tokens(e1, prompt, 11)
+
+    e2 = make_engine(tiny_params)
+    e2.multi_step = 4
+    got = greedy_tokens(e2, prompt, 11)  # 11 not divisible by 4
+    assert got == base
+    assert int(e2.state.free_top) == e2.scheduler.free_blocks
+
+    # EOS termination on device: pick the model's 3rd greedy token as "eos"
+    eos = base[2]
+    e3 = make_engine(tiny_params)
+    e3.multi_step = 4
+    e3.eos_token_ids = {eos}
+    rid = e3.add_request(None, prompt_token_ids=prompt,
+                         sampling_params=SamplingParams(
+                             temperature=0.0, max_tokens=11))
+    out = run_all(e3)[rid].outputs[0]
+    expect = base[:base.index(eos) + 1]  # stop at FIRST eos occurrence
+    assert out.token_ids == expect
+    assert out.finish_reason == "stop"
+
+
+def test_multi_step_with_compression(tiny_params):
+    rng = np.random.default_rng(8)
+    prompt = rng.integers(0, VOCAB, size=24).tolist()
+    e1 = make_engine(tiny_params, compression_interval=4)
+    base = greedy_tokens(e1, prompt, 12, target_compression_rate=0.5,
+                         protected_window_size=64)
+
+    e2 = make_engine(tiny_params, compression_interval=4)
+    e2.multi_step = 4
+    got = greedy_tokens(e2, prompt, 12, target_compression_rate=0.5,
+                        protected_window_size=64)
+    assert got == base
+
+
 def test_sampling_temperature(tiny_params):
     rng = np.random.default_rng(6)
     prompt = rng.integers(0, VOCAB, size=8).tolist()
