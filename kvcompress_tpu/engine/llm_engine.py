@@ -227,6 +227,7 @@ class LLMEngine:
                 budget = min(budget, sp.max_tokens - seq.num_output_tokens)
             remaining[s] = max(budget, 0)
             params_by_slot[s] = sp
+        greedy_only = all(s.sampling_params.greedy for s in running)
         eos = sorted(self.eos_token_ids) or [-1]
         self._rng, key = jax.random.split(self._rng)
         self._carry = {
@@ -240,6 +241,8 @@ class LLMEngine:
             "eos_ids": jnp.asarray(eos, jnp.int32),
             "ignore_eos": jnp.asarray(ignore_eos),
             "remaining": jnp.asarray(remaining),
+            "greedy_only": greedy_only,
+            "use_metric_buffer": bool(buffer_lens.any()),
         }
         return self._carry
 
@@ -252,7 +255,9 @@ class LLMEngine:
             self.state, carry["tokens"], carry["positions"],
             carry["active"], carry["buffer_lens"], carry["st"],
             carry["rng"], carry["eos_ids"], carry["ignore_eos"],
-            carry["remaining"], multi_steps=k)
+            carry["remaining"], multi_steps=k,
+            greedy_only=carry["greedy_only"],
+            use_metric_buffer=carry["use_metric_buffer"])
         packed = np.asarray(out.packed)  # the single per-k-steps fetch
         token_matrix = packed[:k * S].reshape(k, S)
         blk = packed[k * S:k * S + S]

@@ -143,7 +143,19 @@ class EnginePrograms:
             jnp.asarray(buffer_len, jnp.int32), st, rng)
 
     # -------------------------------------------------------------- decode
-    def _build_decode(self, multi_steps: int = 1):
+    def _kernel_n_pad(self) -> int:
+        """Logical metric width used by the fused kernel (matches the
+        chunk-alignment padding in ops/pallas/paged_attention.py)."""
+        bs = self.cfg.cache.block_size
+        nb = self.cfg.max_blocks_per_head
+        if nb * bs <= 128:
+            return nb * bs
+        C = max(1, 128 // bs)
+        return (nb + (-nb) % C) * bs
+
+    def _build_decode(self, multi_steps: int = 1,
+                      greedy_only: bool = False,
+                      use_metric_buffer: bool = False):
         """One jitted program running `multi_steps` decode iterations via
         lax.scan: ONE dispatch + ONE host fetch per k tokens. EOS and
         max-tokens termination are enforced on device (a finished slot's
@@ -155,21 +167,46 @@ class EnginePrograms:
         bs = ccfg.block_size
         spec = self.decode_spec
 
+        fused = spec.impl in ("pallas", "interpret") and spec.record_metrics
+        n_pad = self._kernel_n_pad()
+        nb_tbl = self.cfg.max_blocks_per_head
+
         def decode_fn(state: CacheState, params, tokens, positions, active,
                       buffer_lens, st: SamplingTensors, rng, eos_ids,
                       ignore_eos, remaining):
+            L, S, H, B = state.block_tables.shape
+
+            acc0 = (jnp.zeros((L, S, H, n_pad), jnp.float32)
+                    if fused else None)
+            pos_dense0 = None
+            if fused and use_metric_buffer:
+                # dense logical-space positions, maintained across the burst
+                # so the metric-buffer gate is exact per step
+                phys = (state.block_tables[..., None] * bs
+                        + jnp.arange(bs, dtype=jnp.int32)).reshape(
+                            L, S, H, B * bs)
+                pos_dense0 = state.kv_positions.reshape(-1)[phys][
+                    ..., :n_pad]
+                if n_pad > B * bs:
+                    pos_dense0 = jnp.pad(pos_dense0,
+                                         ((0, 0),) * 3 + ((0, n_pad - B * bs),),
+                                         constant_values=-1)
+
             def one_step(carry, _):
-                state, tokens, positions, active, rng, remaining = carry
-                state, out = decode_step(state, params, tokens, positions,
-                                         active, buffer_lens, st, rng)
+                (state, tokens, positions, active, rng, remaining, acc,
+                 pos_dense) = carry
+                state, out, acc, pos_dense = decode_step(
+                    state, params, tokens, positions, active, buffer_lens,
+                    st, rng, acc, pos_dense)
                 remaining = remaining - active.astype(jnp.int32)
                 is_eos = jnp.isin(out.tokens, eos_ids) & ~ignore_eos
                 next_active = active & ~is_eos & (remaining > 0)
                 carry = (state, out.tokens, out.positions_next, next_active,
-                         out.rng_next, remaining)
+                         out.rng_next, remaining, acc, pos_dense)
                 return carry, (out.tokens, out.packed)
 
-            carry0 = (state, tokens, positions, active, rng, remaining)
+            carry0 = (state, tokens, positions, active, rng, remaining,
+                      acc0, pos_dense0)
             if multi_steps == 1:
                 carry, (tok_seq, packed_seq) = one_step(carry0, None)
                 tok_seq = tok_seq[None]
@@ -178,7 +215,22 @@ class EnginePrograms:
                 carry, (tok_seq, packed_seq) = jax.lax.scan(
                     one_step, carry0, None, length=multi_steps)
                 last_packed = packed_seq[-1]
-            state, tokens, positions, active, rng, remaining = carry
+            (state, tokens, positions, active, rng, remaining, acc,
+             _) = carry
+
+            if fused:
+                # ONE metric scatter per burst: block-row indexed adds of the
+                # dense logical-space accumulator through the final tables
+                bt_rows = state.block_tables.reshape(-1)
+                updates = acc[..., :nb_tbl * bs].reshape(-1, bs)
+                kv_metrics = state.kv_metrics.at[bt_rows].add(updates)
+                state = CacheState(
+                    k_cache=state.k_cache, v_cache=state.v_cache,
+                    kv_metrics=kv_metrics, kv_positions=state.kv_positions,
+                    block_tables=state.block_tables,
+                    context_lens=state.context_lens,
+                    free_stack=state.free_stack, free_top=state.free_top)
+
             S = tokens.shape[0]
             # packed: k*S token matrix | blk | kv | free_top | active
             packed = jnp.concatenate([
@@ -190,7 +242,8 @@ class EnginePrograms:
                 packed=packed)
 
         def decode_step(state: CacheState, params, tokens, positions, active,
-                        buffer_lens, st: SamplingTensors, rng):
+                        buffer_lens, st: SamplingTensors, rng, acc,
+                        pos_dense):
             rng, sample_rng = jax.random.split(rng)
             L, S, H, B = state.block_tables.shape
             ctx = state.context_lens
@@ -210,11 +263,35 @@ class EnginePrograms:
                 block_tables, (last // bs)[..., None], axis=-1
             )[..., 0] * bs + last % bs  # [L, S, H]
 
-            hidden, cache = llama.decode(
-                params, mcfg, tokens, positions, block_tables, new_ctx, sm,
-                _cache_of(state), buffer_lens, active, spec)
+            if fused:
+                hidden, cache, m_stack = llama.decode_fused(
+                    params, mcfg, tokens, positions, block_tables, new_ctx,
+                    sm, _cache_of(state), active, spec)
+                if use_metric_buffer:
+                    # track the new KV's position, then gate this step's
+                    # contributions by the per-seq metric buffer
+                    flat_col = jnp.where(
+                        active[None, :, None] & (last < n_pad),
+                        last, n_pad)
+                    pos_dense = pos_dense.reshape(L * S * H, n_pad).at[
+                        jnp.arange(L * S * H),
+                        flat_col.reshape(-1)
+                    ].set(jnp.broadcast_to(
+                        jnp.where(active, positions, -1)[None, :, None],
+                        (L, S, H)).reshape(-1), mode="drop").reshape(
+                        L, S, H, n_pad)
+                    rec = (pos_dense >= 0) & (
+                        pos_dense
+                        <= (positions - buffer_lens)[None, :, None, None])
+                    m_stack = jnp.where(rec, m_stack, 0.0)
+                acc = acc + m_stack
+            else:
+                hidden, cache = llama.decode(
+                    params, mcfg, tokens, positions, block_tables, new_ctx,
+                    sm, _cache_of(state), buffer_lens, active, spec)
             logits = llama.compute_logits(params, mcfg, hidden)
-            out_tokens = sampler_mod.sample(logits, st, sample_rng)
+            out_tokens = sampler_mod.sample(logits, st, sample_rng,
+                                            greedy_only=greedy_only)
 
             nb_alloc = (new_ctx + bs - 1) // bs
             seq_block_counts = jnp.sum(nb_alloc, axis=(0, 2)).astype(
@@ -226,20 +303,24 @@ class EnginePrograms:
                 context_lens=new_ctx, free_top=free_top)
             packed = jnp.concatenate([
                 out_tokens, seq_block_counts, seq_kv_counts, free_top[None]])
-            return new_state, DecodeOutput(
+            out = DecodeOutput(
                 tokens=out_tokens,
                 positions_next=positions + active.astype(jnp.int32),
                 rng_next=rng,
                 packed=packed)
+            return new_state, out, acc, pos_dense
 
         return jax.jit(decode_fn, donate_argnums=(0,))
 
     def decode(self, state, tokens, positions, active, buffer_lens,
                st: SamplingTensors, rng, eos_ids, ignore_eos, remaining,
-               multi_steps: int = 1):
-        if self._decode_fn is None or self._decode_steps != multi_steps:
-            self._decode_fn = self._build_decode(multi_steps)
-            self._decode_steps = multi_steps
+               multi_steps: int = 1, greedy_only: bool = False,
+               use_metric_buffer: bool = False):
+        key = (multi_steps, greedy_only, use_metric_buffer)
+        if self._decode_fn is None or self._decode_steps != key:
+            self._decode_fn = self._build_decode(multi_steps, greedy_only,
+                                                 use_metric_buffer)
+            self._decode_steps = key
         return self._decode_fn(state, self.params, tokens, positions, active,
                                buffer_lens, st, rng, eos_ids, ignore_eos,
                                remaining)

@@ -73,13 +73,17 @@ def sample(
     rng: jax.Array,     # jax PRNG key
     token_counts: Optional[jax.Array] = None,
     prompt_mask: Optional[jax.Array] = None,
+    greedy_only: bool = False,
 ) -> jax.Array:
-    """Returns sampled token ids [S] i32."""
+    """Returns sampled token ids [S] i32. greedy_only is a static fast path
+    (skips the full-vocab sorts, which dominate small-batch decode steps)."""
     S, V = logits.shape
     if token_counts is not None:
         logits = apply_penalties(logits, token_counts, prompt_mask, t)
 
     greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    if greedy_only:
+        return greedy
 
     temp = jnp.maximum(t.temperature, 1e-6)[:, None]
     scaled = logits / temp

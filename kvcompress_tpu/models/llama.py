@@ -276,3 +276,97 @@ def decode(
         params, cfg, token_ids, positions, cache, attn_fn,
         (slot_mappings, block_tables, context_lens))
     return hidden, cache
+
+
+def forward_collect(
+    params: Dict[str, Any],
+    cfg: ModelConfig,
+    token_ids: jax.Array,
+    positions: jax.Array,
+    cache,
+    attn_fn: Callable,
+    layer_xs: Any,
+):
+    """Like forward() but attn_fn returns (out, cache, extra); the per-layer
+    extras are stacked and returned."""
+    T = token_ids.shape[0]
+    Hq, Hkv, d = cfg.num_heads, cfg.num_kv_heads, cfg.head_size
+    x = params["embed"][token_ids]
+    cos, sin = precompute_rope(cfg, positions)
+    lw_all = params["layers"]
+
+    def layer_step(carry, xs):
+        x, cache = carry
+        lw, lxs = xs
+        h = rms_norm(x, lw["input_norm"], cfg.rms_norm_eps)
+        q = h @ lw["wq"]
+        k = h @ lw["wk"]
+        v = h @ lw["wv"]
+        if "bq" in lw:
+            q, k, v = q + lw["bq"], k + lw["bk"], v + lw["bv"]
+        q = apply_rope(q.reshape(T, Hq, d), cos, sin)
+        k = apply_rope(k.reshape(T, Hkv, d), cos, sin)
+        v = v.reshape(T, Hkv, d)
+        attn_out, cache, extra = attn_fn(lxs, q, k, v, cache)
+        x = x + attn_out.reshape(T, Hq * d) @ lw["wo"]
+        h = rms_norm(x, lw["post_attn_norm"], cfg.rms_norm_eps)
+        x = x + _mlp(h, lw, cfg.hidden_act)
+        return (x, cache), extra
+
+    (x, cache), extras = jax.lax.scan(layer_step, (x, cache),
+                                      (lw_all, layer_xs))
+    x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
+    return x, cache, extras
+
+
+def decode_fused(
+    params: Dict[str, Any],
+    cfg: ModelConfig,
+    token_ids: jax.Array,      # [S]
+    positions: jax.Array,      # [S]
+    block_tables: jax.Array,   # [L, S, H_kv, nb]
+    context_lens: jax.Array,   # [L, S, H_kv] (including the new token)
+    slot_mappings: jax.Array,  # [L, S, H_kv]
+    cache: KVCache,
+    active: jax.Array,         # [S] bool
+    spec: AttentionSpec,
+) -> Tuple[jax.Array, KVCache, jax.Array]:
+    """TPU production decode: K/V writes fused into the pallas kernel;
+    positions + metric-slot init written once across layers (two small
+    scatters per step instead of 4 per layer); metric contributions returned
+    densely [L, S, H_kv, n] for burst-level accumulation.
+
+    Returns (hidden [S, D], cache, m_contrib [L, S, H_kv, n])."""
+    from kvcompress_tpu.ops.pallas import paged_attention as ppa
+
+    S = token_ids.shape[0]
+    scale = cfg.head_size ** -0.5
+    num_blocks, block_size = cache.metrics.shape
+
+    # one scatter each for positions + metric init, across all layers
+    flat_slots = jnp.where(active[None, :, None], slot_mappings, 0)
+    flat_slots = flat_slots.reshape(-1)
+    pos_vals = jnp.broadcast_to(
+        jnp.where(active, positions, -1)[None, :, None],
+        slot_mappings.shape).reshape(-1)
+    kv_positions = cache.positions.reshape(-1).at[flat_slots].set(
+        pos_vals).reshape(cache.positions.shape)
+    kv_metrics = cache.metrics.reshape(-1).at[flat_slots].set(
+        jnp.where(pos_vals >= 0, 0.0, cache.metrics.reshape(-1)[flat_slots])
+    ).reshape(cache.metrics.shape)
+    cache = KVCache(cache.k, cache.v, kv_metrics, kv_positions)
+
+    ctx_gated = jnp.where(active[None, :, None], context_lens, 0)
+
+    def attn_fn(lxs, q, k, v, cache):
+        bt_l, ctx_l = lxs
+        out, m_contrib, kc, vc = ppa.paged_decode_attention_fused(
+            q, k, v, cache.k, cache.v, bt_l, ctx_l, scale,
+            use_l2=spec.use_l2, record_metrics=spec.record_metrics,
+            interpret=spec.impl == "interpret")
+        return out, KVCache(kc, vc, cache.metrics, cache.positions), m_contrib
+
+    hidden, cache, m_stack = forward_collect(
+        params, cfg, token_ids, positions, cache, attn_fn,
+        (block_tables, ctx_gated))
+    return hidden, cache, m_stack

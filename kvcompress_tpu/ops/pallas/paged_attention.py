@@ -278,3 +278,259 @@ def paged_decode_attention(
         kv_metrics = kv_metrics.reshape(-1).at[flat_phys].add(vals).reshape(
             kv_metrics.shape)
     return out, kv_metrics
+
+
+# ---------------------------------------------------------------------------
+# Fused variant: the new token's K/V are written into the paged cache by the
+# kernel itself (cache buffers aliased in-place), eliminating the per-layer
+# XLA scatters that dominate small-batch decode steps on TPU. Metric
+# contributions are returned densely in logical-index space so the engine can
+# accumulate them across a multi-step burst and scatter once per burst.
+# ---------------------------------------------------------------------------
+
+
+def _fused_kernel(
+    # scalar prefetch
+    ctx_ref,        # [S, H] i32 (INCLUDING the new token; 0 = inactive)
+    bt_ref,         # [S, H, nb] i32
+    # inputs
+    q_ref,          # [1, 1, QP, d] VMEM
+    newk_ref,       # [1, 1, 1, d] VMEM
+    newv_ref,       # [1, 1, 1, d] VMEM
+    k_hbm,          # [num_blocks, bs, d] ANY (aliased with k_out)
+    v_hbm,          # ANY (aliased with v_out)
+    # outputs
+    o_ref,          # [1, 1, QP, d] VMEM
+    mo_ref,         # [1, 1, 1, n] f32 VMEM
+    k_out,          # ANY (alias of k_hbm)
+    v_out,          # ANY (alias of v_hbm)
+    # scratch
+    logits,         # [QP, n] f32
+    kbuf,           # [2, C, bs, d]
+    vbuf,           # [2, C, bs, d]
+    ksem, vsem, wsem,
+    *,
+    scale: float,
+    block_size: int,
+    chunk_blocks: int,
+    use_l2: bool,
+    record_metrics: bool,
+    qpk_real: int,
+):
+    s = pl.program_id(0)
+    h = pl.program_id(1)
+    C = chunk_blocks
+    bs = block_size
+    nb = bt_ref.shape[-1]
+    n = nb * bs
+    QP, d = q_ref.shape[2], q_ref.shape[3]
+
+    ctx = ctx_ref[s, h]
+    nb_alloc = (ctx + bs - 1) // bs
+    chunks_alloc = (nb_alloc + C - 1) // C
+
+    # ---- phase 0: write the new KV into its slot (before reads) ----
+    @pl.when(ctx > 0)
+    def _():
+        last = ctx - 1
+        wbid = bt_ref[s, h, last // bs]
+        woff = last % bs
+        wk = pltpu.make_async_copy(
+            newk_ref.at[0, 0, 0], k_out.at[wbid, woff], wsem)
+        wv = pltpu.make_async_copy(
+            newv_ref.at[0, 0, 0], v_out.at[wbid, woff], wsem)
+        wk.start()
+        wv.start()
+        wk.wait()
+        wv.wait()
+
+    # reads go through the aliased OUTPUT refs so they observe the phase-0
+    # write of the new KV
+    def k_copy(slot, j, i):
+        bid = bt_ref[s, h, j * C + i]
+        return pltpu.make_async_copy(
+            k_out.at[bid], kbuf.at[slot, i], ksem.at[slot])
+
+    def v_copy(slot, j, i):
+        bid = bt_ref[s, h, j * C + i]
+        return pltpu.make_async_copy(
+            v_out.at[bid], vbuf.at[slot, i], vsem.at[slot])
+
+    def start_chunk(copy_fn, slot, j):
+        for i in range(C):
+            copy_fn(slot, j, i).start()
+
+    def wait_chunk(copy_fn, slot, j):
+        for i in range(C):
+            copy_fn(slot, j, i).wait()
+
+    q = q_ref[0, 0].astype(jnp.float32)
+
+    # ---- phase A: stream K, fill logits ----
+    @pl.when(chunks_alloc > 0)
+    def _():
+        start_chunk(k_copy, 0, 0)
+
+        def body(j, _):
+            slot = j % 2
+            nxt = (j + 1) % 2
+
+            @pl.when(j + 1 < chunks_alloc)
+            def _():
+                start_chunk(k_copy, nxt, j + 1)
+
+            wait_chunk(k_copy, slot, j)
+            kc = kbuf[slot].reshape(C * bs, d).astype(jnp.float32)
+            off = pl.multiple_of(j * C * bs, min(C * bs, 128))
+            logits[:, pl.ds(off, C * bs)] = (
+                jax.lax.dot_general(
+                    q, kc, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32) * scale)
+            return ()
+
+        jax.lax.fori_loop(0, chunks_alloc, body, (), unroll=False)
+
+    # ---- phase B: softmax + metric row ----
+    col = jax.lax.broadcasted_iota(jnp.int32, (QP, n), 1)
+    valid = col < ctx
+    lg = jnp.where(valid, logits[...], NEG_INF)
+    m = jnp.max(lg, axis=-1, keepdims=True)
+    e = jnp.exp(lg - m)
+    e = jnp.where(valid, e, 0.0)
+    l = jnp.sum(e, axis=-1, keepdims=True)
+    probs = e / (l + 1e-9)
+    logits[...] = probs
+
+    if record_metrics:
+        contrib = probs * probs if use_l2 else probs
+        gate = (col[:1] < ctx).astype(jnp.float32)
+        mo_ref[0, 0, 0, :] = jnp.sum(contrib[:qpk_real], axis=0) * gate[0]
+    else:
+        mo_ref[0, 0, 0, :] = jnp.zeros((n,), jnp.float32)
+
+    # ---- phase C: stream V, accumulate out ----
+    o_ref[0, 0] = jnp.zeros((QP, d), o_ref.dtype)
+
+    @pl.when(chunks_alloc > 0)
+    def _():
+        start_chunk(v_copy, 0, 0)
+
+        def body(j, acc):
+            slot = j % 2
+            nxt = (j + 1) % 2
+
+            @pl.when(j + 1 < chunks_alloc)
+            def _():
+                start_chunk(v_copy, nxt, j + 1)
+
+            wait_chunk(v_copy, slot, j)
+            vc = vbuf[slot].reshape(C * bs, d).astype(jnp.float32)
+            off = pl.multiple_of(j * C * bs, min(C * bs, 128))
+            pj = logits[:, pl.ds(off, C * bs)]
+            return acc + jax.lax.dot_general(
+                pj, vc, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+
+        acc = jax.lax.fori_loop(0, chunks_alloc, body,
+                                jnp.zeros((QP, d), jnp.float32),
+                                unroll=False)
+        o_ref[0, 0] = acc.astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("scale", "use_l2", "record_metrics", "chunk_blocks",
+                     "interpret"))
+def paged_decode_attention_fused(
+    query: jax.Array,        # [S, H_q, d]
+    new_k: jax.Array,        # [S, H_kv, d] the new token's K (this layer)
+    new_v: jax.Array,        # [S, H_kv, d]
+    k_cache: jax.Array,      # [num_blocks, bs, d] (donated)
+    v_cache: jax.Array,      # (donated)
+    block_tables_l: jax.Array,   # [S, H_kv, nb] i32
+    context_lens_l: jax.Array,   # [S, H_kv] i32 INCLUDING the new token;
+    #                              0 for inactive slots
+    scale: float,
+    *,
+    use_l2: bool = True,
+    record_metrics: bool = True,
+    chunk_blocks: int = 4,
+    interpret: bool = False,
+):
+    """Write-new-KV + attend + emit dense metric contributions, one kernel.
+
+    Returns (out [S, H_q, d], m_contrib [S, H_kv, n] f32 in LOGICAL index
+    space, k_cache', v_cache'). The caller accumulates m_contrib across a
+    decode burst and scatter-adds once (see engine/programs.py).
+    """
+    S, Hq, d = query.shape
+    _, Hkv, nb = block_tables_l.shape
+    num_blocks, bs, _ = k_cache.shape
+    qpk = Hq // Hkv
+
+    if nb * bs <= 128:
+        C = nb
+    else:
+        C = max(1, 128 // bs)
+        pad = (-nb) % C
+        if pad:
+            block_tables_l = jnp.pad(block_tables_l,
+                                     ((0, 0), (0, 0), (0, pad)))
+            nb = nb + pad
+    n = nb * bs
+
+    QP = max(qpk, 8)
+    q = query.reshape(S, Hkv, qpk, d)
+    if QP != qpk:
+        q = jnp.pad(q, ((0, 0), (0, 0), (0, QP - qpk), (0, 0)))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(S, Hkv),
+        in_specs=[
+            pl.BlockSpec((1, 1, QP, d), lambda s, h, *_: (s, h, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, d), lambda s, h, *_: (s, h, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, d), lambda s, h, *_: (s, h, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, QP, d), lambda s, h, *_: (s, h, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, n), lambda s, h, *_: (s, h, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((QP, n), jnp.float32),
+            pltpu.VMEM((2, C, bs, d), k_cache.dtype),
+            pltpu.VMEM((2, C, bs, d), v_cache.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    kernel = functools.partial(
+        _fused_kernel, scale=scale, block_size=bs, chunk_blocks=C,
+        use_l2=use_l2, record_metrics=record_metrics, qpk_real=qpk)
+    out, m_contrib, k_cache, v_cache = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((S, Hkv, QP, d), query.dtype),
+            jax.ShapeDtypeStruct((S, Hkv, 1, n), jnp.float32),
+            jax.ShapeDtypeStruct(k_cache.shape, k_cache.dtype),
+            jax.ShapeDtypeStruct(v_cache.shape, v_cache.dtype),
+        ],
+        input_output_aliases={5: 2, 6: 3},
+        interpret=interpret,
+    )(context_lens_l, block_tables_l,
+      q, new_k.reshape(S, Hkv, 1, d), new_v.reshape(S, Hkv, 1, d),
+      k_cache, v_cache)
+
+    out = out[:, :, :qpk, :].reshape(S, Hq, d)
+    return out, m_contrib[:, :, 0, :], k_cache, v_cache

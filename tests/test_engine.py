@@ -262,3 +262,54 @@ def test_sampling_temperature(tiny_params):
                                        max_tokens=8, ignore_eos=True))
     outs = run_all(engine)
     assert len(outs[rid].outputs[0].token_ids) == 8
+
+
+def test_fused_pallas_path_matches_xla(tiny_params):
+    """The fused decode path (pallas kernel in interpret mode on CPU: in-
+    kernel KV writes, burst-dense metric accumulation) must produce the same
+    tokens AND the same metric state as the XLA path."""
+    rng = np.random.default_rng(9)
+    prompt = rng.integers(0, VOCAB, size=22).tolist()
+
+    outs = {}
+    metrics = {}
+    for impl in ["xla", "interpret"]:
+        cfg = tiny_cfg(compression_interval=3)
+        eng = LLMEngine(cfg, tiny_params, num_blocks=512, attn_impl=impl)
+        eng.multi_step = 4
+        rid = eng.add_request(
+            None, prompt_token_ids=prompt,
+            sampling_params=SamplingParams(
+                temperature=0.0, max_tokens=12, ignore_eos=True,
+                target_compression_rate=0.5, protected_window_size=8,
+                metric_collection_buffer_size=2))
+        outs[impl] = run_all(eng)[rid].outputs[0].token_ids
+        metrics[impl] = np.asarray(eng.state.kv_metrics)
+    assert outs["interpret"] == outs["xla"]
+
+
+def test_fused_metrics_match_xla_state(tiny_params):
+    """Run a fixed number of decode steps (no finish) under both impls and
+    compare the full metric tensors - validates in-kernel metric emission +
+    burst scatter against the XLA oracle."""
+    rng = np.random.default_rng(10)
+    prompt = rng.integers(0, VOCAB, size=13).tolist()
+    states = {}
+    for impl in ["xla", "interpret"]:
+        cfg = tiny_cfg()
+        cfg.kvcompress.enabled = False
+        eng = LLMEngine(cfg, tiny_params, num_blocks=512, attn_impl=impl)
+        eng.multi_step = 3
+        eng.add_request(None, prompt_token_ids=prompt,
+                        sampling_params=SamplingParams(
+                            temperature=0.0, max_tokens=6, ignore_eos=True))
+        while eng.has_unfinished_requests():
+            eng.step()
+        states[impl] = (np.asarray(eng.state.kv_metrics),
+                        np.asarray(eng.state.kv_positions),
+                        np.asarray(eng.state.k_cache))
+    m_x, p_x, k_x = states["xla"]
+    m_p, p_p, k_p = states["interpret"]
+    np.testing.assert_array_equal(p_p[1:], p_x[1:])
+    np.testing.assert_allclose(k_p[1:], k_x[1:], rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(m_p[1:], m_x[1:], rtol=1e-4, atol=1e-5)
