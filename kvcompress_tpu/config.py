@@ -53,6 +53,35 @@ class ModelConfig:
     # Qwen2-style bias on QKV projections only.
     qkv_bias: bool = False
 
+    # ---- generic-decoder architecture knobs (models/decoder.py) ----
+    # These parameterize the one scan-over-layers forward so that every
+    # decoder family of the reference model zoo
+    # (vllm/model_executor/models/, 64 files) maps onto a single TPU
+    # program shape instead of 64 hand-written modules.
+    norm_type: str = "rmsnorm"          # "rmsnorm" | "layernorm"
+    norm_bias: bool = False             # layernorm bias term
+    rmsnorm_offset: bool = False        # gemma: y * (1 + w)
+    parallel_residual: bool = False     # gpt-neox / phi / falcon style
+    shared_input_norm: bool = False     # phi/cohere: one norm feeds attn+mlp
+    use_post_norms: bool = False        # gemma2 sandwich norms
+    pos_embedding: str = "rope"         # "rope" | "learned" | "none"
+    learned_pos_offset: int = 0         # opt: positions offset by 2
+    partial_rotary_factor: float = 1.0  # neox/phi/stablelm partial rotary
+    mlp_type: str = "gated"             # "gated" (gate/up/down) | "plain"
+    o_bias: bool = False                # bias on the attention output proj
+    lm_head_bias: bool = False          # phi-2 has a biased lm head
+    embedding_multiplier: float = 1.0   # gemma: sqrt(hidden_size)
+    residual_multiplier: float = 1.0    # granite
+    attention_scale: Optional[float] = None  # default head_size**-0.5
+    attn_logit_softcap: Optional[float] = None  # gemma2
+    logits_scaling: float = 1.0         # granite: logits /= logits_scaling
+    # MoE (mixtral / qwen2-moe / dbrx families)
+    num_experts: int = 0
+    num_experts_per_tok: int = 2
+    moe_intermediate_size: Optional[int] = None
+    moe_norm_topk_prob: bool = True
+    moe_shared_expert_size: int = 0     # qwen2-moe shared expert
+
     @property
     def num_queries_per_kv(self) -> int:
         return self.num_heads // self.num_kv_heads

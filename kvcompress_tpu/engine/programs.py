@@ -29,8 +29,8 @@ import numpy as np
 from kvcompress_tpu.config import EngineConfig, cdiv
 from kvcompress_tpu.core.state import CacheState, stack_pop, stack_push
 from kvcompress_tpu.kvcompress.eviction import run_compression
-from kvcompress_tpu.models import llama
-from kvcompress_tpu.models.llama import AttentionSpec, KVCache
+from kvcompress_tpu.models import decoder as llama  # generic decoder
+from kvcompress_tpu.models.decoder import AttentionSpec, KVCache
 from kvcompress_tpu.engine import sampler as sampler_mod
 from kvcompress_tpu.engine.sampler import SamplingTensors
 

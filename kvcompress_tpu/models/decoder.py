@@ -1,0 +1,557 @@
+"""Generic decoder-only transformer (functional JAX), config-driven.
+
+The TPU-native replacement for the reference's per-architecture model files
+(vllm/model_executor/models/, 64 files): one scan-over-layers forward whose
+layer step is parameterized by ModelConfig knobs (norm type, positional
+embedding, parallel residual, gated/plain MLP, MoE, softcaps, partial
+rotary), so every decoder family compiles to the same program shape.
+Covered families (see models/registry.py for the HF mappings): Llama 2/3/3.1,
+Mistral, Qwen2(.5), Gemma, Gemma2, Phi-2, Phi-3, GPT-2, OPT, GPT-NeoX,
+StableLM, Starcoder2, InternLM2, Mixtral, Qwen2-MoE, Granite, Baichuan, OLMo.
+
+Structure (mirrors the capability of reference llama.py:328-336 per-layer
+set_layer(i) + unified cache get_layer(i)):
+- Parameters are a pytree with layer weights stacked on a leading [L] axis;
+  the forward pass is a single jax.lax.scan over layers so the program is
+  traced once regardless of depth.
+- The unified paged cache (k, v, metrics, positions) is threaded through the
+  scan carry; per-layer block-table slices / slot mappings ride as scan xs.
+- Weight matmuls run in bfloat16 on the MXU; softmax/norms accumulate f32.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from kvcompress_tpu.config import ModelConfig
+from kvcompress_tpu.ops import attention as att
+
+
+class KVCache(NamedTuple):
+    """The slice of CacheState the model forward reads/writes."""
+    k: jax.Array           # [num_blocks, block_size, head_size]
+    v: jax.Array
+    metrics: jax.Array     # [num_blocks, block_size] f32
+    positions: jax.Array   # [num_blocks, block_size] i32
+
+
+@dataclasses.dataclass(frozen=True)
+class AttentionSpec:
+    """Static per-call attention configuration."""
+    mode: str                 # "prefill" | "decode"
+    use_l2: bool = True
+    use_average: bool = False
+    use_maxpool: bool = True
+    record_metrics: bool = True
+    metric_window: int = 32
+    metric_block: int = 1024
+    impl: str = "xla"         # "xla" | "pallas" | "interpret"
+
+
+# ---------------------------------------------------------------------------
+# Building blocks
+# ---------------------------------------------------------------------------
+
+def attn_scale(cfg: ModelConfig) -> float:
+    return (cfg.attention_scale if cfg.attention_scale is not None
+            else cfg.head_size ** -0.5)
+
+
+def precompute_rope(cfg: ModelConfig, positions: jax.Array
+                    ) -> Tuple[jax.Array, jax.Array]:
+    """RoPE cos/sin for given positions over the rotary sub-dimension.
+    Supports llama3-style rope scaling (HF `rope_type: llama3`) and partial
+    rotary (gpt-neox `rotary_pct`, phi/stablelm `partial_rotary_factor`)."""
+    rot = int(cfg.head_size * cfg.partial_rotary_factor)
+    inv_freq = 1.0 / (cfg.rope_theta ** (np.arange(0, rot, 2) / rot))
+    rs = cfg.rope_scaling or {}
+    kind = rs.get("rope_type", rs.get("type"))
+    if kind == "llama3":
+        factor = rs["factor"]
+        low = rs["low_freq_factor"]
+        high = rs["high_freq_factor"]
+        old_len = rs["original_max_position_embeddings"]
+        wavelen = 2 * np.pi / inv_freq
+        inv_freq_l = np.where(wavelen > old_len / low, inv_freq / factor,
+                              inv_freq)
+        smooth = (old_len / wavelen - low) / (high - low)
+        smoothed = (1 - smooth) / factor * inv_freq + smooth * inv_freq
+        is_mid = (wavelen <= old_len / low) & (wavelen >= old_len / high)
+        inv_freq = np.where(is_mid, smoothed, inv_freq_l)
+    elif kind == "linear":
+        inv_freq = inv_freq / rs["factor"]
+    inv_freq = jnp.asarray(inv_freq, jnp.float32)
+    freqs = positions.astype(jnp.float32)[:, None] * inv_freq[None, :]
+    return jnp.cos(freqs), jnp.sin(freqs)
+
+
+def apply_rope(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
+    """x: [T, H, d]; neox-style rotate-half over the first 2*cos.shape[-1]
+    dims (matches HF Llama/GPTNeoX); the remainder passes through."""
+    rot = 2 * cos.shape[-1]
+    d = x.shape[-1]
+    xr, x_pass = x[..., :rot], x[..., rot:]
+    d2 = rot // 2
+    x1, x2 = xr[..., :d2], xr[..., d2:]
+    c = cos[:, None, :].astype(jnp.float32)
+    s = sin[:, None, :].astype(jnp.float32)
+    x1f, x2f = x1.astype(jnp.float32), x2.astype(jnp.float32)
+    out = jnp.concatenate([x1f * c - x2f * s, x2f * c + x1f * s], axis=-1)
+    out = out.astype(x.dtype)
+    if rot < d:
+        out = jnp.concatenate([out, x_pass], axis=-1)
+    return out
+
+
+def _norm(x: jax.Array, w: jax.Array, b: Optional[jax.Array],
+          cfg: ModelConfig) -> jax.Array:
+    xf = x.astype(jnp.float32)
+    if cfg.norm_type == "layernorm":
+        mu = jnp.mean(xf, axis=-1, keepdims=True)
+        var = jnp.var(xf, axis=-1, keepdims=True)
+        y = (xf - mu) * jax.lax.rsqrt(var + cfg.rms_norm_eps)
+        y = y * w.astype(jnp.float32)
+        if b is not None:
+            y = y + b.astype(jnp.float32)
+        return y.astype(x.dtype)
+    var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+    y = xf * jax.lax.rsqrt(var + cfg.rms_norm_eps)
+    wf = w.astype(jnp.float32)
+    if cfg.rmsnorm_offset:
+        wf = wf + 1.0
+    return (y * wf).astype(x.dtype)
+
+
+def _act(x: jax.Array, act: str) -> jax.Array:
+    xf = x.astype(jnp.float32)
+    if act == "silu":
+        return jax.nn.silu(xf)
+    if act in ("gelu_new", "gelu_pytorch_tanh", "gelu_fast"):
+        return jax.nn.gelu(xf, approximate=True)
+    if act == "gelu":
+        return jax.nn.gelu(xf, approximate=False)
+    if act == "relu":
+        return jax.nn.relu(xf)
+    raise ValueError(f"unsupported activation {act}")
+
+
+def _dense_mlp(x: jax.Array, lw: Dict[str, jax.Array],
+               cfg: ModelConfig) -> jax.Array:
+    if cfg.mlp_type == "plain":
+        h = x @ lw["w_fc1"]
+        if "b_fc1" in lw:
+            h = h + lw["b_fc1"]
+        h = _act(h, cfg.hidden_act).astype(x.dtype)
+        out = h @ lw["w_fc2"]
+        if "b_fc2" in lw:
+            out = out + lw["b_fc2"]
+        return out
+    gate = x @ lw["w_gate"]
+    up = x @ lw["w_up"]
+    if "b_gate" in lw:
+        gate, up = gate + lw["b_gate"], up + lw["b_up"]
+    h = (_act(gate, cfg.hidden_act).astype(x.dtype) * up)
+    out = h @ lw["w_down"]
+    if "b_down" in lw:
+        out = out + lw["b_down"]
+    return out
+
+
+def _moe_mlp(x: jax.Array, lw: Dict[str, jax.Array],
+             cfg: ModelConfig) -> jax.Array:
+    """Mixture-of-experts MLP (mixtral / qwen2-moe semantics: full softmax
+    over router logits, top-k selection, optional renormalisation; dense
+    all-expert compute combined by the sparse routing weights - exact and
+    MXU-friendly at decode batch sizes; capacity-grouped dispatch is a
+    later optimisation for long prefills)."""
+    T = x.shape[0]
+    E, k = cfg.num_experts, cfg.num_experts_per_tok
+    logits = (x.astype(jnp.float32) @ lw["router"].astype(jnp.float32))
+    probs = jax.nn.softmax(logits, axis=-1)                      # [T, E]
+    topv, topi = jax.lax.top_k(probs, k)                          # [T, k]
+    if cfg.moe_norm_topk_prob:
+        topv = topv / (jnp.sum(topv, axis=-1, keepdims=True) + 1e-9)
+    weights = jnp.zeros((T, E), jnp.float32).at[
+        jnp.arange(T)[:, None], topi].set(topv)                   # [T, E]
+
+    gate = jnp.einsum("td,edi->tei", x, lw["experts_gate"])
+    up = jnp.einsum("td,edi->tei", x, lw["experts_up"])
+    h = _act(gate, cfg.hidden_act).astype(x.dtype) * up
+    y = jnp.einsum("tei,eid->ted", h, lw["experts_down"])
+    out = jnp.einsum("ted,te->td", y.astype(jnp.float32), weights)
+    out = out.astype(x.dtype)
+
+    if cfg.moe_shared_expert_size:
+        shared = _dense_mlp(x, {
+            "w_gate": lw["shared_gate"], "w_up": lw["shared_up"],
+            "w_down": lw["shared_down"]}, cfg)
+        if "shared_router" in lw:
+            sg = jax.nn.sigmoid(
+                x.astype(jnp.float32) @ lw["shared_router"].astype(
+                    jnp.float32))
+            shared = (shared.astype(jnp.float32) * sg).astype(x.dtype)
+        out = out + shared
+    return out
+
+
+def _mlp(x: jax.Array, lw: Dict[str, jax.Array], cfg: ModelConfig
+         ) -> jax.Array:
+    if cfg.num_experts:
+        return _moe_mlp(x, lw, cfg)
+    return _dense_mlp(x, lw, cfg)
+
+
+# ---------------------------------------------------------------------------
+# Parameter initialisation (tests / benchmarks)
+# ---------------------------------------------------------------------------
+
+def init_params(cfg: ModelConfig, seed: int = 0,
+                dtype=jnp.bfloat16) -> Dict[str, Any]:
+    """Random-initialised parameters matching the layout the HF loaders in
+    models/registry.py produce; generated on device (host RNG is far too
+    slow for billion-parameter shapes)."""
+    key = jax.random.PRNGKey(seed)
+    keys = iter(jax.random.split(key, 48))
+    D, L = cfg.hidden_size, cfg.num_layers
+    Hq, Hkv, d = cfg.num_heads, cfg.num_kv_heads, cfg.head_size
+    I, V = cfg.intermediate_size, cfg.vocab_size
+
+    def w(*shape, scale=None):
+        scale = scale or (shape[-2] ** -0.5 if len(shape) > 1 else 0.02)
+        return (jax.random.normal(next(keys), shape, jnp.float32)
+                * scale).astype(dtype)
+
+    layers: Dict[str, Any] = {
+        "input_norm": jnp.ones((L, D), dtype),
+        "wq": w(L, D, Hq * d),
+        "wk": w(L, D, Hkv * d),
+        "wv": w(L, D, Hkv * d),
+        "wo": w(L, Hq * d, D),
+    }
+    if not cfg.shared_input_norm:
+        layers["post_attn_norm"] = jnp.ones((L, D), dtype)
+    if cfg.use_post_norms:
+        layers["post_attn_out_norm"] = jnp.ones((L, D), dtype)
+        layers["post_mlp_norm"] = jnp.ones((L, D), dtype)
+    if cfg.norm_bias:
+        layers["input_norm_b"] = jnp.zeros((L, D), dtype)
+        if "post_attn_norm" in layers:
+            layers["post_attn_norm_b"] = jnp.zeros((L, D), dtype)
+    if cfg.num_experts:
+        E = cfg.num_experts
+        Ie = cfg.moe_intermediate_size or I
+        layers["router"] = w(L, D, E)
+        layers["experts_gate"] = w(L, E, D, Ie)
+        layers["experts_up"] = w(L, E, D, Ie)
+        layers["experts_down"] = w(L, E, Ie, D)
+        if cfg.moe_shared_expert_size:
+            Se = cfg.moe_shared_expert_size
+            layers["shared_gate"] = w(L, D, Se)
+            layers["shared_up"] = w(L, D, Se)
+            layers["shared_down"] = w(L, Se, D)
+            layers["shared_router"] = w(L, D, 1)
+    elif cfg.mlp_type == "plain":
+        layers["w_fc1"] = w(L, D, I)
+        layers["w_fc2"] = w(L, I, D)
+        if cfg.mlp_bias:
+            layers["b_fc1"] = jnp.zeros((L, I), dtype)
+            layers["b_fc2"] = jnp.zeros((L, D), dtype)
+    else:
+        layers["w_gate"] = w(L, D, I)
+        layers["w_up"] = w(L, D, I)
+        layers["w_down"] = w(L, I, D)
+        if cfg.mlp_bias:
+            layers["b_gate"] = jnp.zeros((L, I), dtype)
+            layers["b_up"] = jnp.zeros((L, I), dtype)
+            layers["b_down"] = jnp.zeros((L, D), dtype)
+    if cfg.qkv_bias or cfg.attention_bias:
+        layers["bq"] = jnp.zeros((L, Hq * d), dtype)
+        layers["bk"] = jnp.zeros((L, Hkv * d), dtype)
+        layers["bv"] = jnp.zeros((L, Hkv * d), dtype)
+    if cfg.o_bias:
+        layers["bo"] = jnp.zeros((L, D), dtype)
+
+    params: Dict[str, Any] = {
+        "embed": w(V, D, scale=0.02),
+        "final_norm": jnp.ones((D,), dtype),
+        "layers": layers,
+    }
+    if cfg.norm_bias:
+        params["final_norm_b"] = jnp.zeros((D,), dtype)
+    if cfg.pos_embedding == "learned":
+        P = cfg.max_model_len + cfg.learned_pos_offset
+        params["pos_embed"] = w(P, D, scale=0.02)
+    if not cfg.tie_word_embeddings:
+        params["lm_head"] = w(V, D, scale=0.02)
+    if cfg.lm_head_bias:
+        params["lm_head_b"] = jnp.zeros((V,), dtype)
+    return params
+
+
+# Backwards-compatible alias (llama-family tests / benches)
+def init_llama_params(cfg: ModelConfig, seed: int = 0, dtype=jnp.bfloat16):
+    return init_params(cfg, seed, dtype)
+
+
+# ---------------------------------------------------------------------------
+# Forward
+# ---------------------------------------------------------------------------
+
+def _embed(params, cfg: ModelConfig, token_ids, positions):
+    x = params["embed"][token_ids]
+    if cfg.embedding_multiplier != 1.0:
+        x = (x.astype(jnp.float32) * cfg.embedding_multiplier).astype(x.dtype)
+    if cfg.pos_embedding == "learned":
+        x = x + params["pos_embed"][
+            jnp.clip(positions, 0) + cfg.learned_pos_offset]
+    return x
+
+
+def _layer_step_fn(cfg: ModelConfig, T: int, cos, sin, attn_fn,
+                   collect: bool):
+    """Returns the scan body. attn_fn(lxs, q, k, v, cache) -> (out, cache)
+    or (out, cache, extra) when collect=True."""
+    Hq, Hkv, d = cfg.num_heads, cfg.num_kv_heads, cfg.head_size
+    rm = cfg.residual_multiplier
+
+    def layer_step(carry, xs):
+        x, cache = carry
+        lw, lxs = xs
+        h = _norm(x, lw["input_norm"], lw.get("input_norm_b"), cfg)
+        q = h @ lw["wq"]
+        k = h @ lw["wk"]
+        v = h @ lw["wv"]
+        if "bq" in lw:
+            q, k, v = q + lw["bq"], k + lw["bk"], v + lw["bv"]
+        q = q.reshape(T, Hq, d)
+        k = k.reshape(T, Hkv, d)
+        v = v.reshape(T, Hkv, d)
+        if cfg.pos_embedding == "rope":
+            q = apply_rope(q, cos, sin)
+            k = apply_rope(k, cos, sin)
+        res = attn_fn(lxs, q, k, v, cache)
+        if collect:
+            attn_out, cache, extra = res
+        else:
+            attn_out, cache = res
+            extra = None
+        a = attn_out.reshape(T, Hq * d) @ lw["wo"]
+        if "bo" in lw:
+            a = a + lw["bo"]
+        if cfg.use_post_norms:
+            a = _norm(a, lw["post_attn_out_norm"], None, cfg)
+        if cfg.parallel_residual:
+            hm = h if cfg.shared_input_norm else _norm(
+                x, lw["post_attn_norm"], lw.get("post_attn_norm_b"), cfg)
+            m = _mlp(hm, lw, cfg)
+            x = x + (a + m) * rm if rm != 1.0 else x + a + m
+        else:
+            x = x + a * rm if rm != 1.0 else x + a
+            h2 = _norm(x, lw["post_attn_norm"], lw.get("post_attn_norm_b"),
+                       cfg)
+            m = _mlp(h2, lw, cfg)
+            if cfg.use_post_norms:
+                m = _norm(m, lw["post_mlp_norm"], None, cfg)
+            x = x + m * rm if rm != 1.0 else x + m
+        return (x, cache), extra
+
+    return layer_step
+
+
+def forward(
+    params: Dict[str, Any],
+    cfg: ModelConfig,
+    token_ids: jax.Array,   # [T] i32
+    positions: jax.Array,   # [T] i32 (rope / learned positions)
+    cache: Optional[KVCache],
+    attn_fn: Callable,      # (layer_xs, q, k, v, cache) -> (out, cache)
+    layer_xs: Any,          # pytree with leading [L] axis, per-layer inputs
+) -> Tuple[jax.Array, Optional[KVCache]]:
+    """Shared trunk: embeds tokens, scans layers calling attn_fn, returns
+    final hidden states [T, D] and the updated cache."""
+    x = _embed(params, cfg, token_ids, positions)
+    cos, sin = precompute_rope(cfg, positions)
+    step = _layer_step_fn(cfg, token_ids.shape[0], cos, sin, attn_fn,
+                          collect=False)
+    (x, cache), _ = jax.lax.scan(step, (x, cache),
+                                 (params["layers"], layer_xs))
+    x = _norm(x, params["final_norm"], params.get("final_norm_b"), cfg)
+    return x, cache
+
+
+def forward_collect(
+    params: Dict[str, Any],
+    cfg: ModelConfig,
+    token_ids: jax.Array,
+    positions: jax.Array,
+    cache,
+    attn_fn: Callable,
+    layer_xs: Any,
+):
+    """Like forward() but attn_fn returns (out, cache, extra); the per-layer
+    extras are stacked and returned."""
+    x = _embed(params, cfg, token_ids, positions)
+    cos, sin = precompute_rope(cfg, positions)
+    step = _layer_step_fn(cfg, token_ids.shape[0], cos, sin, attn_fn,
+                          collect=True)
+    (x, cache), extras = jax.lax.scan(step, (x, cache),
+                                      (params["layers"], layer_xs))
+    x = _norm(x, params["final_norm"], params.get("final_norm_b"), cfg)
+    return x, cache, extras
+
+
+def compute_logits(params: Dict[str, Any], cfg: ModelConfig,
+                   hidden: jax.Array) -> jax.Array:
+    head = params["embed"] if cfg.tie_word_embeddings else params["lm_head"]
+    logits = hidden.astype(jnp.float32) @ head.T.astype(jnp.float32)
+    if "lm_head_b" in params:
+        logits = logits + params["lm_head_b"].astype(jnp.float32)
+    if cfg.logits_scaling != 1.0:
+        logits = logits / cfg.logits_scaling
+    if cfg.logit_soft_cap:
+        logits = cfg.logit_soft_cap * jnp.tanh(logits / cfg.logit_soft_cap)
+    return logits
+
+
+# ---------------------------------------------------------------------------
+# Engine entry points: prefill (one sequence) and decode (batch)
+# ---------------------------------------------------------------------------
+
+def prefill(
+    params: Dict[str, Any],
+    cfg: ModelConfig,
+    token_ids: jax.Array,      # [T] padded prompt
+    seq_len: jax.Array,        # [] actual length
+    slot_mappings: jax.Array,  # [L, T, H_kv] physical cache slots (<0 pad)
+    cache: KVCache,
+    buffer_len: jax.Array,     # [] metric collection buffer for this seq
+    spec: AttentionSpec,
+) -> Tuple[jax.Array, KVCache]:
+    """Prompt pass: writes KVs + positions, collects prefill metrics,
+    returns hidden state of the last real token [D] and updated cache
+    (reference flash_attn.py:917-1021 prefill branch)."""
+    T = token_ids.shape[0]
+    positions = jnp.arange(T, dtype=jnp.int32)
+    scale = attn_scale(cfg)
+
+    def attn_fn(slot_mapping_l, q, k, v, cache):
+        kc, vc, mc, pc = att.write_to_cache(
+            cache.k, cache.v, cache.metrics, cache.positions,
+            k, v, slot_mapping_l, positions)
+        out, pf_metrics = att.prefill_attention(
+            q, k, v, seq_len, scale,
+            metric_window=spec.metric_window,
+            metric_block=spec.metric_block,
+            buffer_len=buffer_len,
+            use_l2=spec.use_l2, use_average=spec.use_average,
+            use_maxpool=spec.use_maxpool,
+            logit_cap=cfg.attn_logit_softcap)
+        if spec.record_metrics:
+            mc = att.aggregate_prefill(mc, pf_metrics, slot_mapping_l)
+        return out, KVCache(kc, vc, mc, pc)
+
+    hidden, cache = forward(params, cfg, token_ids, positions, cache,
+                            attn_fn, slot_mappings)
+    last = jnp.take(hidden, jnp.clip(seq_len - 1, 0), axis=0)
+    return last, cache
+
+
+def decode(
+    params: Dict[str, Any],
+    cfg: ModelConfig,
+    token_ids: jax.Array,      # [S]
+    positions: jax.Array,      # [S] position of each new token
+    block_tables: jax.Array,   # [L, S, H_kv, nb]
+    context_lens: jax.Array,   # [L, S, H_kv] (including the new token)
+    slot_mappings: jax.Array,  # [L, S, H_kv] where to write the new KV
+    cache: KVCache,
+    buffer_lens: jax.Array,    # [S]
+    active: jax.Array,         # [S] bool
+    spec: AttentionSpec,
+) -> Tuple[jax.Array, KVCache]:
+    """Batched single-token decode over per-head block tables. Returns
+    hidden states [S, D] and the updated cache (reference
+    flash_attn.py:1065-1097 decode branch + KVCAttention.forward_decode)."""
+    scale = attn_scale(cfg)
+
+    if spec.impl == "pallas":
+        from kvcompress_tpu.ops.pallas import paged_attention as ppa
+        decode_attn = ppa.paged_decode_attention
+    else:
+        decode_attn = att.paged_decode_attention
+
+    def attn_fn(lxs, q, k, v, cache):
+        slot_mapping_l, bt_l, ctx_l = lxs
+        kc, vc, mc, pc = att.write_to_cache(
+            cache.k, cache.v, cache.metrics, cache.positions,
+            k, v,
+            jnp.where(active[:, None], slot_mapping_l, -1),
+            jnp.where(active, positions, -1))
+        out, mc = decode_attn(
+            q, kc, vc, mc, pc, bt_l, ctx_l, positions, buffer_lens, scale,
+            active=active, use_l2=spec.use_l2,
+            record_metrics=spec.record_metrics,
+            logit_cap=cfg.attn_logit_softcap)
+        return out, KVCache(kc, vc, mc, pc)
+
+    hidden, cache = forward(
+        params, cfg, token_ids, positions, cache, attn_fn,
+        (slot_mappings, block_tables, context_lens))
+    return hidden, cache
+
+
+def decode_fused(
+    params: Dict[str, Any],
+    cfg: ModelConfig,
+    token_ids: jax.Array,      # [S]
+    positions: jax.Array,      # [S]
+    block_tables: jax.Array,   # [L, S, H_kv, nb]
+    context_lens: jax.Array,   # [L, S, H_kv] (including the new token)
+    slot_mappings: jax.Array,  # [L, S, H_kv]
+    cache: KVCache,
+    active: jax.Array,         # [S] bool
+    spec: AttentionSpec,
+) -> Tuple[jax.Array, KVCache, jax.Array]:
+    """TPU production decode: K/V writes fused into the pallas kernel;
+    positions + metric-slot init written once across layers (two small
+    scatters per step instead of 4 per layer); metric contributions returned
+    densely [L, S, H_kv, n] for burst-level accumulation.
+
+    Returns (hidden [S, D], cache, m_contrib [L, S, H_kv, n])."""
+    from kvcompress_tpu.ops.pallas import paged_attention as ppa
+
+    scale = attn_scale(cfg)
+
+    # one scatter each for positions + metric init, across all layers
+    flat_slots = jnp.where(active[None, :, None], slot_mappings, 0)
+    flat_slots = flat_slots.reshape(-1)
+    pos_vals = jnp.broadcast_to(
+        jnp.where(active, positions, -1)[None, :, None],
+        slot_mappings.shape).reshape(-1)
+    kv_positions = cache.positions.reshape(-1).at[flat_slots].set(
+        pos_vals).reshape(cache.positions.shape)
+    kv_metrics = cache.metrics.reshape(-1).at[flat_slots].set(
+        jnp.where(pos_vals >= 0, 0.0, cache.metrics.reshape(-1)[flat_slots])
+    ).reshape(cache.metrics.shape)
+    cache = KVCache(cache.k, cache.v, kv_metrics, kv_positions)
+
+    ctx_gated = jnp.where(active[None, :, None], context_lens, 0)
+
+    def attn_fn(lxs, q, k, v, cache):
+        bt_l, ctx_l = lxs
+        out, m_contrib, kc, vc = ppa.paged_decode_attention_fused(
+            q, k, v, cache.k, cache.v, bt_l, ctx_l, scale,
+            use_l2=spec.use_l2, record_metrics=spec.record_metrics,
+            logit_cap=cfg.attn_logit_softcap,
+            interpret=spec.impl == "interpret")
+        return out, KVCache(kc, vc, cache.metrics, cache.positions), m_contrib
+
+    hidden, cache, m_stack = forward_collect(
+        params, cfg, token_ids, positions, cache, attn_fn,
+        (block_tables, ctx_gated))
+    return hidden, cache, m_stack

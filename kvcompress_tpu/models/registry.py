@@ -1,0 +1,684 @@
+"""Model registry: HF architecture -> (ModelConfig builder, weight loader).
+
+The counterpart of the reference's model zoo + weight-loading stack
+(vllm/model_executor/models/ 64 files, vllm/model_executor/model_loader/):
+each supported family is a ModelConfig recipe for the generic decoder
+(models/decoder.py) plus a mapping from HF checkpoint tensor names to the
+stacked-[L] parameter pytree. All loaders are torch-free (numpy safetensors).
+
+Families covered: Llama 2/3/3.1 (incl. TinyLlama), Mistral, Qwen2(.5),
+Gemma, Gemma2, Phi (phi-1.5/2), Phi-3, GPT-2, OPT, GPT-NeoX (pythia),
+StableLM, Starcoder2, InternLM2, Mixtral, Qwen2-MoE, Granite, OLMo,
+Baichuan-7B.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Dict, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from kvcompress_tpu.config import ModelConfig
+
+
+def _g(hf: dict, *names, default=None):
+    for n in names:
+        if hf.get(n) is not None:
+            return hf[n]
+    return default
+
+
+def _base_cfg(hf: dict, arch: str, model_name: str, **over) -> ModelConfig:
+    heads = _g(hf, "num_attention_heads", "n_head")
+    hidden = _g(hf, "hidden_size", "n_embd")
+    head_size = over.pop("head_size", None) or _g(
+        hf, "head_dim", default=hidden // heads)
+    kw = dict(
+        model=model_name,
+        num_layers=_g(hf, "num_hidden_layers", "n_layer", "num_layers"),
+        num_heads=heads,
+        num_kv_heads=_g(hf, "num_key_value_heads", default=heads),
+        head_size=head_size,
+        hidden_size=hidden,
+        intermediate_size=_g(hf, "intermediate_size", "ffn_dim",
+                             default=4 * hidden),
+        vocab_size=hf["vocab_size"],
+        max_model_len=_g(hf, "max_position_embeddings", "n_positions",
+                         default=8192),
+        rope_theta=_g(hf, "rope_theta", default=10000.0),
+        rope_scaling=hf.get("rope_scaling"),
+        rms_norm_eps=_g(hf, "rms_norm_eps", "layer_norm_eps",
+                        "layer_norm_epsilon", "layernorm_epsilon",
+                        default=1e-5),
+        tie_word_embeddings=_g(hf, "tie_word_embeddings", default=False),
+        architecture=arch,
+        hidden_act=_g(hf, "hidden_act", "activation_function", "hidden_activation",
+                      default="silu"),
+    )
+    kw.update(over)
+    return ModelConfig(**kw)
+
+
+# ---------------------------------------------------------------------------
+# Weight-loading helpers
+# ---------------------------------------------------------------------------
+
+class _Loader:
+    """Accumulates stacked-[L] params from a HF tensor dict."""
+
+    def __init__(self, t: Dict[str, np.ndarray], cfg: ModelConfig, dtype):
+        self.t = t
+        self.cfg = cfg
+        self.dtype = dtype
+        self.layers: Dict[str, Any] = {}
+        self.top: Dict[str, Any] = {}
+
+    def has(self, fmt: str) -> bool:
+        return fmt.format(0) in self.t
+
+    def stack(self, name: str, fmt: str, transpose: bool = False):
+        L = self.cfg.num_layers
+        arrs = [self.t[fmt.format(i)] for i in range(L)]
+        self.layers[name] = jnp.asarray(
+            np.stack([a.T if transpose else a for a in arrs]), self.dtype)
+
+    def stack_opt(self, name: str, fmt: str, transpose: bool = False):
+        if self.has(fmt):
+            self.stack(name, fmt, transpose)
+
+    def stack_fn(self, name: str, fn: Callable[[int], np.ndarray]):
+        L = self.cfg.num_layers
+        self.layers[name] = jnp.asarray(
+            np.stack([fn(i) for i in range(L)]), self.dtype)
+
+    def put(self, name: str, key: str, transpose: bool = False):
+        a = self.t[key]
+        self.top[name] = jnp.asarray(a.T if transpose else a, self.dtype)
+
+    def put_opt(self, name: str, key: str, transpose: bool = False):
+        if key in self.t:
+            self.put(name, key, transpose)
+
+    def params(self) -> Dict[str, Any]:
+        out = dict(self.top)
+        out["layers"] = self.layers
+        return out
+
+
+def _load_llama_style(
+    t, cfg: ModelConfig, dtype,
+    p: str = "model.layers.{}.",
+    embed: str = "model.embed_tokens.weight",
+    final_norm: str = "model.norm.weight",
+    lm_head: str = "lm_head.weight",
+    input_norm: str = "input_layernorm.weight",
+    post_attn_norm: str = "post_attention_layernorm.weight",
+    q: str = "self_attn.q_proj", k: str = "self_attn.k_proj",
+    v: str = "self_attn.v_proj", o: str = "self_attn.o_proj",
+    gate: str = "mlp.gate_proj", up: str = "mlp.up_proj",
+    down: str = "mlp.down_proj",
+) -> Dict[str, Any]:
+    ld = _Loader(t, cfg, dtype)
+    ld.stack("input_norm", p + input_norm)
+    ld.stack_opt("input_norm_b",
+                 p + input_norm.replace(".weight", ".bias"))
+    if not cfg.shared_input_norm:
+        ld.stack("post_attn_norm", p + post_attn_norm)
+        ld.stack_opt("post_attn_norm_b",
+                     p + post_attn_norm.replace(".weight", ".bias"))
+    for name, proj in (("wq", q), ("wk", k), ("wv", v), ("wo", o)):
+        ld.stack(name, p + proj + ".weight", transpose=True)
+    for name, proj in (("bq", q), ("bk", k), ("bv", v)):
+        ld.stack_opt(name, p + proj + ".bias")
+    ld.stack_opt("bo", p + o + ".bias")
+    if cfg.mlp_type == "plain":
+        ld.stack("w_fc1", p + gate + ".weight", transpose=True)
+        ld.stack("w_fc2", p + down + ".weight", transpose=True)
+        ld.stack_opt("b_fc1", p + gate + ".bias")
+        ld.stack_opt("b_fc2", p + down + ".bias")
+    else:
+        ld.stack("w_gate", p + gate + ".weight", transpose=True)
+        ld.stack("w_up", p + up + ".weight", transpose=True)
+        ld.stack("w_down", p + down + ".weight", transpose=True)
+        ld.stack_opt("b_gate", p + gate + ".bias")
+        ld.stack_opt("b_up", p + up + ".bias")
+        ld.stack_opt("b_down", p + down + ".bias")
+    ld.put("embed", embed)
+    ld.put("final_norm", final_norm)
+    ld.put_opt("final_norm_b", final_norm.replace(".weight", ".bias"))
+    if not cfg.tie_word_embeddings:
+        ld.put("lm_head", lm_head)
+    if cfg.lm_head_bias:
+        ld.put_opt("lm_head_b", lm_head.replace(".weight", ".bias"))
+    return ld.params()
+
+
+# ---------------------------------------------------------------------------
+# Per-architecture recipes
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class _Arch:
+    config_fn: Callable[[dict, str], ModelConfig]
+    load_fn: Callable[[Dict[str, np.ndarray], ModelConfig, Any],
+                      Dict[str, Any]]
+
+
+_REGISTRY: Dict[str, _Arch] = {}
+
+
+def _register(*names):
+    def deco(pair):
+        cfg_fn, load_fn = pair()
+        for n in names:
+            _REGISTRY[n] = _Arch(cfg_fn, load_fn)
+        return pair
+    return deco
+
+
+@_register("LlamaForCausalLM", "MistralForCausalLM")
+def _llama():
+    def cfg_fn(hf, name):
+        return _base_cfg(hf, (hf.get("architectures") or ["LlamaForCausalLM"])[0], name,
+                         attention_bias=hf.get("attention_bias", False),
+                         qkv_bias=hf.get("attention_bias", False),
+                         sliding_window=hf.get("sliding_window"))
+    return cfg_fn, _load_llama_style
+
+
+@_register("Qwen2ForCausalLM")
+def _qwen2():
+    def cfg_fn(hf, name):
+        return _base_cfg(hf, "Qwen2ForCausalLM", name, qkv_bias=True,
+                         sliding_window=hf.get("sliding_window"))
+    return cfg_fn, _load_llama_style
+
+
+@_register("GraniteForCausalLM")
+def _granite():
+    def cfg_fn(hf, name):
+        return _base_cfg(
+            hf, "GraniteForCausalLM", name,
+            embedding_multiplier=hf.get("embedding_multiplier", 1.0),
+            residual_multiplier=hf.get("residual_multiplier", 1.0),
+            attention_scale=hf.get("attention_multiplier"),
+            logits_scaling=hf.get("logits_scaling", 1.0))
+    return cfg_fn, _load_llama_style
+
+
+@_register("OlmoForCausalLM")
+def _olmo():
+    def cfg_fn(hf, name):
+        # OLMo uses non-parametric layernorm; HF stores no norm weights.
+        return _base_cfg(hf, "OlmoForCausalLM", name, norm_type="layernorm",
+                         rms_norm_eps=1e-5)
+
+    def load_fn(t, cfg, dtype):
+        params = _load_llama_style_olmo(t, cfg, dtype)
+        return params
+
+    def _load_llama_style_olmo(t, cfg, dtype):
+        ld = _Loader(t, cfg, dtype)
+        D, L = cfg.hidden_size, cfg.num_layers
+        ones = jnp.ones((L, D), dtype)
+        p = "model.layers.{}."
+        for name, proj in (("wq", "self_attn.q_proj"),
+                           ("wk", "self_attn.k_proj"),
+                           ("wv", "self_attn.v_proj"),
+                           ("wo", "self_attn.o_proj"),
+                           ("w_gate", "mlp.gate_proj"),
+                           ("w_up", "mlp.up_proj"),
+                           ("w_down", "mlp.down_proj")):
+            ld.stack(name, p + proj + ".weight", transpose=True)
+        ld.layers["input_norm"] = ones
+        ld.layers["post_attn_norm"] = ones
+        ld.put("embed", "model.embed_tokens.weight")
+        ld.top["final_norm"] = jnp.ones((D,), dtype)
+        if not cfg.tie_word_embeddings:
+            ld.put("lm_head", "lm_head.weight")
+        return ld.params()
+
+    return cfg_fn, load_fn
+
+
+@_register("GemmaForCausalLM")
+def _gemma():
+    def cfg_fn(hf, name):
+        return _base_cfg(
+            hf, "GemmaForCausalLM", name,
+            head_size=hf.get("head_dim", 256),
+            hidden_act=_g(hf, "hidden_activation", "hidden_act",
+                          default="gelu_pytorch_tanh"),
+            rmsnorm_offset=True, tie_word_embeddings=True,
+            embedding_multiplier=hf["hidden_size"] ** 0.5)
+    return cfg_fn, _load_llama_style
+
+
+@_register("Gemma2ForCausalLM")
+def _gemma2():
+    def cfg_fn(hf, name):
+        return _base_cfg(
+            hf, "Gemma2ForCausalLM", name,
+            head_size=hf.get("head_dim", 256),
+            hidden_act=_g(hf, "hidden_activation", "hidden_act",
+                          default="gelu_pytorch_tanh"),
+            rmsnorm_offset=True, tie_word_embeddings=True,
+            embedding_multiplier=hf["hidden_size"] ** 0.5,
+            use_post_norms=True,
+            attention_scale=hf.get("query_pre_attn_scalar",
+                                   hf.get("head_dim", 256)) ** -0.5,
+            attn_logit_softcap=hf.get("attn_logit_softcapping"),
+            logit_soft_cap=hf.get("final_logit_softcapping"),
+            sliding_window=hf.get("sliding_window"))
+
+    def load_fn(t, cfg, dtype):
+        params = _load_llama_style(
+            t, cfg, dtype, post_attn_norm="pre_feedforward_layernorm.weight")
+        ld = _Loader(t, cfg, dtype)
+        ld.stack("post_attn_out_norm",
+                 "model.layers.{}.post_attention_layernorm.weight")
+        ld.stack("post_mlp_norm",
+                 "model.layers.{}.post_feedforward_layernorm.weight")
+        params["layers"].update(ld.layers)
+        return params
+
+    return cfg_fn, load_fn
+
+
+@_register("Phi3ForCausalLM")
+def _phi3():
+    def cfg_fn(hf, name):
+        return _base_cfg(hf, "Phi3ForCausalLM", name)
+
+    def load_fn(t, cfg, dtype):
+        Hq, Hkv, d = cfg.num_heads, cfg.num_kv_heads, cfg.head_size
+        I = cfg.intermediate_size
+        ld = _Loader(t, cfg, dtype)
+        p = "model.layers.{}."
+        ld.stack("input_norm", p + "input_layernorm.weight")
+        ld.stack("post_attn_norm", p + "post_attention_layernorm.weight")
+        # fused qkv_proj [(Hq+2Hkv)*d, D] in q,k,v order
+        qkv = lambda i: t[f"model.layers.{i}.self_attn.qkv_proj.weight"].T
+        ld.stack_fn("wq", lambda i: qkv(i)[:, :Hq * d])
+        ld.stack_fn("wk", lambda i: qkv(i)[:, Hq * d:(Hq + Hkv) * d])
+        ld.stack_fn("wv", lambda i: qkv(i)[:, (Hq + Hkv) * d:])
+        ld.stack("wo", p + "self_attn.o_proj.weight", transpose=True)
+        gu = lambda i: t[f"model.layers.{i}.mlp.gate_up_proj.weight"].T
+        ld.stack_fn("w_gate", lambda i: gu(i)[:, :I])
+        ld.stack_fn("w_up", lambda i: gu(i)[:, I:])
+        ld.stack("w_down", p + "mlp.down_proj.weight", transpose=True)
+        ld.put("embed", "model.embed_tokens.weight")
+        ld.put("final_norm", "model.norm.weight")
+        if not cfg.tie_word_embeddings:
+            ld.put("lm_head", "lm_head.weight")
+        return ld.params()
+
+    return cfg_fn, load_fn
+
+
+@_register("PhiForCausalLM")
+def _phi():
+    def cfg_fn(hf, name):
+        return _base_cfg(
+            hf, "PhiForCausalLM", name,
+            norm_type="layernorm", norm_bias=True,
+            parallel_residual=True, shared_input_norm=True,
+            partial_rotary_factor=hf.get("partial_rotary_factor", 0.5),
+            mlp_type="plain", mlp_bias=True,
+            attention_bias=True, qkv_bias=True, o_bias=True,
+            lm_head_bias=True,
+            hidden_act=hf.get("hidden_act", "gelu_new"))
+
+    def load_fn(t, cfg, dtype):
+        return _load_llama_style(
+            t, cfg, dtype,
+            final_norm="model.final_layernorm.weight",
+            input_norm="input_layernorm.weight",
+            o="self_attn.dense", gate="mlp.fc1", down="mlp.fc2")
+
+    return cfg_fn, load_fn
+
+
+@_register("GPT2LMHeadModel")
+def _gpt2():
+    def cfg_fn(hf, name):
+        return _base_cfg(
+            hf, "GPT2LMHeadModel", name,
+            num_layers=hf["n_layer"], num_heads=hf["n_head"],
+            num_kv_heads=hf["n_head"],
+            hidden_size=hf["n_embd"],
+            head_size=hf["n_embd"] // hf["n_head"],
+            intermediate_size=hf.get("n_inner") or 4 * hf["n_embd"],
+            max_model_len=hf.get("n_positions", 1024),
+            norm_type="layernorm", norm_bias=True,
+            pos_embedding="learned", mlp_type="plain", mlp_bias=True,
+            attention_bias=True, qkv_bias=True, o_bias=True,
+            tie_word_embeddings=True,
+            hidden_act=hf.get("activation_function", "gelu_new"))
+
+    def load_fn(t, cfg, dtype):
+        D = cfg.hidden_size
+        ld = _Loader(t, cfg, dtype)
+        p = "h.{}."
+        pre = "" if "h.0.ln_1.weight" in t else "transformer."
+        p = pre + p
+        ld.stack("input_norm", p + "ln_1.weight")
+        ld.stack("input_norm_b", p + "ln_1.bias")
+        ld.stack("post_attn_norm", p + "ln_2.weight")
+        ld.stack("post_attn_norm_b", p + "ln_2.bias")
+        # Conv1D layout: weight [in, out] (no transpose needed)
+        ca = lambda i: t[f"{pre}h.{i}.attn.c_attn.weight"]
+        cb = lambda i: t[f"{pre}h.{i}.attn.c_attn.bias"]
+        ld.stack_fn("wq", lambda i: ca(i)[:, :D])
+        ld.stack_fn("wk", lambda i: ca(i)[:, D:2 * D])
+        ld.stack_fn("wv", lambda i: ca(i)[:, 2 * D:])
+        ld.stack_fn("bq", lambda i: cb(i)[:D])
+        ld.stack_fn("bk", lambda i: cb(i)[D:2 * D])
+        ld.stack_fn("bv", lambda i: cb(i)[2 * D:])
+        ld.stack("wo", p + "attn.c_proj.weight")
+        ld.stack("bo", p + "attn.c_proj.bias")
+        ld.stack("w_fc1", p + "mlp.c_fc.weight")
+        ld.stack("b_fc1", p + "mlp.c_fc.bias")
+        ld.stack("w_fc2", p + "mlp.c_proj.weight")
+        ld.stack("b_fc2", p + "mlp.c_proj.bias")
+        ld.put("embed", pre + "wte.weight")
+        ld.put("pos_embed", pre + "wpe.weight")
+        ld.put("final_norm", pre + "ln_f.weight")
+        ld.put("final_norm_b", pre + "ln_f.bias")
+        return ld.params()
+
+    return cfg_fn, load_fn
+
+
+@_register("OPTForCausalLM")
+def _opt():
+    def cfg_fn(hf, name):
+        return _base_cfg(
+            hf, "OPTForCausalLM", name,
+            intermediate_size=hf["ffn_dim"],
+            norm_type="layernorm", norm_bias=True,
+            pos_embedding="learned", learned_pos_offset=2,
+            mlp_type="plain", mlp_bias=True,
+            attention_bias=True, qkv_bias=True, o_bias=True,
+            tie_word_embeddings=True,
+            hidden_act=hf.get("activation_function", "relu"))
+
+    def load_fn(t, cfg, dtype):
+        pre = ("model.decoder." if "model.decoder.embed_tokens.weight" in t
+               else "decoder.")
+        params = _load_llama_style(
+            t, cfg, dtype, p=pre + "layers.{}.",
+            embed=pre + "embed_tokens.weight",
+            final_norm=pre + "final_layer_norm.weight",
+            input_norm="self_attn_layer_norm.weight",
+            post_attn_norm="final_layer_norm.weight",
+            o="self_attn.out_proj", gate="fc1", down="fc2")
+        ld = _Loader(t, cfg, dtype)
+        ld.put("pos_embed", pre + "embed_positions.weight")
+        params.update(ld.top)
+        return params
+
+    return cfg_fn, load_fn
+
+
+@_register("GPTNeoXForCausalLM")
+def _gptneox():
+    def cfg_fn(hf, name):
+        return _base_cfg(
+            hf, "GPTNeoXForCausalLM", name,
+            norm_type="layernorm", norm_bias=True,
+            parallel_residual=hf.get("use_parallel_residual", True),
+            partial_rotary_factor=hf.get("rotary_pct", 0.25),
+            rope_theta=hf.get("rotary_emb_base", 10000),
+            mlp_type="plain", mlp_bias=True,
+            attention_bias=True, qkv_bias=True, o_bias=True,
+            hidden_act=hf.get("hidden_act", "gelu"))
+
+    def load_fn(t, cfg, dtype):
+        H, d = cfg.num_heads, cfg.head_size
+        ld = _Loader(t, cfg, dtype)
+        p = "gpt_neox.layers.{}."
+        ld.stack("input_norm", p + "input_layernorm.weight")
+        ld.stack("input_norm_b", p + "input_layernorm.bias")
+        ld.stack("post_attn_norm", p + "post_attention_layernorm.weight")
+        ld.stack("post_attn_norm_b", p + "post_attention_layernorm.bias")
+        # fused qkv [3*D, D] interleaved per head: [H, 3, d] on the out dim
+        def qkv_part(i, j):
+            w = t[f"gpt_neox.layers.{i}.attention.query_key_value.weight"]
+            return w.reshape(H, 3, d, -1)[:, j].reshape(H * d, -1).T
+        def qkv_bias(i, j):
+            b = t[f"gpt_neox.layers.{i}.attention.query_key_value.bias"]
+            return b.reshape(H, 3, d)[:, j].reshape(H * d)
+        ld.stack_fn("wq", lambda i: qkv_part(i, 0))
+        ld.stack_fn("wk", lambda i: qkv_part(i, 1))
+        ld.stack_fn("wv", lambda i: qkv_part(i, 2))
+        ld.stack_fn("bq", lambda i: qkv_bias(i, 0))
+        ld.stack_fn("bk", lambda i: qkv_bias(i, 1))
+        ld.stack_fn("bv", lambda i: qkv_bias(i, 2))
+        ld.stack("wo", p + "attention.dense.weight", transpose=True)
+        ld.stack("bo", p + "attention.dense.bias")
+        ld.stack("w_fc1", p + "mlp.dense_h_to_4h.weight", transpose=True)
+        ld.stack("b_fc1", p + "mlp.dense_h_to_4h.bias")
+        ld.stack("w_fc2", p + "mlp.dense_4h_to_h.weight", transpose=True)
+        ld.stack("b_fc2", p + "mlp.dense_4h_to_h.bias")
+        ld.put("embed", "gpt_neox.embed_in.weight")
+        ld.put("final_norm", "gpt_neox.final_layer_norm.weight")
+        ld.put("final_norm_b", "gpt_neox.final_layer_norm.bias")
+        ld.put("lm_head", "embed_out.weight")
+        return ld.params()
+
+    return cfg_fn, load_fn
+
+
+@_register("StableLmForCausalLM")
+def _stablelm():
+    def cfg_fn(hf, name):
+        return _base_cfg(
+            hf, "StableLmForCausalLM", name,
+            norm_type="layernorm", norm_bias=True,
+            partial_rotary_factor=hf.get("partial_rotary_factor", 0.25),
+            parallel_residual=hf.get("use_parallel_residual", False),
+            qkv_bias=hf.get("use_qkv_bias", False),
+            attention_bias=hf.get("use_qkv_bias", False),
+            hidden_act=hf.get("hidden_act", "silu"))
+    return cfg_fn, _load_llama_style
+
+
+@_register("Starcoder2ForCausalLM")
+def _starcoder2():
+    def cfg_fn(hf, name):
+        return _base_cfg(
+            hf, "Starcoder2ForCausalLM", name,
+            norm_type="layernorm", norm_bias=True,
+            mlp_type="plain", mlp_bias=hf.get("use_bias", True),
+            attention_bias=hf.get("use_bias", True),
+            qkv_bias=hf.get("use_bias", True),
+            o_bias=hf.get("use_bias", True),
+            tie_word_embeddings=hf.get("tie_word_embeddings", True),
+            rms_norm_eps=hf.get("norm_epsilon", 1e-5),
+            hidden_act=hf.get("hidden_act", "gelu_pytorch_tanh"),
+            sliding_window=hf.get("sliding_window"))
+
+    def load_fn(t, cfg, dtype):
+        return _load_llama_style(
+            t, cfg, dtype,
+            gate="mlp.c_fc", down="mlp.c_proj")
+
+    return cfg_fn, load_fn
+
+
+@_register("InternLM2ForCausalLM")
+def _internlm2():
+    def cfg_fn(hf, name):
+        return _base_cfg(hf, "InternLM2ForCausalLM", name)
+
+    def load_fn(t, cfg, dtype):
+        Hq, Hkv, d = cfg.num_heads, cfg.num_kv_heads, cfg.head_size
+        g = Hq // Hkv
+        ld = _Loader(t, cfg, dtype)
+        p = "model.layers.{}."
+        ld.stack("input_norm", p + "attention_norm.weight")
+        ld.stack("post_attn_norm", p + "ffn_norm.weight")
+        # wqkv [(g+2)*Hkv*d, D]: per kv group, g query heads then k then v
+        def wqkv(i, which):
+            w = t[f"model.layers.{i}.attention.wqkv.weight"]
+            w = w.reshape(Hkv, g + 2, d, -1)
+            if which == "q":
+                return w[:, :g].reshape(Hq * d, -1).T
+            j = g if which == "k" else g + 1
+            return w[:, j].reshape(Hkv * d, -1).T
+        ld.stack_fn("wq", lambda i: wqkv(i, "q"))
+        ld.stack_fn("wk", lambda i: wqkv(i, "k"))
+        ld.stack_fn("wv", lambda i: wqkv(i, "v"))
+        ld.stack("wo", p + "attention.wo.weight", transpose=True)
+        ld.stack("w_gate", p + "feed_forward.w1.weight", transpose=True)
+        ld.stack("w_up", p + "feed_forward.w3.weight", transpose=True)
+        ld.stack("w_down", p + "feed_forward.w2.weight", transpose=True)
+        ld.put("embed", "model.tok_embeddings.weight")
+        ld.put("final_norm", "model.norm.weight")
+        ld.put("lm_head", "output.weight")
+        return ld.params()
+
+    return cfg_fn, load_fn
+
+
+@_register("BaichuanForCausalLM", "BaiChuanForCausalLM")
+def _baichuan():
+    def cfg_fn(hf, name):
+        # 7B variant (rope); the 13B alibi variant is unsupported.
+        return _base_cfg(hf, "BaichuanForCausalLM", name)
+
+    def load_fn(t, cfg, dtype):
+        D = cfg.hidden_size
+        ld = _Loader(t, cfg, dtype)
+        p = "model.layers.{}."
+        ld.stack("input_norm", p + "input_layernorm.weight")
+        ld.stack("post_attn_norm", p + "post_attention_layernorm.weight")
+        wp = lambda i: t[f"model.layers.{i}.self_attn.W_pack.weight"].T
+        ld.stack_fn("wq", lambda i: wp(i)[:, :D])
+        ld.stack_fn("wk", lambda i: wp(i)[:, D:2 * D])
+        ld.stack_fn("wv", lambda i: wp(i)[:, 2 * D:])
+        ld.stack("wo", p + "self_attn.o_proj.weight", transpose=True)
+        ld.stack("w_gate", p + "mlp.gate_proj.weight", transpose=True)
+        ld.stack("w_up", p + "mlp.up_proj.weight", transpose=True)
+        ld.stack("w_down", p + "mlp.down_proj.weight", transpose=True)
+        ld.put("embed", "model.embed_tokens.weight")
+        ld.put("final_norm", "model.norm.weight")
+        ld.put("lm_head", "lm_head.weight")
+        return ld.params()
+
+    return cfg_fn, load_fn
+
+
+@_register("MixtralForCausalLM")
+def _mixtral():
+    def cfg_fn(hf, name):
+        return _base_cfg(
+            hf, "MixtralForCausalLM", name,
+            num_experts=hf["num_local_experts"],
+            num_experts_per_tok=hf["num_experts_per_tok"],
+            moe_norm_topk_prob=True,
+            sliding_window=hf.get("sliding_window"))
+
+    def load_fn(t, cfg, dtype):
+        E = cfg.num_experts
+        ld = _Loader(t, cfg, dtype)
+        p = "model.layers.{}."
+        ld.stack("input_norm", p + "input_layernorm.weight")
+        ld.stack("post_attn_norm", p + "post_attention_layernorm.weight")
+        for name, proj in (("wq", "self_attn.q_proj"),
+                           ("wk", "self_attn.k_proj"),
+                           ("wv", "self_attn.v_proj"),
+                           ("wo", "self_attn.o_proj")):
+            ld.stack(name, p + proj + ".weight", transpose=True)
+        ld.stack("router", p + "block_sparse_moe.gate.weight",
+                 transpose=True)
+        for name, wi in (("experts_gate", "w1"), ("experts_up", "w3"),
+                         ("experts_down", "w2")):
+            ld.stack_fn(name, lambda i, wi=wi: np.stack([
+                t[f"model.layers.{i}.block_sparse_moe.experts.{e}.{wi}"
+                  f".weight"].T
+                for e in range(E)]))
+        ld.put("embed", "model.embed_tokens.weight")
+        ld.put("final_norm", "model.norm.weight")
+        ld.put("lm_head", "lm_head.weight")
+        return ld.params()
+
+    return cfg_fn, load_fn
+
+
+@_register("Qwen2MoeForCausalLM")
+def _qwen2moe():
+    def cfg_fn(hf, name):
+        return _base_cfg(
+            hf, "Qwen2MoeForCausalLM", name, qkv_bias=True,
+            num_experts=hf["num_experts"],
+            num_experts_per_tok=hf["num_experts_per_tok"],
+            moe_intermediate_size=hf["moe_intermediate_size"],
+            moe_norm_topk_prob=hf.get("norm_topk_prob", False),
+            moe_shared_expert_size=hf.get("shared_expert_intermediate_size",
+                                          0))
+
+    def load_fn(t, cfg, dtype):
+        E = cfg.num_experts
+        ld = _Loader(t, cfg, dtype)
+        p = "model.layers.{}."
+        ld.stack("input_norm", p + "input_layernorm.weight")
+        ld.stack("post_attn_norm", p + "post_attention_layernorm.weight")
+        for name, proj in (("wq", "self_attn.q_proj"),
+                           ("wk", "self_attn.k_proj"),
+                           ("wv", "self_attn.v_proj"),
+                           ("wo", "self_attn.o_proj")):
+            ld.stack(name, p + proj + ".weight", transpose=True)
+        for name, proj in (("bq", "self_attn.q_proj"),
+                           ("bk", "self_attn.k_proj"),
+                           ("bv", "self_attn.v_proj")):
+            ld.stack(name, p + proj + ".bias")
+        ld.stack("router", p + "mlp.gate.weight", transpose=True)
+        for name, wi in (("experts_gate", "gate_proj"),
+                         ("experts_up", "up_proj"),
+                         ("experts_down", "down_proj")):
+            ld.stack_fn(name, lambda i, wi=wi: np.stack([
+                t[f"model.layers.{i}.mlp.experts.{e}.{wi}.weight"].T
+                for e in range(E)]))
+        ld.stack("shared_gate", p + "mlp.shared_expert.gate_proj.weight",
+                 transpose=True)
+        ld.stack("shared_up", p + "mlp.shared_expert.up_proj.weight",
+                 transpose=True)
+        ld.stack("shared_down", p + "mlp.shared_expert.down_proj.weight",
+                 transpose=True)
+        ld.stack("shared_router", p + "mlp.shared_expert_gate.weight",
+                 transpose=True)
+        ld.put("embed", "model.embed_tokens.weight")
+        ld.put("final_norm", "model.norm.weight")
+        ld.put("lm_head", "lm_head.weight")
+        return ld.params()
+
+    return cfg_fn, load_fn
+
+
+# ---------------------------------------------------------------------------
+# Public API
+# ---------------------------------------------------------------------------
+
+def supported_architectures():
+    return sorted(_REGISTRY)
+
+
+def config_from_hf(hf_cfg: dict, model_name: str = "") -> ModelConfig:
+    arch = (hf_cfg.get("architectures") or ["LlamaForCausalLM"])[0]
+    if arch not in _REGISTRY:
+        raise ValueError(
+            f"unsupported architecture {arch}; supported: "
+            f"{supported_architectures()}")
+    return _REGISTRY[arch].config_fn(hf_cfg, model_name)
+
+
+def params_from_hf_state(t: Dict[str, np.ndarray], cfg: ModelConfig,
+                         dtype=jnp.bfloat16) -> Dict[str, Any]:
+    arch = cfg.architecture
+    if arch not in _REGISTRY:
+        raise ValueError(f"unsupported architecture {arch}")
+    return _REGISTRY[arch].load_fn(t, cfg, dtype)

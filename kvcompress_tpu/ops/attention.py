@@ -89,6 +89,7 @@ def prefill_attention(
     use_average: bool = False,
     use_maxpool: bool = True,
     q_chunk: int = 256,
+    logit_cap: Optional[float] = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Causal self-attention for one prompt + per-KV prefill metrics.
 
@@ -114,6 +115,8 @@ def prefill_attention(
         # qc: [q_chunk, Hq, d]; keys: full [T]
         logits = jnp.einsum("qhd,khd->hqk", qc,
                             jnp.repeat(kt, qpk, axis=1)) * scale
+        if logit_cap:
+            logits = logit_cap * jnp.tanh(logits / logit_cap)
         qpos = c0 + jnp.arange(q_chunk)[None, :, None]
         kpos = jnp.arange(T)[None, None, :]
         mask = (kpos <= qpos) & (kpos < seq_len)
@@ -143,6 +146,8 @@ def prefill_attention(
             jnp.pad(qf, ((0, mb), (0, 0), (0, 0))), start, mb, axis=0)
         logits = jnp.einsum("qhd,khd->hqk", qb,
                             jnp.repeat(kt, qpk, axis=1)) * scale
+        if logit_cap:
+            logits = logit_cap * jnp.tanh(logits / logit_cap)
         qpos = start + jnp.arange(mb)[None, :, None]
         kpos = jnp.arange(T)[None, None, :]
         causal = (kpos <= qpos) & (kpos < seq_len) & (qpos < seq_len)
@@ -198,6 +203,7 @@ def paged_decode_attention(
     active: Optional[jax.Array] = None,  # [S] bool
     use_l2: bool = True,
     record_metrics: bool = True,
+    logit_cap: Optional[float] = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """One decode step of paged attention over per-head block tables, fused
     with metric recording: each attended KV accumulates
@@ -231,6 +237,8 @@ def paged_decode_attention(
 
     q = query.reshape(S, Hkv, qpk, d).astype(jnp.float32)
     logits = jnp.einsum("shqd,shnd->shqn", q, kg) * scale
+    if logit_cap:
+        logits = logit_cap * jnp.tanh(logits / logit_cap)
     valid = (jnp.arange(n)[None, None, :] < context_lens_l[..., None])
     logits = jnp.where(valid[:, :, None, :], logits, NEG_INF)
     probs = jax.nn.softmax(logits, axis=-1)

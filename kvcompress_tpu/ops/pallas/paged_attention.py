@@ -63,6 +63,7 @@ def _kernel(
     use_l2: bool,
     record_metrics: bool,
     qpk_real: int,
+    logit_cap: float = 0.0,
 ):
     s = pl.program_id(0)
     h = pl.program_id(1)
@@ -128,7 +129,10 @@ def _kernel(
     col = jax.lax.broadcasted_iota(jnp.int32, (QP, n), 1)
     valid = col < ctx
     # stale region (never written this step) masked via valid
-    lg = jnp.where(valid, logits[...], NEG_INF)
+    lg = logits[...]
+    if logit_cap:
+        lg = logit_cap * jnp.tanh(lg / logit_cap)
+    lg = jnp.where(valid, lg, NEG_INF)
     m = jnp.max(lg, axis=-1, keepdims=True)
     e = jnp.exp(lg - m)
     e = jnp.where(valid, e, 0.0)
@@ -177,7 +181,7 @@ def _kernel(
 @functools.partial(
     jax.jit,
     static_argnames=("scale", "use_l2", "record_metrics", "chunk_blocks",
-                     "interpret"))
+                     "interpret", "logit_cap"))
 def paged_decode_attention(
     query: jax.Array,        # [S, H_q, d]
     k_cache: jax.Array,      # [num_blocks, bs, d]
@@ -195,6 +199,7 @@ def paged_decode_attention(
     record_metrics: bool = True,
     chunk_blocks: int = 4,
     interpret: bool = False,
+    logit_cap: Optional[float] = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Drop-in replacement for ops.attention.paged_decode_attention."""
     S, Hq, d = query.shape
@@ -251,7 +256,8 @@ def paged_decode_attention(
     )
     kernel = functools.partial(
         _kernel, scale=scale, block_size=bs, chunk_blocks=C,
-        use_l2=use_l2, record_metrics=record_metrics, qpk_real=qpk)
+        use_l2=use_l2, record_metrics=record_metrics, qpk_real=qpk,
+        logit_cap=logit_cap or 0.0)
     out, m_contrib = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -316,6 +322,7 @@ def _fused_kernel(
     use_l2: bool,
     record_metrics: bool,
     qpk_real: int,
+    logit_cap: float = 0.0,
 ):
     s = pl.program_id(0)
     h = pl.program_id(1)
@@ -393,7 +400,10 @@ def _fused_kernel(
     # ---- phase B: softmax + metric row ----
     col = jax.lax.broadcasted_iota(jnp.int32, (QP, n), 1)
     valid = col < ctx
-    lg = jnp.where(valid, logits[...], NEG_INF)
+    lg = logits[...]
+    if logit_cap:
+        lg = logit_cap * jnp.tanh(lg / logit_cap)
+    lg = jnp.where(valid, lg, NEG_INF)
     m = jnp.max(lg, axis=-1, keepdims=True)
     e = jnp.exp(lg - m)
     e = jnp.where(valid, e, 0.0)
@@ -440,7 +450,7 @@ def _fused_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=("scale", "use_l2", "record_metrics", "chunk_blocks",
-                     "interpret"))
+                     "interpret", "logit_cap"))
 def paged_decode_attention_fused(
     query: jax.Array,        # [S, H_q, d]
     new_k: jax.Array,        # [S, H_kv, d] the new token's K (this layer)
@@ -456,6 +466,7 @@ def paged_decode_attention_fused(
     record_metrics: bool = True,
     chunk_blocks: int = 4,
     interpret: bool = False,
+    logit_cap: Optional[float] = None,
 ):
     """Write-new-KV + attend + emit dense metric contributions, one kernel.
 
@@ -516,7 +527,8 @@ def paged_decode_attention_fused(
     )
     kernel = functools.partial(
         _fused_kernel, scale=scale, block_size=bs, chunk_blocks=C,
-        use_l2=use_l2, record_metrics=record_metrics, qpk_real=qpk)
+        use_l2=use_l2, record_metrics=record_metrics, qpk_real=qpk,
+        logit_cap=logit_cap or 0.0)
     out, m_contrib, k_cache, v_cache = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,

@@ -42,29 +42,46 @@ def build_mesh(tp_size: int, dp_size: int = 1,
 
 
 def param_specs(params: Dict[str, Any]) -> Dict[str, Any]:
-    """PartitionSpec pytree matching models/llama.py param layout."""
+    """PartitionSpec pytree matching the models/decoder.py param layout:
+    megatron TP - column-sharded up-projections (+ their biases),
+    row-sharded down-projections, vocab-sharded embeddings, replicated
+    norms; MoE experts shard on the intermediate axis."""
     m = MODEL_AXIS
-    layer_specs = {
-        "input_norm": P(None, None),
-        "post_attn_norm": P(None, None),
-        "wq": P(None, None, m),
-        "wk": P(None, None, m),
-        "wv": P(None, None, m),
-        "wo": P(None, m, None),
-        "w_gate": P(None, None, m),
-        "w_up": P(None, None, m),
-        "w_down": P(None, m, None),
-        "bq": P(None, m),
-        "bk": P(None, m),
-        "bv": P(None, m),
-    }
+    # [L, in, out] column-parallel (shard out) and their [L, out] biases
+    col_w = {"wq", "wk", "wv", "w_gate", "w_up", "w_fc1", "shared_gate",
+             "shared_up"}
+    col_b = {"bq", "bk", "bv", "b_gate", "b_up", "b_fc1"}
+    # [L, in, out] row-parallel (shard in); output bias replicated
+    row_w = {"wo", "w_down", "w_fc2", "shared_down"}
+
+    def layer_spec(k, v):
+        if k in col_w:
+            return P(None, None, m)
+        if k in col_b:
+            return P(None, m)
+        if k in row_w:
+            return P(None, m, None)
+        if k == "experts_gate" or k == "experts_up":
+            return P(None, None, None, m)
+        if k == "experts_down":
+            return P(None, None, m, None)
+        # norms, router, shared_router, bo/b_fc2/b_down: replicated
+        return P(*([None] * v.ndim))
+
     specs = {
         "embed": P(m, None),
         "final_norm": P(None),
-        "layers": {k: layer_specs[k] for k in params["layers"]},
+        "layers": {k: layer_spec(k, v) for k, v in params["layers"].items()},
     }
-    if "lm_head" in params:
-        specs["lm_head"] = P(m, None)
+    for k, v in params.items():
+        if k in ("embed", "final_norm", "layers"):
+            continue
+        if k == "lm_head":
+            specs[k] = P(m, None)
+        elif k == "lm_head_b":
+            specs[k] = P(None)
+        else:  # pos_embed, final_norm_b
+            specs[k] = P(*([None] * v.ndim))
     return specs
 
 
