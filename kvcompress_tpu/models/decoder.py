@@ -439,18 +439,35 @@ def prefill(
     positions = jnp.arange(T, dtype=jnp.int32)
     scale = attn_scale(cfg)
 
+    if spec.impl in ("pallas", "interpret"):
+        from kvcompress_tpu.ops.pallas import prefill_attention as ppf
+
+        def prefill_attn(q, k, v):
+            return ppf.prefill_attention(
+                q, k, v, seq_len, scale,
+                metric_window=spec.metric_window,
+                buffer_len=buffer_len,
+                use_l2=spec.use_l2, use_average=spec.use_average,
+                use_maxpool=spec.use_maxpool,
+                record_metrics=spec.record_metrics,
+                logit_cap=cfg.attn_logit_softcap,
+                interpret=spec.impl == "interpret")
+    else:
+        def prefill_attn(q, k, v):
+            return att.prefill_attention(
+                q, k, v, seq_len, scale,
+                metric_window=spec.metric_window,
+                metric_block=spec.metric_block,
+                buffer_len=buffer_len,
+                use_l2=spec.use_l2, use_average=spec.use_average,
+                use_maxpool=spec.use_maxpool,
+                logit_cap=cfg.attn_logit_softcap)
+
     def attn_fn(slot_mapping_l, q, k, v, cache):
         kc, vc, mc, pc = att.write_to_cache(
             cache.k, cache.v, cache.metrics, cache.positions,
             k, v, slot_mapping_l, positions)
-        out, pf_metrics = att.prefill_attention(
-            q, k, v, seq_len, scale,
-            metric_window=spec.metric_window,
-            metric_block=spec.metric_block,
-            buffer_len=buffer_len,
-            use_l2=spec.use_l2, use_average=spec.use_average,
-            use_maxpool=spec.use_maxpool,
-            logit_cap=cfg.attn_logit_softcap)
+        out, pf_metrics = prefill_attn(q, k, v)
         if spec.record_metrics:
             mc = att.aggregate_prefill(mc, pf_metrics, slot_mapping_l)
         return out, KVCache(kc, vc, mc, pc)

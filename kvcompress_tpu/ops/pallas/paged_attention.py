@@ -213,7 +213,7 @@ def paged_decode_attention(
     if nb * bs <= 128:
         C = nb
     else:
-        C = max(1, 128 // bs)
+        C = max(chunk_blocks, max(1, 128 // bs))
         pad = (-nb) % C
         if pad:
             block_tables_l = jnp.pad(block_tables_l,
@@ -314,6 +314,7 @@ def _fused_kernel(
     logits,         # [QP, n] f32
     kbuf,           # [2, C, bs, d]
     vbuf,           # [2, C, bs, d]
+    wblk,           # [2, bs, d] staging for the new-KV block RMW
     ksem, vsem, wsem,
     *,
     scale: float,
@@ -337,15 +338,25 @@ def _fused_kernel(
     chunks_alloc = (nb_alloc + C - 1) // C
 
     # ---- phase 0: write the new KV into its slot (before reads) ----
+    # bf16 tiling forbids single-sublane DMA, so read-modify-write the
+    # whole [bs, d] cache block: DMA in, insert the new row in VMEM,
+    # DMA back. Each (seq, head) owns its blocks, so this is race-free.
     @pl.when(ctx > 0)
     def _():
         last = ctx - 1
         wbid = bt_ref[s, h, last // bs]
         woff = last % bs
-        wk = pltpu.make_async_copy(
-            newk_ref.at[0, 0, 0], k_out.at[wbid, woff], wsem)
-        wv = pltpu.make_async_copy(
-            newv_ref.at[0, 0, 0], v_out.at[wbid, woff], wsem)
+        rk = pltpu.make_async_copy(k_out.at[wbid], wblk.at[0], wsem.at[0])
+        rv = pltpu.make_async_copy(v_out.at[wbid], wblk.at[1], wsem.at[1])
+        rk.start()
+        rv.start()
+        rk.wait()
+        rv.wait()
+        row = jax.lax.broadcasted_iota(jnp.int32, (bs, d), 0)
+        wblk[0] = jnp.where(row == woff, newk_ref[0, 0], wblk[0])
+        wblk[1] = jnp.where(row == woff, newv_ref[0, 0], wblk[1])
+        wk = pltpu.make_async_copy(wblk.at[0], k_out.at[wbid], wsem.at[0])
+        wv = pltpu.make_async_copy(wblk.at[1], v_out.at[wbid], wsem.at[1])
         wk.start()
         wv.start()
         wk.wait()
@@ -482,7 +493,7 @@ def paged_decode_attention_fused(
     if nb * bs <= 128:
         C = nb
     else:
-        C = max(1, 128 // bs)
+        C = max(chunk_blocks, max(1, 128 // bs))
         pad = (-nb) % C
         if pad:
             block_tables_l = jnp.pad(block_tables_l,
@@ -520,9 +531,10 @@ def paged_decode_attention_fused(
             pltpu.VMEM((QP, n), jnp.float32),
             pltpu.VMEM((2, C, bs, d), k_cache.dtype),
             pltpu.VMEM((2, C, bs, d), v_cache.dtype),
+            pltpu.VMEM((2, bs, d), k_cache.dtype),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     kernel = functools.partial(
