@@ -96,14 +96,18 @@ def main():
                for _ in range(n_prompts)]
     max_cache_tokens = max(block, input_len // cr // block * block)
 
-    warm_tokens = 24  # enough decode steps to trigger compression compiles
+    # Warm with a full batch so every (batch-bucket, nb-bucket) compression
+    # program and the decode/prefill programs are compiled before timing
+    # (compiles during the measured run dominated earlier numbers).
+    warm_n = min(8, n_prompts)
+    warm_tokens = 40  # enough decode steps to hit compression cadence twice
     eng_c = build_engine(compress=True, quick=quick)
-    run(eng_c, prompts[:2], warm_tokens, max_cache_tokens)
+    run(eng_c, prompts[:warm_n], warm_tokens, max_cache_tokens)
     tput_c = run(eng_c, prompts, output_len, max_cache_tokens)
     del eng_c
 
     eng_b = build_engine(compress=False, quick=quick)
-    run(eng_b, prompts[:2], warm_tokens, -1)
+    run(eng_b, prompts[:warm_n], warm_tokens, -1)
     tput_b = run(eng_b, prompts, output_len, -1)
 
     print(json.dumps({

@@ -162,14 +162,23 @@ class EnginePrograms:
         active flag drops, freezing its cache), so overgeneration never
         corrupts state; the host trims the token matrix afterwards.
         (The reference's multi-step worker, vllm/worker/multi_step_*,
-        achieves the same host-sync amortisation with CUDA-side advance.)"""
+        achieves the same host-sync amortisation with CUDA-side advance.)
+
+        On TPU the attention kernel reads the paged cache READ-ONLY and the
+        burst's fresh KVs ride in dense tail buffers threaded through the
+        scan carry; K/V/position/metric writes to the paged cache all
+        happen ONCE per burst in the flush epilogue (single scatters) -
+        per-step cache RMW DMAs were the dominant decode cost."""
         cfg, mcfg, ccfg = self.cfg, self.cfg.model, self.cfg.cache
         bs = ccfg.block_size
         spec = self.decode_spec
 
-        fused = spec.impl in ("pallas", "interpret") and spec.record_metrics
+        tail_mode = spec.impl in ("pallas", "interpret")
+        record = spec.record_metrics
         n_pad = self._kernel_n_pad()
         nb_tbl = self.cfg.max_blocks_per_head
+        KT = multi_steps
+        d = mcfg.head_size
 
         def decode_fn(state: CacheState, params, tokens, positions, active,
                       buffer_lens, st: SamplingTensors, rng, eos_ids,
@@ -177,11 +186,20 @@ class EnginePrograms:
             L, S, H, B = state.block_tables.shape
 
             acc0 = (jnp.zeros((L, S, H, n_pad), jnp.float32)
-                    if fused else None)
+                    if tail_mode and record else None)
+            acc_t0 = (jnp.zeros((L, S, H, KT), jnp.float32)
+                      if tail_mode and record else None)
+            tail0 = None
+            if tail_mode:
+                cdtype = state.k_cache.dtype
+                tail0 = (jnp.zeros((L, S, H, KT, d), cdtype),
+                         jnp.zeros((L, S, H, KT, d), cdtype),
+                         jnp.full((S, KT), -1, jnp.int32),  # positions
+                         jnp.zeros((S,), jnp.int32))        # count
             pos_dense0 = None
-            if fused and use_metric_buffer:
-                # dense logical-space positions, maintained across the burst
-                # so the metric-buffer gate is exact per step
+            if tail_mode and record and use_metric_buffer:
+                # dense logical-space positions of the CACHED KVs; static
+                # across the burst (the paged cache is read-only here)
                 phys = (state.block_tables[..., None] * bs
                         + jnp.arange(bs, dtype=jnp.int32)).reshape(
                             L, S, H, B * bs)
@@ -194,19 +212,19 @@ class EnginePrograms:
 
             def one_step(carry, _):
                 (state, tokens, positions, active, rng, remaining, acc,
-                 pos_dense) = carry
-                state, out, acc, pos_dense = decode_step(
+                 acc_t, tail) = carry
+                state, out, acc, acc_t, tail = decode_step(
                     state, params, tokens, positions, active, buffer_lens,
-                    st, rng, acc, pos_dense)
+                    st, rng, acc, acc_t, tail, pos_dense0)
                 remaining = remaining - active.astype(jnp.int32)
                 is_eos = jnp.isin(out.tokens, eos_ids) & ~ignore_eos
                 next_active = active & ~is_eos & (remaining > 0)
                 carry = (state, out.tokens, out.positions_next, next_active,
-                         out.rng_next, remaining, acc, pos_dense)
+                         out.rng_next, remaining, acc, acc_t, tail)
                 return carry, (out.tokens, out.packed)
 
             carry0 = (state, tokens, positions, active, rng, remaining,
-                      acc0, pos_dense0)
+                      acc0, acc_t0, tail0)
             if multi_steps == 1:
                 carry, (tok_seq, packed_seq) = one_step(carry0, None)
                 tok_seq = tok_seq[None]
@@ -216,34 +234,81 @@ class EnginePrograms:
                     one_step, carry0, None, length=multi_steps)
                 last_packed = packed_seq[-1]
             (state, tokens, positions, active, rng, remaining, acc,
-             _) = carry
+             acc_t, tail) = carry
 
-            if fused:
-                # ONE metric scatter per burst: block-row indexed adds of the
-                # dense logical-space accumulator through the final tables
-                bt_rows = state.block_tables.reshape(-1)
-                updates = acc[..., :nb_tbl * bs].reshape(-1, bs)
-                kv_metrics = state.kv_metrics.at[bt_rows].add(updates)
-                state = CacheState(
-                    k_cache=state.k_cache, v_cache=state.v_cache,
-                    kv_metrics=kv_metrics, kv_positions=state.kv_positions,
-                    block_tables=state.block_tables,
-                    context_lens=state.context_lens,
-                    free_stack=state.free_stack, free_top=state.free_top)
+            if tail_mode:
+                state = flush_burst(state, acc, acc_t, tail)
 
-            S = tokens.shape[0]
+            S_ = tokens.shape[0]
             # packed: k*S token matrix | blk | kv | free_top | active
             packed = jnp.concatenate([
-                tok_seq.reshape(-1), last_packed[S:],
+                tok_seq.reshape(-1), last_packed[S_:],
                 active.astype(jnp.int32)])
             return state, DecodeOutput(
                 tokens=tokens, positions_next=positions, rng_next=rng,
                 remaining_next=remaining, active_next=active,
                 packed=packed)
 
+        def flush_burst(state: CacheState, acc, acc_t, tail):
+            """Burst epilogue: write the tail KVs/positions into the paged
+            cache and fold the metric accumulators, each as one scatter
+            (reference equivalents: reshape_and_cache_kvc per step +
+            CompressionMetrics.aggregate_decode per step)."""
+            tail_k, tail_v, tail_pos, tail_cnt = tail
+            L, S, H, B = state.block_tables.shape
+            nblk, bsz = state.kv_metrics.shape
+
+            # Physical slots of every tail entry through the FINAL tables.
+            # A head's logical index is NOT the token position (compression
+            # compacts each head independently): tail entry i of a head with
+            # final context c and tail length t sits at logical c - t + i.
+            i_idx = jnp.arange(KT, dtype=jnp.int32)
+            logical = (state.context_lens[..., None]
+                       - tail_cnt[None, :, None, None]
+                       + i_idx)                       # [L, S, H, KT]
+            valid = (i_idx[None, None, None, :]
+                     < tail_cnt[None, :, None, None]) & (logical >= 0)
+            lc = jnp.clip(logical, 0)
+            blk = jnp.take_along_axis(state.block_tables, lc // bsz,
+                                      axis=-1)        # [L, S, H, KT]
+            slots = jnp.where(valid, blk * bsz + lc % bsz, -1)
+            flat = slots.reshape(-1)
+            p = tail_pos  # [S, KT] logical token positions (-1 empty)
+
+            k_cache = state.k_cache.reshape(-1, d).at[flat].set(
+                tail_k.reshape(-1, d), mode="drop").reshape(
+                state.k_cache.shape)
+            v_cache = state.v_cache.reshape(-1, d).at[flat].set(
+                tail_v.reshape(-1, d), mode="drop").reshape(
+                state.v_cache.shape)
+            pos_vals = jnp.broadcast_to(p[None, :, None, :],
+                                        (L, S, H, KT)).reshape(-1)
+            kv_positions = state.kv_positions.reshape(-1).at[flat].set(
+                pos_vals, mode="drop").reshape(state.kv_positions.shape)
+            kv_metrics = state.kv_metrics.reshape(-1).at[flat].set(
+                0.0, mode="drop").reshape(state.kv_metrics.shape)
+
+            if record:
+                # cached-part accumulator: block-row indexed adds through
+                # the final tables (tail columns are zero in acc)
+                bt_rows = state.block_tables.reshape(-1)
+                updates = acc[..., :nb_tbl * bsz].reshape(-1, bsz)
+                kv_metrics = kv_metrics.at[bt_rows].add(updates)
+                # tail accumulator straight onto the freshly-zeroed slots
+                kv_metrics = kv_metrics.reshape(-1).at[flat].add(
+                    acc_t.reshape(-1), mode="drop").reshape(
+                    kv_metrics.shape)
+
+            return CacheState(
+                k_cache=k_cache, v_cache=v_cache, kv_metrics=kv_metrics,
+                kv_positions=kv_positions,
+                block_tables=state.block_tables,
+                context_lens=state.context_lens,
+                free_stack=state.free_stack, free_top=state.free_top)
+
         def decode_step(state: CacheState, params, tokens, positions, active,
                         buffer_lens, st: SamplingTensors, rng, acc,
-                        pos_dense):
+                        acc_t, tail, pos_dense):
             rng, sample_rng = jax.random.split(rng)
             L, S, H, B = state.block_tables.shape
             ctx = state.context_lens
@@ -259,33 +324,41 @@ class EnginePrograms:
                 ids, mode="drop")
             new_ctx = ctx + active[None, :, None].astype(jnp.int32)
             last = new_ctx - 1
-            sm = jnp.take_along_axis(
-                block_tables, (last // bs)[..., None], axis=-1
-            )[..., 0] * bs + last % bs  # [L, S, H]
 
-            if fused:
-                hidden, cache, m_stack = llama.decode_fused(
-                    params, mcfg, tokens, positions, block_tables, new_ctx,
-                    sm, _cache_of(state), active, spec)
-                if use_metric_buffer:
-                    # track the new KV's position, then gate this step's
-                    # contributions by the per-seq metric buffer
-                    flat_col = jnp.where(
-                        active[None, :, None] & (last < n_pad),
-                        last, n_pad)
-                    pos_dense = pos_dense.reshape(L * S * H, n_pad).at[
-                        jnp.arange(L * S * H),
-                        flat_col.reshape(-1)
-                    ].set(jnp.broadcast_to(
-                        jnp.where(active, positions, -1)[None, :, None],
-                        (L, S, H)).reshape(-1), mode="drop").reshape(
-                        L, S, H, n_pad)
-                    rec = (pos_dense >= 0) & (
-                        pos_dense
-                        <= (positions - buffer_lens)[None, :, None, None])
-                    m_stack = jnp.where(rec, m_stack, 0.0)
-                acc = acc + m_stack
+            if tail_mode:
+                tail_k, tail_v, tail_pos, tail_cnt = tail
+                tail_len = tail_cnt + active.astype(jnp.int32)
+                hidden, tail_k, tail_v, m_cached, m_tail = (
+                    llama.decode_tail(
+                        params, mcfg, tokens, positions, block_tables,
+                        new_ctx, tail_k, tail_v, tail_cnt, tail_len,
+                        _cache_of(state), active, spec))
+                # record the new tail entry's logical position
+                srow = jnp.arange(S)
+                wrow = jnp.where(active, tail_cnt, KT)
+                tail_pos = tail_pos.at[srow, wrow].set(
+                    positions, mode="drop")
+                if record:
+                    if use_metric_buffer:
+                        rec = (pos_dense >= 0) & (
+                            pos_dense
+                            <= (positions - buffer_lens)[None, :, None,
+                                                         None])
+                        m_cached = jnp.where(rec, m_cached, 0.0)
+                        rec_t = (tail_pos >= 0) & (
+                            tail_pos
+                            <= (positions - buffer_lens)[:, None])
+                        m_tail = jnp.where(rec_t[None, :, None, :],
+                                           m_tail, 0.0)
+                    acc = acc + m_cached
+                    acc_t = acc_t + m_tail
+                tail = (tail_k, tail_v, tail_pos, tail_cnt
+                        + active.astype(jnp.int32))
+                cache = _cache_of(state)
             else:
+                sm = jnp.take_along_axis(
+                    block_tables, (last // bs)[..., None], axis=-1
+                )[..., 0] * bs + last % bs  # [L, S, H]
                 hidden, cache = llama.decode(
                     params, mcfg, tokens, positions, block_tables, new_ctx,
                     sm, _cache_of(state), buffer_lens, active, spec)
@@ -308,7 +381,7 @@ class EnginePrograms:
                 positions_next=positions + active.astype(jnp.int32),
                 rng_next=rng,
                 packed=packed)
-            return new_state, out, acc, pos_dense
+            return new_state, out, acc, acc_t, tail
 
         return jax.jit(decode_fn, donate_argnums=(0,))
 

@@ -522,6 +522,54 @@ def decode(
     return hidden, cache
 
 
+def decode_tail(
+    params: Dict[str, Any],
+    cfg: ModelConfig,
+    token_ids: jax.Array,      # [S]
+    positions: jax.Array,      # [S]
+    block_tables: jax.Array,   # [L, S, H_kv, nb]
+    context_lens: jax.Array,   # [L, S, H_kv] (including tail + new token)
+    tail_k: jax.Array,         # [L, S, H_kv, KT, d] burst tail (carry)
+    tail_v: jax.Array,
+    tail_row: jax.Array,       # [S] i32 row to write the new KV into
+    tail_len: jax.Array,       # [S] i32 valid rows incl. the new one
+    cache: KVCache,            # read-only here
+    active: jax.Array,         # [S] bool
+    spec: AttentionSpec,
+) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Production TPU decode: the paged cache is read-only; the burst's
+    fresh KVs live in the dense tail buffers, written back once per burst
+    by the engine (see engine/programs.py). Returns
+    (hidden [S, D], tail_k', tail_v', m_cached [L, S, H, n], m_tail
+    [L, S, H, KT])."""
+    from kvcompress_tpu.ops.pallas import paged_attention as ppa
+
+    S = token_ids.shape[0]
+    scale = attn_scale(cfg)
+    ctx_gated = jnp.where(active[None, :, None], context_lens, 0)
+
+    def attn_fn(lxs, q, k, v, cache_):
+        tk_l, tv_l, bt_l, ctx_l = lxs
+        # insert the new K/V into this layer's tail row (gated by active)
+        si = jnp.arange(S)
+        row = jnp.where(active, tail_row, tk_l.shape[2])  # drop if inactive
+        tk_l = tk_l.at[si, :, row].set(
+            k.astype(tk_l.dtype), mode="drop")
+        tv_l = tv_l.at[si, :, row].set(
+            v.astype(tv_l.dtype), mode="drop")
+        out, m_cached, m_tail = ppa.paged_decode_attention_tail(
+            q, tk_l, tv_l, tail_len, cache_.k, cache_.v, bt_l, ctx_l, scale,
+            use_l2=spec.use_l2, record_metrics=spec.record_metrics,
+            logit_cap=cfg.attn_logit_softcap,
+            interpret=spec.impl == "interpret")
+        return out, cache_, (tk_l, tv_l, m_cached, m_tail)
+
+    hidden, cache, (tk, tv, m_cached, m_tail) = forward_collect(
+        params, cfg, token_ids, positions, cache,
+        attn_fn, (tail_k, tail_v, block_tables, ctx_gated))
+    return hidden, tk, tv, m_cached, m_tail
+
+
 def decode_fused(
     params: Dict[str, Any],
     cfg: ModelConfig,

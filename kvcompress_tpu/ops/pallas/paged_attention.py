@@ -558,3 +558,255 @@ def paged_decode_attention_fused(
 
     out = out[:, :, :qpk, :].reshape(S, Hq, d)
     return out, m_contrib[:, :, 0, :], k_cache, v_cache
+
+
+# ---------------------------------------------------------------------------
+# Tail variant: the production decode kernel. The newest KVs of the current
+# multi-step burst live in a small dense "tail" buffer (engine carry) instead
+# of being written into the paged cache every step; attention covers
+# [paged cached part] + [tail]. The paged cache is read-only here (no
+# in-kernel RMW writes - those serialized DMA round-trips dominated the old
+# fused kernel), and K/V cache writes happen ONCE per burst as a single XLA
+# scatter (engine/programs.py flush). All block copies are issued upfront
+# into a whole-context VMEM stage, so the DMA stream runs at gather
+# speed-of-light instead of chaining per-chunk waits.
+# ---------------------------------------------------------------------------
+
+
+def _tail_kernel(
+    # scalar prefetch
+    ctx_ref,        # [S, H] i32 total context INCLUDING tail (0 = inactive)
+    tlen_ref,       # [S] i32 tail length (active steps so far this burst)
+    bt_ref,         # [S, H, nb] i32
+    # inputs
+    q_ref,          # [1, 1, QP, d] VMEM
+    tailk_ref,      # [1, 1, KT, d] VMEM
+    tailv_ref,      # [1, 1, KT, d] VMEM
+    k_hbm,          # [num_blocks, bs, d] ANY (read-only)
+    v_hbm,          # ANY (read-only)
+    # outputs
+    o_ref,          # [1, 1, QP, d] VMEM
+    mo_ref,         # [1, 1, 1, n] f32 VMEM (cached-part metric row)
+    mt_ref,         # [1, 1, 1, KT] f32 VMEM (tail metric row)
+    # scratch
+    logits,         # [QP, n] f32
+    kbuf,           # [nb, bs, d] whole-context K stage
+    vbuf,           # [nb, bs, d]
+    ksem, vsem,
+    *,
+    scale: float,
+    block_size: int,
+    use_l2: bool,
+    record_metrics: bool,
+    qpk_real: int,
+    logit_cap: float = 0.0,
+):
+    s = pl.program_id(0)
+    h = pl.program_id(1)
+    bs = block_size
+    nb = bt_ref.shape[-1]
+    n = nb * bs
+    QP, d = q_ref.shape[2], q_ref.shape[3]
+    KT = tailk_ref.shape[2]
+
+    ctx = ctx_ref[s, h]
+    tlen = tlen_ref[s]
+    cached = jnp.maximum(ctx - tlen, 0)
+    nb_cached = (cached + bs - 1) // bs
+
+    # ---- issue ALL block copies upfront (K then V), then wait ----
+    # statically-unrolled groups of U with per-element guards: dynamic trip
+    # counts can't unroll directly, and scalar-core loop overhead otherwise
+    # dominates (~192 iterations per grid step)
+    U = 8
+    n_groups = (nb_cached + U - 1) // U
+
+    def start_group(g, _):
+        for u in range(U):
+            i = g * U + u
+
+            @pl.when(i < nb_cached)
+            def _():
+                bid = bt_ref[s, h, i]
+                pltpu.make_async_copy(k_hbm.at[bid], kbuf.at[i],
+                                      ksem).start()
+                pltpu.make_async_copy(v_hbm.at[bid], vbuf.at[i],
+                                      vsem).start()
+        return ()
+
+    jax.lax.fori_loop(0, n_groups, start_group, (), unroll=False)
+
+    def wait_k(g, _):
+        for u in range(U):
+            i = g * U + u
+
+            @pl.when(i < nb_cached)
+            def _():
+                pltpu.make_async_copy(k_hbm.at[0], kbuf.at[0], ksem).wait()
+        return ()
+
+    jax.lax.fori_loop(0, n_groups, wait_k, (), unroll=False)
+
+    q = q_ref[0, 0]                               # [QP, d] native dtype
+
+    # ---- logits: one matmul over the whole staged context + tail ----
+    # operands stay in the cache dtype (bf16) so the MXU runs native
+    # passes with f32 accumulation; no whole-context VPU conversions
+    kall = kbuf[...].reshape(n, d)
+    lg_c = jax.lax.dot_general(
+        q, kall, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale      # [QP, n]
+    tk = tailk_ref[0, 0]                                 # [KT, d]
+    lg_t = jax.lax.dot_general(
+        q, tk, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale      # [QP, KT]
+    if logit_cap:
+        lg_c = logit_cap * jnp.tanh(lg_c / logit_cap)
+        lg_t = logit_cap * jnp.tanh(lg_t / logit_cap)
+
+    col = jax.lax.broadcasted_iota(jnp.int32, (QP, n), 1)
+    valid_c = col < cached
+    colt = jax.lax.broadcasted_iota(jnp.int32, (QP, KT), 1)
+    # tail rows are packed [0, tlen); the seq is attended iff ctx > 0
+    valid_t = (colt < tlen) & (ctx > 0)
+    lg_c = jnp.where(valid_c, lg_c, NEG_INF)
+    lg_t = jnp.where(valid_t, lg_t, NEG_INF)
+
+    m = jnp.maximum(jnp.max(lg_c, axis=-1, keepdims=True),
+                    jnp.max(lg_t, axis=-1, keepdims=True))
+    e_c = jnp.where(valid_c, jnp.exp(lg_c - m), 0.0)
+    e_t = jnp.where(valid_t, jnp.exp(lg_t - m), 0.0)
+    l = (jnp.sum(e_c, axis=-1, keepdims=True)
+         + jnp.sum(e_t, axis=-1, keepdims=True) + 1e-9)
+    p_c = e_c / l
+    p_t = e_t / l
+    logits[...] = p_c
+
+    if record_metrics:
+        c_c = p_c * p_c if use_l2 else p_c
+        c_t = p_t * p_t if use_l2 else p_t
+        mo_ref[0, 0, 0, :] = jnp.sum(c_c[:qpk_real], axis=0)
+        mt_ref[0, 0, 0, :] = jnp.sum(c_t[:qpk_real], axis=0)
+    else:
+        mo_ref[0, 0, 0, :] = jnp.zeros((n,), jnp.float32)
+        mt_ref[0, 0, 0, :] = jnp.zeros((KT,), jnp.float32)
+
+    # ---- output: wait V, one matmul + tail term ----
+    def wait_v(g, _):
+        for u in range(U):
+            i = g * U + u
+
+            @pl.when(i < nb_cached)
+            def _():
+                pltpu.make_async_copy(v_hbm.at[0], vbuf.at[0], vsem).wait()
+        return ()
+
+    jax.lax.fori_loop(0, n_groups, wait_v, (), unroll=False)
+
+    # zero never-written stale V rows: their probs are 0, but 0 * NaN
+    # (uninitialised VMEM) would still poison the matmul accumulator
+    vrow = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)
+    vall = jnp.where(vrow < cached, vbuf[...].reshape(n, d), 0)
+    pc = logits[...].astype(vall.dtype)
+    acc = jax.lax.dot_general(pc, vall, (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    tv = tailv_ref[0, 0]
+    acc = acc + jax.lax.dot_general(
+        p_t.astype(tv.dtype), tv, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    o_ref[0, 0] = acc.astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("scale", "use_l2", "record_metrics", "interpret",
+                     "logit_cap"))
+def paged_decode_attention_tail(
+    query: jax.Array,        # [S, H_q, d]
+    tail_k: jax.Array,       # [S, H_kv, KT, d] burst tail (row tlen-1 = newest)
+    tail_v: jax.Array,       # [S, H_kv, KT, d]
+    tail_len: jax.Array,     # [S] i32 valid tail rows (this burst, incl. now)
+    k_cache: jax.Array,      # [num_blocks, bs, d] (read-only)
+    v_cache: jax.Array,
+    block_tables_l: jax.Array,   # [S, H_kv, nb] i32
+    context_lens_l: jax.Array,   # [S, H_kv] i32 INCLUDING tail; 0 inactive
+    scale: float,
+    *,
+    use_l2: bool = True,
+    record_metrics: bool = True,
+    interpret: bool = False,
+    logit_cap: Optional[float] = None,
+):
+    """Decode attention over [paged cache (read-only)] + [dense burst tail].
+
+    Returns (out [S, H_q, d], m_cached [S, H_kv, n] f32 in logical index
+    space, m_tail [S, H_kv, KT] f32). The engine accumulates both across the
+    burst and scatters once (see engine/programs.py)."""
+    S, Hq, d = query.shape
+    _, Hkv, nb = block_tables_l.shape
+    num_blocks, bs, _ = k_cache.shape
+    qpk = Hq // Hkv
+    KT = tail_k.shape[2]
+
+    # pad table width so n is a multiple of 128 lanes
+    if nb * bs > 128:
+        C = max(1, 128 // bs)
+        pad = (-nb) % C
+        if pad:
+            block_tables_l = jnp.pad(block_tables_l,
+                                     ((0, 0), (0, 0), (0, pad)))
+            nb = nb + pad
+    n = nb * bs
+
+    QP = max(qpk, 8)
+    q = query.reshape(S, Hkv, qpk, d)
+    if QP != qpk:
+        q = jnp.pad(q, ((0, 0), (0, 0), (0, QP - qpk), (0, 0)))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(S, Hkv),
+        in_specs=[
+            pl.BlockSpec((1, 1, QP, d), lambda s, h, *_: (s, h, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, KT, d), lambda s, h, *_: (s, h, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, KT, d), lambda s, h, *_: (s, h, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, QP, d), lambda s, h, *_: (s, h, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, n), lambda s, h, *_: (s, h, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, KT), lambda s, h, *_: (s, h, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((QP, n), jnp.float32),
+            pltpu.VMEM((nb, bs, d), k_cache.dtype),
+            pltpu.VMEM((nb, bs, d), v_cache.dtype),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    kernel = functools.partial(
+        _tail_kernel, scale=scale, block_size=bs, use_l2=use_l2,
+        record_metrics=record_metrics, qpk_real=qpk,
+        logit_cap=logit_cap or 0.0)
+    out, m_cached, m_tail = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((S, Hkv, QP, d), query.dtype),
+            jax.ShapeDtypeStruct((S, Hkv, 1, n), jnp.float32),
+            jax.ShapeDtypeStruct((S, Hkv, 1, KT), jnp.float32),
+        ],
+        interpret=interpret,
+    )(context_lens_l, tail_len, block_tables_l, q, tail_k, tail_v,
+      k_cache, v_cache)
+
+    out = out[:, :, :qpk, :].reshape(S, Hq, d)
+    return out, m_cached[:, :, 0, :], m_tail[:, :, 0, :]
