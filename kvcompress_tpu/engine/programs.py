@@ -271,7 +271,9 @@ class EnginePrograms:
             lc = jnp.clip(logical, 0)
             blk = jnp.take_along_axis(state.block_tables, lc // bsz,
                                       axis=-1)        # [L, S, H, KT]
-            slots = jnp.where(valid, blk * bsz + lc % bsz, -1)
+            # drop sentinel must be a POSITIVE out-of-range index: negative
+            # indices wrap in jnp scatters even under mode="drop"
+            slots = jnp.where(valid, blk * bsz + lc % bsz, nblk * bsz)
             flat = slots.reshape(-1)
             p = tail_pos  # [S, KT] logical token positions (-1 empty)
 

@@ -464,16 +464,34 @@ def prefill(
                 logit_cap=cfg.attn_logit_softcap)
 
     def attn_fn(slot_mapping_l, q, k, v, cache):
-        kc, vc, mc, pc = att.write_to_cache(
-            cache.k, cache.v, cache.metrics, cache.positions,
-            k, v, slot_mapping_l, positions)
         out, pf_metrics = prefill_attn(q, k, v)
-        if spec.record_metrics:
-            mc = att.aggregate_prefill(mc, pf_metrics, slot_mapping_l)
-        return out, KVCache(kc, vc, mc, pc)
+        return out, cache, (k, v, pf_metrics)
 
-    hidden, cache = forward(params, cfg, token_ids, positions, cache,
-                            attn_fn, slot_mappings)
+    hidden, cache, (ks, vs, pfs) = forward_collect(
+        params, cfg, token_ids, positions, cache, attn_fn, slot_mappings)
+    # Single cache-write epilogue across all layers (instead of 5 scatters
+    # per layer): K, V, positions, metric init (+ prefill metric add).
+    # ks/vs: [L, T, H, d]; pfs: [L, T, H]; slot_mappings: [L, T, H].
+    d = cfg.head_size
+    n_slots = cache.metrics.size
+    # positive out-of-range sentinel: negative indices wrap in jnp scatters
+    flat = jnp.where(slot_mappings >= 0, slot_mappings,
+                     n_slots).reshape(-1)
+    kc = cache.k.reshape(-1, d).at[flat].set(
+        ks.reshape(-1, d).astype(cache.k.dtype), mode="drop").reshape(
+        cache.k.shape)
+    vc = cache.v.reshape(-1, d).at[flat].set(
+        vs.reshape(-1, d).astype(cache.v.dtype), mode="drop").reshape(
+        cache.v.shape)
+    pos_vals = jnp.broadcast_to(positions[None, :, None],
+                                slot_mappings.shape).reshape(-1)
+    pc = cache.positions.reshape(-1).at[flat].set(
+        pos_vals, mode="drop").reshape(cache.positions.shape)
+    mc = cache.metrics.reshape(-1).at[flat].set(0.0, mode="drop")
+    if spec.record_metrics:
+        mc = mc.at[flat].add(pfs.reshape(-1), mode="drop")
+    mc = mc.reshape(cache.metrics.shape)
+    cache = KVCache(kc, vc, mc, pc)
     last = jnp.take(hidden, jnp.clip(seq_len - 1, 0), axis=0)
     return last, cache
 
