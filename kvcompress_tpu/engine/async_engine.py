@@ -2,41 +2,52 @@
 
 The role of reference vllm/engine/async_llm_engine.py: requests arrive
 concurrently (HTTP handler threads), a single background thread drives
-LLMEngine.step(), and callers wait on per-request events (or consume
-incremental token streams)."""
+LLMEngine.step(), and callers wait on per-request events or consume
+incremental RequestOutput streams (the engine emits an output for every
+scheduled sequence each step, finished or not)."""
 
 from __future__ import annotations
 
 import queue
 import threading
-from typing import Dict, Iterator, List, Optional
+from typing import Dict, Iterator, Optional
 
 from kvcompress_tpu.engine.llm_engine import LLMEngine
 from kvcompress_tpu.sampling_params import SamplingParams
 from kvcompress_tpu.sequence import RequestOutput
 
 
-class _RequestStream:
-    def __init__(self):
+class RequestStream:
+    """Iterable stream of RequestOutputs for one request (the last item has
+    finished=True)."""
+
+    def __init__(self, request_id: Optional[str] = None):
+        self.request_id = request_id
         self.queue: "queue.Queue[Optional[RequestOutput]]" = queue.Queue()
         self.finished: Optional[RequestOutput] = None
         self.done = threading.Event()
+
+    def __iter__(self) -> Iterator[RequestOutput]:
+        while True:
+            item = self.queue.get()
+            if item is None:
+                return
+            yield item
 
 
 class AsyncEngine:
     def __init__(self, engine: LLMEngine):
         self.engine = engine
-        self._streams: Dict[str, _RequestStream] = {}
+        self._streams: Dict[str, RequestStream] = {}
         self._pending: "queue.Queue" = queue.Queue()
-        self._lock = threading.Lock()
         self._shutdown = False
         self._wake = threading.Event()
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
 
     def submit(self, prompt: Optional[str], prompt_token_ids,
-               sampling_params: SamplingParams) -> _RequestStream:
-        stream = _RequestStream()
+               sampling_params: SamplingParams) -> RequestStream:
+        stream = RequestStream()
         self._pending.put((prompt, prompt_token_ids, sampling_params,
                            stream))
         self._wake.set()
@@ -47,6 +58,13 @@ class AsyncEngine:
         stream = self.submit(prompt, prompt_token_ids, sampling_params)
         stream.done.wait()
         return stream.finished
+
+    def abort(self, request_id: str) -> None:
+        self.engine.abort_request(request_id)
+        stream = self._streams.pop(request_id, None)
+        if stream is not None:
+            stream.done.set()
+            stream.queue.put(None)
 
     def shutdown(self):
         self._shutdown = True
@@ -62,6 +80,7 @@ class AsyncEngine:
             rid = self.engine.add_request(None, prompt=prompt,
                                           prompt_token_ids=ids,
                                           sampling_params=sp)
+            stream.request_id = rid
             self._streams[rid] = stream
 
     def _loop(self):
@@ -72,9 +91,12 @@ class AsyncEngine:
                 self._wake.clear()
                 continue
             for out in self.engine.step():
-                stream = self._streams.pop(out.request_id, None)
-                if stream is not None:
+                stream = self._streams.get(out.request_id)
+                if stream is None:
+                    continue
+                stream.queue.put(out)
+                if out.finished:
                     stream.finished = out
-                    stream.queue.put(out)
-                    stream.queue.put(None)
                     stream.done.set()
+                    stream.queue.put(None)
+                    del self._streams[out.request_id]

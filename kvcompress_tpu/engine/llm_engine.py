@@ -32,6 +32,8 @@ except Exception:
 from kvcompress_tpu.config import EngineConfig, cdiv
 from kvcompress_tpu.core.scheduler import Scheduler
 from kvcompress_tpu.core.state import init_cache_state
+from kvcompress_tpu.engine.detokenizer import (IncrementalDetokenizer,
+                                                check_stop_strings)
 from kvcompress_tpu.engine.programs import EnginePrograms
 from kvcompress_tpu.engine.sampler import SamplingTensors
 from kvcompress_tpu.sampling_params import SamplingParams
@@ -175,16 +177,24 @@ class LLMEngine:
     # ------------------------------------------------------------- prefill
     def _do_prefill(self, seq: Sequence) -> List[RequestOutput]:
         sp = seq.sampling_params
-        st = SamplingTensors.from_params([sp], pad_to=1)
+        st = SamplingTensors.from_params([sp], pad_to=1,
+                                         vocab_size=self.cfg.model.vocab_size)
         self._rng, key = jax.random.split(self._rng)
-        self.state, packed = self.programs.prefill(
+        lp_n = sp.logprobs or 0
+        self.state, packed, lp = self.programs.prefill(
             self.state, np.asarray(seq.prompt_token_ids, np.int32),
             seq.num_prompt_tokens, seq.slot,
-            sp.metric_collection_buffer_size, st, key)
+            sp.metric_collection_buffer_size, st, key,
+            use_seeds=sp.seed is not None, logprobs_n=lp_n)
         packed = np.asarray(packed)  # one fetch: [token, free_top]
         self._carry = None  # batch composition changed
         self.scheduler.free_blocks = int(packed[1])
         seq.output_token_ids.append(int(packed[0]))
+        if lp_n:
+            chosen, top_v, top_i = (np.asarray(x) for x in lp)
+            seq.logprobs = seq.logprobs or []
+            seq.logprobs.append(self._logprob_entry(
+                int(packed[0]), float(chosen[0]), top_v[0], top_i[0]))
         seq.first_token_time = time.monotonic()
         self.stats.counter("prompt_tokens", seq.num_prompt_tokens)
         self.stats.counter("generation_tokens")
@@ -206,12 +216,14 @@ class LLMEngine:
         sig = tuple(sorted((s.slot, s.request_id) for s in running))
         if self._carry is not None and self._carry["sig"] == sig:
             return self._carry
+        V = self.cfg.model.vocab_size
         tokens = np.zeros((S,), np.int32)
         positions = np.zeros((S,), np.int32)
         active = np.zeros((S,), bool)
         buffer_lens = np.zeros((S,), np.int32)
         ignore_eos = np.zeros((S,), bool)
         remaining = np.zeros((S,), np.int32)
+        min_remaining = np.zeros((S,), np.int32)
         params_by_slot: List[Optional[SamplingParams]] = [None] * S
         max_len = self.cfg.scheduler.max_model_len
         for seq in running:
@@ -226,8 +238,28 @@ class LLMEngine:
             if sp.max_tokens is not None:
                 budget = min(budget, sp.max_tokens - seq.num_output_tokens)
             remaining[s] = max(budget, 0)
+            min_remaining[s] = max(sp.min_tokens - seq.num_output_tokens, 0)
             params_by_slot[s] = sp
         greedy_only = all(s.sampling_params.greedy for s in running)
+        use_seeds = any(s.sampling_params.seed is not None for s in running)
+        use_penalties = any(
+            s.sampling_params.repetition_penalty != 1.0
+            or s.sampling_params.presence_penalty != 0.0
+            or s.sampling_params.frequency_penalty != 0.0 for s in running)
+        logprobs_n = max((s.sampling_params.logprobs or 0 for s in running),
+                         default=0)
+        token_counts = None
+        prompt_mask = None
+        if use_penalties:
+            tc = np.zeros((S, V), np.int32)
+            pm = np.zeros((S, V), bool)
+            for seq in running:
+                sl = seq.slot
+                for t in seq.output_token_ids:
+                    tc[sl, t] += 1
+                pm[sl, np.asarray(seq.prompt_token_ids, np.int64) % V] = True
+            token_counts = jnp.asarray(tc)
+            prompt_mask = jnp.asarray(pm)
         eos = sorted(self.eos_token_ids) or [-1]
         self._rng, key = jax.random.split(self._rng)
         self._carry = {
@@ -236,12 +268,19 @@ class LLMEngine:
             "positions": jnp.asarray(positions),
             "active": jnp.asarray(active),
             "buffer_lens": jnp.asarray(buffer_lens),
-            "st": SamplingTensors.from_params(params_by_slot, pad_to=S),
+            "st": SamplingTensors.from_params(params_by_slot, pad_to=S,
+                                              vocab_size=V),
             "rng": key,
             "eos_ids": jnp.asarray(eos, jnp.int32),
             "ignore_eos": jnp.asarray(ignore_eos),
             "remaining": jnp.asarray(remaining),
+            "min_remaining": jnp.asarray(min_remaining),
+            "token_counts": token_counts,
+            "prompt_mask": prompt_mask,
             "greedy_only": greedy_only,
+            "use_seeds": use_seeds,
+            "use_penalties": use_penalties,
+            "logprobs_n": logprobs_n,
             "use_metric_buffer": bool(buffer_lens.any()),
         }
         return self._carry
@@ -257,17 +296,30 @@ class LLMEngine:
             carry["rng"], carry["eos_ids"], carry["ignore_eos"],
             carry["remaining"], multi_steps=k,
             greedy_only=carry["greedy_only"],
-            use_metric_buffer=carry["use_metric_buffer"])
+            use_metric_buffer=carry["use_metric_buffer"],
+            min_remaining=carry["min_remaining"],
+            token_counts=carry["token_counts"],
+            prompt_mask=carry["prompt_mask"],
+            use_penalties=carry["use_penalties"],
+            use_seeds=carry["use_seeds"],
+            logprobs_n=carry["logprobs_n"])
         packed = np.asarray(out.packed)  # the single per-k-steps fetch
         token_matrix = packed[:k * S].reshape(k, S)
         blk = packed[k * S:k * S + S]
         kvs = packed[k * S + S:k * S + 2 * S]
         self.scheduler.free_blocks = int(packed[k * S + 2 * S])
+        lp_n = carry["logprobs_n"]
+        if lp_n:
+            chosen = np.asarray(out.chosen_logprobs)      # [k, S]
+            top_v = np.asarray(out.top_logprobs)          # [k, S, n]
+            top_i = np.asarray(out.top_logprob_ids)
         carry["tokens"] = out.tokens
         carry["positions"] = out.positions_next
         carry["rng"] = out.rng_next
         carry["remaining"] = out.remaining_next
         carry["active"] = out.active_next
+        carry["min_remaining"] = out.min_remaining_next
+        carry["token_counts"] = out.token_counts_next
         n_generated = 0
         for seq in running:
             s = seq.slot
@@ -275,6 +327,11 @@ class LLMEngine:
             seq.kv_count = int(kvs[s])
             for t in range(k):
                 seq.output_token_ids.append(int(token_matrix[t, s]))
+                if lp_n and seq.sampling_params.logprobs:
+                    seq.logprobs = seq.logprobs or []
+                    seq.logprobs.append(self._logprob_entry(
+                        int(token_matrix[t, s]), float(chosen[t, s]),
+                        top_v[t, s], top_i[t, s]))
                 n_generated += 1
                 if self._check_stop(seq) is not None:
                     break
@@ -315,13 +372,42 @@ class LLMEngine:
         self.stats.counter("evicted_kvs", n_evicted)
 
     # ------------------------------------------------------------- outputs
+    @staticmethod
+    def _logprob_entry(token_id, chosen_lp, top_vals, top_ids) -> dict:
+        entry = {int(t): float(v) for t, v in zip(top_ids, top_vals)}
+        entry[int(token_id)] = float(chosen_lp)
+        return entry
+
+    def _update_text(self, seq: Sequence) -> str:
+        """Incrementally detokenize new output tokens; returns the delta."""
+        if self.tokenizer is None or seq.stop_reason is not None:
+            return ""
+        if seq.detokenizer is None:
+            seq.detokenizer = IncrementalDetokenizer(
+                self.tokenizer, seq.sampling_params.skip_special_tokens)
+        delta = seq.detokenizer.update(seq.output_token_ids)
+        seq.output_text = seq.detokenizer.text
+        return delta
+
     def _check_stop(self, seq: Sequence) -> Optional[SequenceStatus]:
         sp = seq.sampling_params
+        if seq.stop_reason is not None:  # stop string matched earlier
+            return SequenceStatus.FINISHED_STOPPED
         last = seq.output_token_ids[-1]
-        if not sp.ignore_eos and last in self.eos_token_ids:
+        past_min = seq.num_output_tokens >= sp.min_tokens
+        if past_min and not sp.ignore_eos and last in self.eos_token_ids:
             return SequenceStatus.FINISHED_STOPPED
-        if sp.stop_token_ids and last in sp.stop_token_ids:
+        if past_min and sp.stop_token_ids and last in sp.stop_token_ids:
             return SequenceStatus.FINISHED_STOPPED
+        if sp.stop and self.tokenizer is not None:
+            delta = self._update_text(seq)
+            if past_min and delta:
+                match, pos = check_stop_strings(seq.output_text, sp.stop,
+                                                len(delta))
+                if match is not None:
+                    seq.output_text = seq.output_text[:pos]
+                    seq.stop_reason = match
+                    return SequenceStatus.FINISHED_STOPPED
         if (sp.max_tokens is not None
                 and seq.num_output_tokens >= sp.max_tokens):
             return SequenceStatus.FINISHED_LENGTH
@@ -348,7 +434,11 @@ class LLMEngine:
                 self.scheduler.finish_seq(seq, status)
                 freed_slots.append(slot)
                 seq.finish_time = time.monotonic()
-                outputs.append(self._make_output(seq))
+                outputs.append(self._make_output(seq, finished=True))
+            else:
+                # in-progress output for streaming consumers (the reference
+                # returns a RequestOutput for every scheduled seq each step)
+                outputs.append(self._make_output(seq, finished=False))
         if freed_slots:
             self.state, free_top = self.programs.free_slots(
                 self.state, freed_slots)
@@ -356,19 +446,23 @@ class LLMEngine:
             self.stats.counter("requests_finished", len(freed_slots))
         return outputs
 
-    def _make_output(self, seq: Sequence) -> RequestOutput:
-        text = ""
-        if self.tokenizer is not None:
-            text = self.tokenizer.decode(seq.output_token_ids,
-                                         skip_special_tokens=True)
-        reason = ("stop" if seq.status == SequenceStatus.FINISHED_STOPPED
-                  else "length")
+    def _make_output(self, seq: Sequence,
+                     finished: bool = True) -> RequestOutput:
+        self._update_text(seq)
+        reason = None
+        if finished:
+            reason = ("stop"
+                      if seq.status == SequenceStatus.FINISHED_STOPPED
+                      else "length")
         return RequestOutput(
             request_id=seq.request_id,
             prompt=seq.prompt,
             prompt_token_ids=seq.prompt_token_ids,
             outputs=[CompletionOutput(
-                index=0, text=text, token_ids=list(seq.output_token_ids),
-                finish_reason=reason)],
-            finished=True,
+                index=0, text=seq.output_text,
+                token_ids=list(seq.output_token_ids),
+                finish_reason=reason,
+                logprobs=list(seq.logprobs) if seq.logprobs else None,
+                stop_reason=seq.stop_reason)],
+            finished=finished,
         )

@@ -44,6 +44,11 @@ class DecodeOutput(NamedTuple):
     packed: jax.Array = None   # [kS + 2S + 1 + S] i32: token matrix |
     #                            block_counts | kv_counts | free_top |
     #                            active - ONE host fetch per k steps
+    min_remaining_next: jax.Array = None  # [S] i32
+    token_counts_next: jax.Array = None   # [S, V] i32 (penalties on)
+    chosen_logprobs: jax.Array = None     # [k, S] f32 (logprobs on)
+    top_logprobs: jax.Array = None        # [k, S, n] f32
+    top_logprob_ids: jax.Array = None     # [k, S, n] i32
 
 
 def _cache_of(state: CacheState) -> KVCache:
@@ -87,7 +92,8 @@ class EnginePrograms:
         self._free_fn = None
 
     # ------------------------------------------------------------- prefill
-    def _build_prefill(self, T: int):
+    def _build_prefill(self, T: int, use_seeds: bool = False,
+                       logprobs_n: int = 0):
         cfg, mcfg, ccfg = self.cfg, self.cfg.model, self.cfg.cache
         bs = ccfg.block_size
         nbb = cdiv(T, bs)
@@ -118,26 +124,36 @@ class EnginePrograms:
                 params, mcfg, tokens, seq_len, slot_mappings,
                 _cache_of(state), buffer_len, spec)
             logits = llama.compute_logits(params, mcfg, last_hidden)[None]
-            token = sampler_mod.sample(logits, st, rng)[0]
+            logits = sampler_mod.apply_logit_bias(logits, st)
+            token = sampler_mod.sample(
+                logits, st, rng, positions=(seq_len - 1)[None],
+                use_seeds=use_seeds, pre_processed=True)[0]
+            lp = None
+            if logprobs_n > 0:
+                lp = sampler_mod.compute_logprobs(logits, token[None],
+                                                  logprobs_n)
             new_state = _with_cache(
                 state, cache, block_tables=block_tables,
                 context_lens=context_lens, free_stack=state.free_stack,
                 free_top=free_top)
             # packed [2]: token | free_top - one host fetch
-            return new_state, jnp.stack([token, free_top])
+            return new_state, jnp.stack([token, free_top]), lp
 
         return jax.jit(prefill_fn, donate_argnums=(0,))
 
     def prefill(self, state, tokens_np, seq_len: int, slot: int,
-                buffer_len: int, st: SamplingTensors, rng):
+                buffer_len: int, st: SamplingTensors, rng,
+                use_seeds: bool = False, logprobs_n: int = 0):
         buckets = [b for b in self.cfg.scheduler.prefill_buckets
                    if b >= seq_len]
         T = buckets[0] if buckets else self.cfg.scheduler.max_model_len
-        if T not in self._prefill_fns:
-            self._prefill_fns[T] = self._build_prefill(T)
+        key = (T, use_seeds, logprobs_n)
+        if key not in self._prefill_fns:
+            self._prefill_fns[key] = self._build_prefill(
+                T, use_seeds=use_seeds, logprobs_n=logprobs_n)
         tokens = np.zeros((T,), np.int32)
         tokens[:seq_len] = tokens_np
-        return self._prefill_fns[T](
+        return self._prefill_fns[key](
             state, self.params, jnp.asarray(tokens),
             jnp.asarray(seq_len, jnp.int32), jnp.asarray(slot, jnp.int32),
             jnp.asarray(buffer_len, jnp.int32), st, rng)
@@ -155,7 +171,10 @@ class EnginePrograms:
 
     def _build_decode(self, multi_steps: int = 1,
                       greedy_only: bool = False,
-                      use_metric_buffer: bool = False):
+                      use_metric_buffer: bool = False,
+                      use_penalties: bool = False,
+                      use_seeds: bool = False,
+                      logprobs_n: int = 0):
         """One jitted program running `multi_steps` decode iterations via
         lax.scan: ONE dispatch + ONE host fetch per k tokens. EOS and
         max-tokens termination are enforced on device (a finished slot's
@@ -182,7 +201,8 @@ class EnginePrograms:
 
         def decode_fn(state: CacheState, params, tokens, positions, active,
                       buffer_lens, st: SamplingTensors, rng, eos_ids,
-                      ignore_eos, remaining):
+                      ignore_eos, remaining, min_remaining, token_counts,
+                      prompt_mask):
             L, S, H, B = state.block_tables.shape
 
             acc0 = (jnp.zeros((L, S, H, n_pad), jnp.float32)
@@ -211,30 +231,36 @@ class EnginePrograms:
                                          constant_values=-1)
 
             def one_step(carry, _):
-                (state, tokens, positions, active, rng, remaining, acc,
-                 acc_t, tail) = carry
-                state, out, acc, acc_t, tail = decode_step(
+                (state, tokens, positions, active, rng, remaining,
+                 min_remaining, token_counts, acc, acc_t, tail) = carry
+                state, out, acc, acc_t, tail, token_counts, lp = decode_step(
                     state, params, tokens, positions, active, buffer_lens,
-                    st, rng, acc, acc_t, tail, pos_dense0)
+                    st, rng, acc, acc_t, tail, pos_dense0, token_counts,
+                    prompt_mask)
                 remaining = remaining - active.astype(jnp.int32)
-                is_eos = jnp.isin(out.tokens, eos_ids) & ~ignore_eos
+                min_remaining = min_remaining - active.astype(jnp.int32)
+                is_eos = (jnp.isin(out.tokens, eos_ids) & ~ignore_eos
+                          & (min_remaining <= 0))
                 next_active = active & ~is_eos & (remaining > 0)
                 carry = (state, out.tokens, out.positions_next, next_active,
-                         out.rng_next, remaining, acc, acc_t, tail)
-                return carry, (out.tokens, out.packed)
+                         out.rng_next, remaining, min_remaining,
+                         token_counts, acc, acc_t, tail)
+                return carry, (out.tokens, out.packed, lp)
 
             carry0 = (state, tokens, positions, active, rng, remaining,
-                      acc0, acc_t0, tail0)
+                      min_remaining, token_counts, acc0, acc_t0, tail0)
             if multi_steps == 1:
-                carry, (tok_seq, packed_seq) = one_step(carry0, None)
+                carry, (tok_seq, packed_seq, lp_seq) = one_step(carry0, None)
                 tok_seq = tok_seq[None]
                 last_packed = packed_seq
+                if lp_seq is not None:
+                    lp_seq = jax.tree.map(lambda x: x[None], lp_seq)
             else:
-                carry, (tok_seq, packed_seq) = jax.lax.scan(
+                carry, (tok_seq, packed_seq, lp_seq) = jax.lax.scan(
                     one_step, carry0, None, length=multi_steps)
                 last_packed = packed_seq[-1]
-            (state, tokens, positions, active, rng, remaining, acc,
-             acc_t, tail) = carry
+            (state, tokens, positions, active, rng, remaining,
+             min_remaining, token_counts, acc, acc_t, tail) = carry
 
             if tail_mode:
                 state = flush_burst(state, acc, acc_t, tail)
@@ -244,10 +270,16 @@ class EnginePrograms:
             packed = jnp.concatenate([
                 tok_seq.reshape(-1), last_packed[S_:],
                 active.astype(jnp.int32)])
+            lp_c = lp_t = lp_i = None
+            if lp_seq is not None:
+                lp_c, lp_t, lp_i = lp_seq
             return state, DecodeOutput(
                 tokens=tokens, positions_next=positions, rng_next=rng,
                 remaining_next=remaining, active_next=active,
-                packed=packed)
+                packed=packed, min_remaining_next=min_remaining,
+                token_counts_next=token_counts,
+                chosen_logprobs=lp_c, top_logprobs=lp_t,
+                top_logprob_ids=lp_i)
 
         def flush_burst(state: CacheState, acc, acc_t, tail):
             """Burst epilogue: write the tail KVs/positions into the paged
@@ -310,7 +342,7 @@ class EnginePrograms:
 
         def decode_step(state: CacheState, params, tokens, positions, active,
                         buffer_lens, st: SamplingTensors, rng, acc,
-                        acc_t, tail, pos_dense):
+                        acc_t, tail, pos_dense, token_counts, prompt_mask):
             rng, sample_rng = jax.random.split(rng)
             L, S, H, B = state.block_tables.shape
             ctx = state.context_lens
@@ -365,8 +397,23 @@ class EnginePrograms:
                     params, mcfg, tokens, positions, block_tables, new_ctx,
                     sm, _cache_of(state), buffer_lens, active, spec)
             logits = llama.compute_logits(params, mcfg, hidden)
-            out_tokens = sampler_mod.sample(logits, st, sample_rng,
-                                            greedy_only=greedy_only)
+            if use_penalties:
+                logits = sampler_mod.apply_penalties(
+                    logits, token_counts, prompt_mask, st)
+            logits = sampler_mod.apply_logit_bias(logits, st)
+            out_tokens = sampler_mod.sample(
+                logits, st, sample_rng, greedy_only=greedy_only,
+                positions=positions, use_seeds=use_seeds,
+                pre_processed=True)
+            lp = None
+            if logprobs_n > 0:
+                lp = sampler_mod.compute_logprobs(logits, out_tokens,
+                                                  logprobs_n)
+            if use_penalties:
+                S_ = out_tokens.shape[0]
+                token_counts = token_counts.at[
+                    jnp.arange(S_), out_tokens].add(
+                    active.astype(jnp.int32))
 
             nb_alloc = (new_ctx + bs - 1) // bs
             seq_block_counts = jnp.sum(nb_alloc, axis=(0, 2)).astype(
@@ -383,22 +430,31 @@ class EnginePrograms:
                 positions_next=positions + active.astype(jnp.int32),
                 rng_next=rng,
                 packed=packed)
-            return new_state, out, acc, acc_t, tail
+            return new_state, out, acc, acc_t, tail, token_counts, lp
 
         return jax.jit(decode_fn, donate_argnums=(0,))
 
     def decode(self, state, tokens, positions, active, buffer_lens,
                st: SamplingTensors, rng, eos_ids, ignore_eos, remaining,
                multi_steps: int = 1, greedy_only: bool = False,
-               use_metric_buffer: bool = False):
-        key = (multi_steps, greedy_only, use_metric_buffer)
+               use_metric_buffer: bool = False,
+               min_remaining=None, token_counts=None, prompt_mask=None,
+               use_penalties: bool = False, use_seeds: bool = False,
+               logprobs_n: int = 0):
+        key = (multi_steps, greedy_only, use_metric_buffer, use_penalties,
+               use_seeds, logprobs_n)
         if self._decode_fn is None or self._decode_steps != key:
-            self._decode_fn = self._build_decode(multi_steps, greedy_only,
-                                                 use_metric_buffer)
+            self._decode_fn = self._build_decode(
+                multi_steps, greedy_only, use_metric_buffer,
+                use_penalties=use_penalties, use_seeds=use_seeds,
+                logprobs_n=logprobs_n)
             self._decode_steps = key
+        if min_remaining is None:
+            min_remaining = jnp.zeros_like(remaining)
         return self._decode_fn(state, self.params, tokens, positions, active,
                                buffer_lens, st, rng, eos_ids, ignore_eos,
-                               remaining)
+                               remaining, min_remaining, token_counts,
+                               prompt_mask)
 
     # ------------------------------------------------------------ compress
     def _build_compress(self, B: int, nb: int):

@@ -1,19 +1,22 @@
 """Token sampling on device.
 
-Covers the headline surface of reference
+Covers the sampling surface of reference
 vllm/model_executor/layers/sampler.py: greedy, temperature, top-k, top-p,
-min-p and repetition/presence/frequency penalties, vectorised over the batch
-with per-sequence parameters. Seeded sampling uses a threaded jax PRNG key.
+min-p, repetition/presence/frequency penalties, per-request logit bias,
+per-request seeded sampling (position-keyed, so seeded requests are
+reproducible regardless of batch composition), and top-k logprobs -
+vectorised over the batch with per-sequence parameters.
 """
 
 from __future__ import annotations
 
-from typing import NamedTuple, Optional
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 
 NEG_INF = -1e30
+MAX_LOGIT_BIAS = 32  # per-request logit_bias entries (padded)
 
 
 class SamplingTensors(NamedTuple):
@@ -25,18 +28,32 @@ class SamplingTensors(NamedTuple):
     repetition_penalty: jax.Array  # [S] f32
     presence_penalty: jax.Array   # [S] f32
     frequency_penalty: jax.Array  # [S] f32
+    seed: jax.Array               # [S] i32 (-1 -> unseeded)
+    bias_idx: jax.Array           # [S, MAX_LOGIT_BIAS] i32 (V -> pad)
+    bias_val: jax.Array           # [S, MAX_LOGIT_BIAS] f32
 
     @staticmethod
-    def from_params(params_list, pad_to: int) -> "SamplingTensors":
+    def from_params(params_list, pad_to: int,
+                    vocab_size: int = 0) -> "SamplingTensors":
         import numpy as np
         S = pad_to
 
         def arr(attr, default, dtype):
             out = np.full((S,), default, dtype)
             for i, p in enumerate(params_list):
-                if p is not None:
+                if p is not None and getattr(p, attr, None) is not None:
                     out[i] = getattr(p, attr)
             return jnp.asarray(out)
+
+        bias_idx = np.full((S, MAX_LOGIT_BIAS), max(vocab_size, 1), np.int32)
+        bias_val = np.zeros((S, MAX_LOGIT_BIAS), np.float32)
+        for i, p in enumerate(params_list):
+            lb = getattr(p, "logit_bias", None) if p is not None else None
+            if lb:
+                for j, (tok, val) in enumerate(list(lb.items())
+                                               [:MAX_LOGIT_BIAS]):
+                    bias_idx[i, j] = int(tok)
+                    bias_val[i, j] = float(val)
 
         return SamplingTensors(
             temperature=arr("temperature", 0.0, "float32"),
@@ -46,7 +63,17 @@ class SamplingTensors(NamedTuple):
             repetition_penalty=arr("repetition_penalty", 1.0, "float32"),
             presence_penalty=arr("presence_penalty", 0.0, "float32"),
             frequency_penalty=arr("frequency_penalty", 0.0, "float32"),
+            seed=arr("seed", -1, "int32"),
+            bias_idx=jnp.asarray(bias_idx),
+            bias_val=jnp.asarray(bias_val),
         )
+
+    def any_penalties(self, params_list) -> bool:
+        return any(
+            p is not None and (p.repetition_penalty != 1.0
+                               or p.presence_penalty != 0.0
+                               or p.frequency_penalty != 0.0)
+            for p in params_list)
 
 
 def apply_penalties(
@@ -67,6 +94,27 @@ def apply_penalties(
     return logits
 
 
+def apply_logit_bias(logits: jax.Array, t: SamplingTensors) -> jax.Array:
+    """OpenAI-style per-request logit_bias (sparse add; pad index drops)."""
+    S, V = logits.shape
+    rows = jnp.arange(S)[:, None]
+    return logits.at[rows, t.bias_idx].add(t.bias_val, mode="drop")
+
+
+def compute_logprobs(
+    logits: jax.Array,      # [S, V] f32 (pre-temperature, post-penalty)
+    chosen: jax.Array,      # [S] i32 sampled token ids
+    top_n: int,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """(chosen_logprob [S], top_vals [S, top_n], top_ids [S, top_n]).
+    Matches the reference sampler's logprobs semantics (log-softmax of the
+    full processed logits, reference layers/sampler.py)."""
+    lp = jax.nn.log_softmax(logits, axis=-1)
+    chosen_lp = jnp.take_along_axis(lp, chosen[:, None], axis=-1)[:, 0]
+    top_vals, top_ids = jax.lax.top_k(lp, top_n)
+    return chosen_lp, top_vals, top_ids.astype(jnp.int32)
+
+
 def sample(
     logits: jax.Array,  # [S, V] f32
     t: SamplingTensors,
@@ -74,12 +122,18 @@ def sample(
     token_counts: Optional[jax.Array] = None,
     prompt_mask: Optional[jax.Array] = None,
     greedy_only: bool = False,
+    positions: Optional[jax.Array] = None,  # [S] i32 (for seeded sampling)
+    use_seeds: bool = False,
+    pre_processed: bool = False,
 ) -> jax.Array:
     """Returns sampled token ids [S] i32. greedy_only is a static fast path
-    (skips the full-vocab sorts, which dominate small-batch decode steps)."""
+    (skips the full-vocab sorts, which dominate small-batch decode steps).
+    pre_processed=True means penalties/logit_bias were already applied."""
     S, V = logits.shape
-    if token_counts is not None:
-        logits = apply_penalties(logits, token_counts, prompt_mask, t)
+    if not pre_processed:
+        if token_counts is not None:
+            logits = apply_penalties(logits, token_counts, prompt_mask, t)
+        logits = apply_logit_bias(logits, t)
 
     greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
     if greedy_only:
@@ -110,5 +164,19 @@ def sample(
     pmax = probs.max(axis=-1, keepdims=True)
     scaled = jnp.where(probs < t.min_p[:, None] * pmax, NEG_INF, scaled)
 
-    sampled = jax.random.categorical(rng, scaled, axis=-1).astype(jnp.int32)
+    # Gumbel-argmax sampling (== categorical). Seeded rows draw their noise
+    # from a (seed, position)-derived key so a seeded request reproduces
+    # exactly regardless of batch composition or multi-step phase.
+    g_shared = jax.random.gumbel(rng, (S, V))
+    if use_seeds and positions is not None:
+        def row_gumbel(seed, pos):
+            key = jax.random.fold_in(
+                jax.random.PRNGKey(jnp.maximum(seed, 0)), pos)
+            return jax.random.gumbel(key, (V,))
+
+        g_seeded = jax.vmap(row_gumbel)(t.seed, positions)
+        g = jnp.where((t.seed >= 0)[:, None], g_seeded, g_shared)
+    else:
+        g = g_shared
+    sampled = jnp.argmax(scaled + g, axis=-1).astype(jnp.int32)
     return jnp.where(t.temperature == 0.0, greedy, sampled)

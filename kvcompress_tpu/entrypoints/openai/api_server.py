@@ -1,9 +1,10 @@
 """OpenAI-compatible HTTP server (stdlib-only: http.server + threads).
 
 The serving surface of reference vllm/entrypoints/openai/api_server.py:
-/v1/completions, /v1/chat/completions, /v1/models, /health, /metrics
-(Prometheus), /tokenize, /detokenize — with the KV-Compress per-request
-fields accepted on both completion endpoints."""
+/v1/completions, /v1/chat/completions (both with SSE streaming, logprobs,
+logit_bias), /v1/models, /health, /metrics (Prometheus), /tokenize,
+/detokenize — with the KV-Compress per-request fields accepted on both
+completion endpoints."""
 
 from __future__ import annotations
 
@@ -68,19 +69,58 @@ class OpenAIServer:
             if isinstance(prompt, list):
                 prompt = prompt[0]
             text, ids = prompt, None
+        if body.get("n", 1) != 1 or body.get("best_of", 1) != 1:
+            return 400, proto.error_response(
+                "n>1 / best_of are unsupported with KV-Compress "
+                "(single-sequence groups only, as in the reference)")
         sp = proto.sampling_params_from_request(body)
+        if body.get("stream"):
+            stream = self.async_engine.submit(text, ids, sp)
+            return 200, ("sse", self._sse_completion(stream))
         out = self.async_engine.generate(text, ids, sp)
         n_prompt = len(out.prompt_token_ids)
         return 200, proto.completion_response(self.model_name, n_prompt,
-                                              out.outputs)
+                                              out.outputs, self.tokenizer)
+
+    def _sse_completion(self, stream):
+        import uuid
+        rid = f"cmpl-{uuid.uuid4().hex}"
+        sent = 0
+        for out in stream:
+            o = out.outputs[0]
+            delta = o.text[sent:]
+            if delta or out.finished:
+                sent = len(o.text)
+                yield proto.completion_chunk(
+                    rid, self.model_name, delta,
+                    o.finish_reason if out.finished else None)
 
     def _chat(self, body: Dict[str, Any]) -> tuple:
         prompt = _apply_chat_template(self.tokenizer, body["messages"])
         sp = proto.sampling_params_from_request(body)
+        if body.get("stream"):
+            stream = self.async_engine.submit(prompt, None, sp)
+            return 200, ("sse", self._sse_chat(stream))
         out = self.async_engine.generate(prompt, None, sp)
         n_prompt = len(out.prompt_token_ids)
         return 200, proto.chat_response(self.model_name, n_prompt,
-                                        out.outputs)
+                                        out.outputs, self.tokenizer)
+
+    def _sse_chat(self, stream):
+        import uuid
+        rid = f"chatcmpl-{uuid.uuid4().hex}"
+        sent = 0
+        first = True
+        for out in stream:
+            o = out.outputs[0]
+            delta = o.text[sent:]
+            if delta or out.finished:
+                sent = len(o.text)
+                yield proto.chat_chunk(
+                    rid, self.model_name, delta,
+                    role="assistant" if first else None,
+                    finish_reason=o.finish_reason if out.finished else None)
+                first = False
 
     # --------------------------------------------------------------- serve
     def serve(self, host: str = "0.0.0.0", port: int = 8000,
@@ -92,6 +132,23 @@ class OpenAIServer:
                 pass
 
             def _respond(self, code: int, payload):
+                if (isinstance(payload, tuple) and len(payload) == 2
+                        and payload[0] == "sse"):
+                    self.send_response(code)
+                    self.send_header("Content-Type", "text/event-stream")
+                    self.send_header("Cache-Control", "no-cache")
+                    self.end_headers()
+                    try:
+                        for chunk in payload[1]:
+                            self.wfile.write(
+                                b"data: " + json.dumps(chunk).encode()
+                                + b"\n\n")
+                            self.wfile.flush()
+                        self.wfile.write(b"data: [DONE]\n\n")
+                        self.wfile.flush()
+                    except (BrokenPipeError, ConnectionResetError):
+                        pass
+                    return
                 if isinstance(payload, str):
                     data = payload.encode()
                     ctype = "text/plain; version=0.0.4"

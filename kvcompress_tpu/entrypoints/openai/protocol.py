@@ -26,6 +26,14 @@ def sampling_params_from_request(req: Dict[str, Any],
     stop = req.get("stop")
     if isinstance(stop, str):
         stop = [stop]
+    # completions: logprobs is an int; chat: logprobs is a bool gated by
+    # top_logprobs (reference openai/protocol.py)
+    logprobs = req.get("logprobs")
+    if isinstance(logprobs, bool):
+        logprobs = _get(req, "top_logprobs", 0) if logprobs else None
+    logit_bias = req.get("logit_bias")
+    if logit_bias:
+        logit_bias = {int(k): float(v) for k, v in logit_bias.items()}
     return SamplingParams(
         n=_get(req, "n", 1),
         temperature=_get(req, "temperature", 1.0),
@@ -41,6 +49,8 @@ def sampling_params_from_request(req: Dict[str, Any],
         ignore_eos=_get(req, "ignore_eos", False),
         max_tokens=_get(req, "max_tokens", default_max_tokens),
         min_tokens=_get(req, "min_tokens", 0),
+        logprobs=logprobs,
+        logit_bias=logit_bias,
         skip_special_tokens=_get(req, "skip_special_tokens", True),
         # --- KV-Compress extensions ---
         protected_window_size=_get(req, "protected_window_size", 32),
@@ -52,7 +62,45 @@ def sampling_params_from_request(req: Dict[str, Any],
     )
 
 
-def completion_response(model: str, prompt_tokens: int, outputs) -> dict:
+def _completion_logprobs(o, tokenizer=None) -> Optional[dict]:
+    """OpenAI completions logprobs block from per-token {id: lp} dicts."""
+    if not o.logprobs:
+        return None
+    toks, tlps, tops = [], [], []
+    for tok_id, entry in zip(o.token_ids, o.logprobs):
+        text = (tokenizer.decode([tok_id]) if tokenizer is not None
+                else str(tok_id))
+        toks.append(text)
+        tlps.append(entry.get(tok_id))
+        if tokenizer is not None:
+            tops.append({tokenizer.decode([t]): lp
+                         for t, lp in entry.items()})
+        else:
+            tops.append({str(t): lp for t, lp in entry.items()})
+    return {"tokens": toks, "token_logprobs": tlps, "top_logprobs": tops,
+            "text_offset": []}
+
+
+def _chat_logprobs(o, tokenizer=None) -> Optional[dict]:
+    if not o.logprobs:
+        return None
+    content = []
+    for tok_id, entry in zip(o.token_ids, o.logprobs):
+        text = (tokenizer.decode([tok_id]) if tokenizer is not None
+                else str(tok_id))
+        content.append({
+            "token": text,
+            "logprob": entry.get(tok_id),
+            "top_logprobs": [
+                {"token": (tokenizer.decode([t]) if tokenizer is not None
+                           else str(t)), "logprob": lp}
+                for t, lp in entry.items()],
+        })
+    return {"content": content}
+
+
+def completion_response(model: str, prompt_tokens: int, outputs,
+                        tokenizer=None) -> dict:
     return {
         "id": f"cmpl-{uuid.uuid4().hex}",
         "object": "text_completion",
@@ -62,7 +110,7 @@ def completion_response(model: str, prompt_tokens: int, outputs) -> dict:
             {
                 "index": i,
                 "text": o.text,
-                "logprobs": None,
+                "logprobs": _completion_logprobs(o, tokenizer),
                 "finish_reason": o.finish_reason,
             } for i, o in enumerate(outputs)
         ],
@@ -75,7 +123,8 @@ def completion_response(model: str, prompt_tokens: int, outputs) -> dict:
     }
 
 
-def chat_response(model: str, prompt_tokens: int, outputs) -> dict:
+def chat_response(model: str, prompt_tokens: int, outputs,
+                  tokenizer=None) -> dict:
     return {
         "id": f"chatcmpl-{uuid.uuid4().hex}",
         "object": "chat.completion",
@@ -85,6 +134,7 @@ def chat_response(model: str, prompt_tokens: int, outputs) -> dict:
             {
                 "index": i,
                 "message": {"role": "assistant", "content": o.text},
+                "logprobs": _chat_logprobs(o, tokenizer),
                 "finish_reason": o.finish_reason,
             } for i, o in enumerate(outputs)
         ],
@@ -100,3 +150,28 @@ def chat_response(model: str, prompt_tokens: int, outputs) -> dict:
 def error_response(message: str, code: int = 400) -> dict:
     return {"error": {"message": message, "type": "invalid_request_error",
                       "code": code}}
+
+
+def completion_chunk(rid: str, model: str, text_delta: str,
+                     finish_reason=None) -> dict:
+    return {
+        "id": rid, "object": "text_completion",
+        "created": int(time.time()), "model": model,
+        "choices": [{"index": 0, "text": text_delta, "logprobs": None,
+                     "finish_reason": finish_reason}],
+    }
+
+
+def chat_chunk(rid: str, model: str, content_delta: Optional[str],
+               role: Optional[str] = None, finish_reason=None) -> dict:
+    delta: Dict[str, Any] = {}
+    if role is not None:
+        delta["role"] = role
+    if content_delta:
+        delta["content"] = content_delta
+    return {
+        "id": rid, "object": "chat.completion.chunk",
+        "created": int(time.time()), "model": model,
+        "choices": [{"index": 0, "delta": delta,
+                     "finish_reason": finish_reason}],
+    }

@@ -28,6 +28,7 @@ class SamplingParams:
     max_tokens: Optional[int] = 16
     min_tokens: int = 0
     logprobs: Optional[int] = None
+    logit_bias: Optional[dict] = None  # {token_id: bias}
     skip_special_tokens: bool = True
 
     # --- KV-Compress per-request controls ---

@@ -54,6 +54,14 @@ class Sequence:
     first_token_time: Optional[float] = None
     finish_time: Optional[float] = None
 
+    # Incremental text / logprobs (populated by the engine).
+    output_text: str = ""
+    detokenizer: Optional[object] = None
+    logprobs: Optional[List[dict]] = None   # per-token {id: logprob, ...}
+    stop_reason: Optional[str] = None       # matched stop string
+    # index into output_token_ids of tokens already emitted to streams
+    stream_offset: int = 0
+
     @property
     def num_prompt_tokens(self) -> int:
         return len(self.prompt_token_ids)
@@ -89,6 +97,8 @@ class CompletionOutput:
     text: str
     token_ids: List[int]
     finish_reason: Optional[str] = None
+    logprobs: Optional[List[dict]] = None  # per-token {token_id: logprob}
+    stop_reason: Optional[str] = None
 
 
 @dataclasses.dataclass
