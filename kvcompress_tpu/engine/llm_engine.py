@@ -40,6 +40,8 @@ from kvcompress_tpu.sampling_params import SamplingParams
 from kvcompress_tpu.sequence import (CompletionOutput, RequestOutput,
                                      Sequence, SequenceStatus)
 from kvcompress_tpu.utils.metrics import EngineStats
+from kvcompress_tpu.utils.profiler import BENCHMARKER
+from kvcompress_tpu.utils.tracing import TRACER
 
 
 class LLMEngine:
@@ -136,6 +138,11 @@ class LLMEngine:
         self._seqs[request_id] = seq
         self.scheduler.add_seq(seq)
         self.stats.counter("requests_added")
+        TRACER.start_request(
+            request_id,
+            **{"gen_ai.request.max_tokens": sampling_params.max_tokens
+               if sampling_params else None,
+               "gen_ai.usage.prompt_tokens": len(prompt_token_ids)})
         return request_id
 
     def abort_request(self, request_id: str) -> None:
@@ -154,7 +161,8 @@ class LLMEngine:
     # ----------------------------------------------------------------- step
     def step(self) -> List[RequestOutput]:
         t0 = time.monotonic()
-        self._maybe_compress()
+        with BENCHMARKER.range("compress"):
+            self._maybe_compress()
         while (self.scheduler.must_preempt(self.multi_step)
                and len(self.scheduler.running) > 1):
             victim, slot = self.scheduler.preempt_last()
@@ -168,9 +176,11 @@ class LLMEngine:
         outputs: List[RequestOutput] = []
         prefill_seq = self.scheduler.next_prefill()
         if prefill_seq is not None:
-            outputs += self._do_prefill(prefill_seq)
+            with BENCHMARKER.range("prefill"):
+                outputs += self._do_prefill(prefill_seq)
         elif self.scheduler.running:
-            outputs += self._do_decode()
+            with BENCHMARKER.range("decode"):
+                outputs += self._do_decode()
         self.stats.timer("step_seconds", time.monotonic() - t0)
         return outputs
 
@@ -434,6 +444,7 @@ class LLMEngine:
                 self.scheduler.finish_seq(seq, status)
                 freed_slots.append(slot)
                 seq.finish_time = time.monotonic()
+                self._record_request_stats(seq)
                 outputs.append(self._make_output(seq, finished=True))
             else:
                 # in-progress output for streaming consumers (the reference
@@ -445,6 +456,23 @@ class LLMEngine:
             self.scheduler.free_blocks = int(free_top)
             self.stats.counter("requests_finished", len(freed_slots))
         return outputs
+
+    def _record_request_stats(self, seq: Sequence) -> None:
+        """TTFT / TPOT / e2e latency histograms (reference
+        vllm/engine/metrics.py histogram set) + request trace span."""
+        e2e = seq.finish_time - seq.arrival_time
+        self.stats.timer("e2e_request_latency_seconds", e2e)
+        if seq.first_token_time is not None:
+            ttft = seq.first_token_time - seq.arrival_time
+            self.stats.timer("time_to_first_token_seconds", ttft)
+            n_decode = max(seq.num_output_tokens - 1, 1)
+            tpot = (seq.finish_time - seq.first_token_time) / n_decode
+            self.stats.timer("time_per_output_token_seconds", tpot)
+        TRACER.finish_request(
+            seq.request_id,
+            **{"gen_ai.usage.completion_tokens": seq.num_output_tokens,
+               "gen_ai.response.finish_reason": seq.status.value,
+               "kvc.compressed": seq.compressed})
 
     def _make_output(self, seq: Sequence,
                      finished: bool = True) -> RequestOutput:
