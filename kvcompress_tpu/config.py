@@ -173,6 +173,14 @@ class SchedulerConfig:
 
 
 @dataclasses.dataclass
+class LoRAConfig:
+    """Multi-adapter serving limits (reference vllm/config.py LoRAConfig)."""
+    enable_lora: bool = False
+    max_loras: int = 4
+    max_lora_rank: int = 16
+
+
+@dataclasses.dataclass
 class ParallelConfig:
     """Mesh shape. data axis shards the batch; model axis shards weights and
     the kv-head dimension of the cache (KVC is embarrassingly parallel per
@@ -193,10 +201,13 @@ class EngineConfig:
     kvcompress: KVCompressConfig
     scheduler: SchedulerConfig
     parallel: ParallelConfig
+    lora: Optional[LoRAConfig] = None
     seed: int = 0
     enforce_eager: bool = False
 
     def __post_init__(self):
+        if self.lora is None:
+            self.lora = LoRAConfig()
         mc, sc, kc = self.model, self.scheduler, self.kvcompress
         kc.num_layers = mc.num_layers
         kc.num_kv_heads = mc.get_num_kv_heads(

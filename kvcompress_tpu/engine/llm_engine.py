@@ -88,6 +88,16 @@ class LLMEngine:
             cache_dtype=jnp.bfloat16 if cc.cache_dtype == "bfloat16"
             else jnp.float32,
         )
+        self.lora_bank = None
+        if cfg.lora and cfg.lora.enable_lora:
+            from kvcompress_tpu.lora.models import LoRABank
+            self.lora_bank = LoRABank.create(
+                cfg.model, cfg.lora.max_loras, cfg.lora.max_lora_rank,
+                dtype=jnp.bfloat16 if cfg.model.dtype == "bfloat16"
+                else jnp.float32)
+            params = dict(params)
+            params["layers"] = dict(params["layers"])
+            params["layers"].update(self.lora_bank.layer_banks())
         self.programs = EnginePrograms(cfg, params, attn_impl=attn_impl,
                                        mesh=mesh)
         self.scheduler = Scheduler(cfg, num_blocks)
@@ -116,12 +126,40 @@ class LLMEngine:
         return int(min(nblocks, 2 ** 24))
 
     # ------------------------------------------------------------- requests
+    # ----------------------------------------------------------------- lora
+    def add_lora(self, lora_request, weights=None, scaling=1.0) -> None:
+        """Install an adapter into the bank (reference
+        vllm/lora/worker_manager.py add_adapter). weights may be given
+        directly ({target: (A [L,in,r], B [L,r,out])}) or loaded from the
+        request's PEFT checkpoint path."""
+        assert self.lora_bank is not None, "engine built without enable_lora"
+        if weights is None:
+            from kvcompress_tpu.lora.models import load_peft_adapter
+            weights, scaling = load_peft_adapter(
+                lora_request.lora_path, self.cfg.model)
+        self.lora_bank.add(lora_request.lora_name, lora_request.lora_int_id,
+                           weights, scaling)
+        self._refresh_lora_params()
+
+    def remove_lora(self, lora_name: str) -> None:
+        assert self.lora_bank is not None
+        self.lora_bank.remove(lora_name)
+        self._refresh_lora_params()
+
+    def _refresh_lora_params(self) -> None:
+        params = dict(self.programs.params)
+        params["layers"] = dict(params["layers"])
+        params["layers"].update(self.lora_bank.layer_banks())
+        self.programs.params = params
+        self._carry = None
+
     def add_request(
         self,
         request_id: Optional[str],
         prompt: Optional[str] = None,
         sampling_params: Optional[SamplingParams] = None,
         prompt_token_ids: Optional[List[int]] = None,
+        lora_request=None,
     ) -> str:
         if request_id is None:
             request_id = str(self._request_counter)
@@ -135,6 +173,12 @@ class LLMEngine:
             sampling_params=sampling_params or SamplingParams(),
             prompt=prompt,
         )
+        if lora_request is not None:
+            assert self.lora_bank is not None, \
+                "engine built without enable_lora"
+            if lora_request.lora_name not in self.lora_bank.name_to_slot:
+                self.add_lora(lora_request)
+            seq.lora_int_id = lora_request.lora_int_id
         self._seqs[request_id] = seq
         self.scheduler.add_seq(seq)
         self.stats.counter("requests_added")
@@ -191,11 +235,15 @@ class LLMEngine:
                                          vocab_size=self.cfg.model.vocab_size)
         self._rng, key = jax.random.split(self._rng)
         lp_n = sp.logprobs or 0
+        lora_kw = {}
+        if self.lora_bank is not None:
+            lora_kw = dict(lora_idx=seq.lora_int_id,
+                           lora_scale=self.lora_bank.scale)
         self.state, packed, lp = self.programs.prefill(
             self.state, np.asarray(seq.prompt_token_ids, np.int32),
             seq.num_prompt_tokens, seq.slot,
             sp.metric_collection_buffer_size, st, key,
-            use_seeds=sp.seed is not None, logprobs_n=lp_n)
+            use_seeds=sp.seed is not None, logprobs_n=lp_n, **lora_kw)
         packed = np.asarray(packed)  # one fetch: [token, free_top]
         self._carry = None  # batch composition changed
         self.scheduler.free_blocks = int(packed[1])
@@ -270,6 +318,12 @@ class LLMEngine:
                 pm[sl, np.asarray(seq.prompt_token_ids, np.int64) % V] = True
             token_counts = jnp.asarray(tc)
             prompt_mask = jnp.asarray(pm)
+        lora_idx = None
+        if self.lora_bank is not None:
+            li = np.zeros((S,), np.int32)
+            for seq in running:
+                li[seq.slot] = seq.lora_int_id
+            lora_idx = jnp.asarray(li)
         eos = sorted(self.eos_token_ids) or [-1]
         self._rng, key = jax.random.split(self._rng)
         self._carry = {
@@ -291,6 +345,7 @@ class LLMEngine:
             "use_seeds": use_seeds,
             "use_penalties": use_penalties,
             "logprobs_n": logprobs_n,
+            "lora_idx": lora_idx,
             "use_metric_buffer": bool(buffer_lens.any()),
         }
         return self._carry
@@ -312,7 +367,10 @@ class LLMEngine:
             prompt_mask=carry["prompt_mask"],
             use_penalties=carry["use_penalties"],
             use_seeds=carry["use_seeds"],
-            logprobs_n=carry["logprobs_n"])
+            logprobs_n=carry["logprobs_n"],
+            lora_idx=carry["lora_idx"],
+            lora_scale=(self.lora_bank.scale
+                        if self.lora_bank is not None else None))
         packed = np.asarray(out.packed)  # the single per-k-steps fetch
         token_matrix = packed[:k * S].reshape(k, S)
         blk = packed[k * S:k * S + S]

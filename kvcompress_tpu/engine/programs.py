@@ -93,14 +93,15 @@ class EnginePrograms:
 
     # ------------------------------------------------------------- prefill
     def _build_prefill(self, T: int, use_seeds: bool = False,
-                       logprobs_n: int = 0):
+                       logprobs_n: int = 0, use_lora: bool = False):
         cfg, mcfg, ccfg = self.cfg, self.cfg.model, self.cfg.cache
         bs = ccfg.block_size
         nbb = cdiv(T, bs)
         spec = self.prefill_spec
 
         def prefill_fn(state: CacheState, params, tokens, seq_len, slot,
-                       buffer_len, st: SamplingTensors, rng):
+                       buffer_len, st: SamplingTensors, rng, lora_idx,
+                       lora_scale):
             L, S, H, B = state.block_tables.shape
             # allocate ceil(seq_len / bs) blocks per (layer, head)
             # (reference kvcompress/block_manager.py:196-222 _add_sequence)
@@ -120,9 +121,10 @@ class EnginePrograms:
             sm = jnp.where(t_idx[None, None, :] < seq_len, sm, -1)
             slot_mappings = jnp.transpose(sm, (0, 2, 1))  # [L, T, H]
 
+            lora = (lora_idx, lora_scale) if use_lora else None
             last_hidden, cache = llama.prefill(
                 params, mcfg, tokens, seq_len, slot_mappings,
-                _cache_of(state), buffer_len, spec)
+                _cache_of(state), buffer_len, spec, lora=lora)
             logits = llama.compute_logits(params, mcfg, last_hidden)[None]
             logits = sampler_mod.apply_logit_bias(logits, st)
             token = sampler_mod.sample(
@@ -143,20 +145,26 @@ class EnginePrograms:
 
     def prefill(self, state, tokens_np, seq_len: int, slot: int,
                 buffer_len: int, st: SamplingTensors, rng,
-                use_seeds: bool = False, logprobs_n: int = 0):
+                use_seeds: bool = False, logprobs_n: int = 0,
+                lora_idx: int = 0, lora_scale=None):
         buckets = [b for b in self.cfg.scheduler.prefill_buckets
                    if b >= seq_len]
         T = buckets[0] if buckets else self.cfg.scheduler.max_model_len
-        key = (T, use_seeds, logprobs_n)
+        use_lora = lora_scale is not None
+        key = (T, use_seeds, logprobs_n, use_lora)
         if key not in self._prefill_fns:
             self._prefill_fns[key] = self._build_prefill(
-                T, use_seeds=use_seeds, logprobs_n=logprobs_n)
+                T, use_seeds=use_seeds, logprobs_n=logprobs_n,
+                use_lora=use_lora)
         tokens = np.zeros((T,), np.int32)
         tokens[:seq_len] = tokens_np
+        if lora_scale is None:
+            lora_scale = jnp.zeros((1,), jnp.float32)
         return self._prefill_fns[key](
             state, self.params, jnp.asarray(tokens),
             jnp.asarray(seq_len, jnp.int32), jnp.asarray(slot, jnp.int32),
-            jnp.asarray(buffer_len, jnp.int32), st, rng)
+            jnp.asarray(buffer_len, jnp.int32), st, rng,
+            jnp.asarray(lora_idx, jnp.int32), lora_scale)
 
     # -------------------------------------------------------------- decode
     def _kernel_n_pad(self) -> int:
@@ -174,7 +182,8 @@ class EnginePrograms:
                       use_metric_buffer: bool = False,
                       use_penalties: bool = False,
                       use_seeds: bool = False,
-                      logprobs_n: int = 0):
+                      logprobs_n: int = 0,
+                      use_lora: bool = False):
         """One jitted program running `multi_steps` decode iterations via
         lax.scan: ONE dispatch + ONE host fetch per k tokens. EOS and
         max-tokens termination are enforced on device (a finished slot's
@@ -202,7 +211,7 @@ class EnginePrograms:
         def decode_fn(state: CacheState, params, tokens, positions, active,
                       buffer_lens, st: SamplingTensors, rng, eos_ids,
                       ignore_eos, remaining, min_remaining, token_counts,
-                      prompt_mask):
+                      prompt_mask, lora_idx, lora_scale):
             L, S, H, B = state.block_tables.shape
 
             acc0 = (jnp.zeros((L, S, H, n_pad), jnp.float32)
@@ -236,7 +245,7 @@ class EnginePrograms:
                 state, out, acc, acc_t, tail, token_counts, lp = decode_step(
                     state, params, tokens, positions, active, buffer_lens,
                     st, rng, acc, acc_t, tail, pos_dense0, token_counts,
-                    prompt_mask)
+                    prompt_mask, lora_idx, lora_scale)
                 remaining = remaining - active.astype(jnp.int32)
                 min_remaining = min_remaining - active.astype(jnp.int32)
                 is_eos = (jnp.isin(out.tokens, eos_ids) & ~ignore_eos
@@ -342,7 +351,9 @@ class EnginePrograms:
 
         def decode_step(state: CacheState, params, tokens, positions, active,
                         buffer_lens, st: SamplingTensors, rng, acc,
-                        acc_t, tail, pos_dense, token_counts, prompt_mask):
+                        acc_t, tail, pos_dense, token_counts, prompt_mask,
+                        lora_idx, lora_scale):
+            lora = (lora_idx, lora_scale) if use_lora else None
             rng, sample_rng = jax.random.split(rng)
             L, S, H, B = state.block_tables.shape
             ctx = state.context_lens
@@ -366,7 +377,7 @@ class EnginePrograms:
                     llama.decode_tail(
                         params, mcfg, tokens, positions, block_tables,
                         new_ctx, tail_k, tail_v, tail_cnt, tail_len,
-                        _cache_of(state), active, spec))
+                        _cache_of(state), active, spec, lora=lora))
                 # record the new tail entry's logical position
                 srow = jnp.arange(S)
                 wrow = jnp.where(active, tail_cnt, KT)
@@ -395,7 +406,8 @@ class EnginePrograms:
                 )[..., 0] * bs + last % bs  # [L, S, H]
                 hidden, cache = llama.decode(
                     params, mcfg, tokens, positions, block_tables, new_ctx,
-                    sm, _cache_of(state), buffer_lens, active, spec)
+                    sm, _cache_of(state), buffer_lens, active, spec,
+                    lora=lora)
             logits = llama.compute_logits(params, mcfg, hidden)
             if use_penalties:
                 logits = sampler_mod.apply_penalties(
@@ -440,21 +452,26 @@ class EnginePrograms:
                use_metric_buffer: bool = False,
                min_remaining=None, token_counts=None, prompt_mask=None,
                use_penalties: bool = False, use_seeds: bool = False,
-               logprobs_n: int = 0):
+               logprobs_n: int = 0, lora_idx=None, lora_scale=None):
+        use_lora = lora_scale is not None
         key = (multi_steps, greedy_only, use_metric_buffer, use_penalties,
-               use_seeds, logprobs_n)
+               use_seeds, logprobs_n, use_lora)
         if self._decode_fn is None or self._decode_steps != key:
             self._decode_fn = self._build_decode(
                 multi_steps, greedy_only, use_metric_buffer,
                 use_penalties=use_penalties, use_seeds=use_seeds,
-                logprobs_n=logprobs_n)
+                logprobs_n=logprobs_n, use_lora=use_lora)
             self._decode_steps = key
         if min_remaining is None:
             min_remaining = jnp.zeros_like(remaining)
+        if lora_idx is None:
+            lora_idx = jnp.zeros(tokens.shape, jnp.int32)
+        if lora_scale is None:
+            lora_scale = jnp.zeros((1,), jnp.float32)
         return self._decode_fn(state, self.params, tokens, positions, active,
                                buffer_lens, st, rng, eos_ids, ignore_eos,
                                remaining, min_remaining, token_counts,
-                               prompt_mask)
+                               prompt_mask, lora_idx, lora_scale)
 
     # ------------------------------------------------------------ compress
     def _build_compress(self, B: int, nb: int):

@@ -313,19 +313,35 @@ def _embed(params, cfg: ModelConfig, token_ids, positions):
 
 
 def _layer_step_fn(cfg: ModelConfig, T: int, cos, sin, attn_fn,
-                   collect: bool):
+                   collect: bool, lora=None):
     """Returns the scan body. attn_fn(lxs, q, k, v, cache) -> (out, cache)
-    or (out, cache, extra) when collect=True."""
+    or (out, cache, extra) when collect=True. lora = (lora_idx, lora_scale)
+    activates per-sequence adapter deltas (banks ride in the layers dict,
+    see kvcompress_tpu/lora/models.py)."""
     Hq, Hkv, d = cfg.num_heads, cfg.num_kv_heads, cfg.head_size
     rm = cfg.residual_multiplier
 
     def layer_step(carry, xs):
         x, cache = carry
         lw, lxs = xs
+
+        if lora is not None:
+            from kvcompress_tpu.lora.models import apply_lora
+            lidx, lscale = lora
+
+            def proj(h, w_name):
+                y = h @ lw[w_name]
+                if f"lora_{w_name}_A" in lw:
+                    y = y + apply_lora(h, lw, w_name, lidx, lscale)
+                return y
+        else:
+            def proj(h, w_name):
+                return h @ lw[w_name]
+
         h = _norm(x, lw["input_norm"], lw.get("input_norm_b"), cfg)
-        q = h @ lw["wq"]
-        k = h @ lw["wk"]
-        v = h @ lw["wv"]
+        q = proj(h, "wq")
+        k = proj(h, "wk")
+        v = proj(h, "wv")
         if "bq" in lw:
             q, k, v = q + lw["bq"], k + lw["bk"], v + lw["bv"]
         q = q.reshape(T, Hq, d)
@@ -340,21 +356,35 @@ def _layer_step_fn(cfg: ModelConfig, T: int, cos, sin, attn_fn,
         else:
             attn_out, cache = res
             extra = None
-        a = attn_out.reshape(T, Hq * d) @ lw["wo"]
+        ao = attn_out.reshape(T, Hq * d)
+        a = proj(ao, "wo") if lora is not None else ao @ lw["wo"]
         if "bo" in lw:
             a = a + lw["bo"]
         if cfg.use_post_norms:
             a = _norm(a, lw["post_attn_out_norm"], None, cfg)
+        def mlp_fn(hm):
+            if (lora is not None and cfg.mlp_type == "gated"
+                    and not cfg.num_experts
+                    and "lora_w_gate_A" in lw):
+                from kvcompress_tpu.lora.models import apply_lora
+                gate = proj(hm, "w_gate")
+                up = proj(hm, "w_up")
+                if "b_gate" in lw:
+                    gate, up = gate + lw["b_gate"], up + lw["b_up"]
+                hh = (_act(gate, cfg.hidden_act).astype(hm.dtype) * up)
+                return proj(hh, "w_down")
+            return _mlp(hm, lw, cfg)
+
         if cfg.parallel_residual:
             hm = h if cfg.shared_input_norm else _norm(
                 x, lw["post_attn_norm"], lw.get("post_attn_norm_b"), cfg)
-            m = _mlp(hm, lw, cfg)
+            m = mlp_fn(hm)
             x = x + (a + m) * rm if rm != 1.0 else x + a + m
         else:
             x = x + a * rm if rm != 1.0 else x + a
             h2 = _norm(x, lw["post_attn_norm"], lw.get("post_attn_norm_b"),
                        cfg)
-            m = _mlp(h2, lw, cfg)
+            m = mlp_fn(h2)
             if cfg.use_post_norms:
                 m = _norm(m, lw["post_mlp_norm"], None, cfg)
             x = x + m * rm if rm != 1.0 else x + m
@@ -371,13 +401,14 @@ def forward(
     cache: Optional[KVCache],
     attn_fn: Callable,      # (layer_xs, q, k, v, cache) -> (out, cache)
     layer_xs: Any,          # pytree with leading [L] axis, per-layer inputs
+    lora=None,              # (lora_idx, lora_scale) or None
 ) -> Tuple[jax.Array, Optional[KVCache]]:
     """Shared trunk: embeds tokens, scans layers calling attn_fn, returns
     final hidden states [T, D] and the updated cache."""
     x = _embed(params, cfg, token_ids, positions)
     cos, sin = precompute_rope(cfg, positions)
     step = _layer_step_fn(cfg, token_ids.shape[0], cos, sin, attn_fn,
-                          collect=False)
+                          collect=False, lora=lora)
     (x, cache), _ = jax.lax.scan(step, (x, cache),
                                  (params["layers"], layer_xs))
     x = _norm(x, params["final_norm"], params.get("final_norm_b"), cfg)
@@ -392,13 +423,14 @@ def forward_collect(
     cache,
     attn_fn: Callable,
     layer_xs: Any,
+    lora=None,
 ):
     """Like forward() but attn_fn returns (out, cache, extra); the per-layer
     extras are stacked and returned."""
     x = _embed(params, cfg, token_ids, positions)
     cos, sin = precompute_rope(cfg, positions)
     step = _layer_step_fn(cfg, token_ids.shape[0], cos, sin, attn_fn,
-                          collect=True)
+                          collect=True, lora=lora)
     (x, cache), extras = jax.lax.scan(step, (x, cache),
                                       (params["layers"], layer_xs))
     x = _norm(x, params["final_norm"], params.get("final_norm_b"), cfg)
@@ -431,6 +463,7 @@ def prefill(
     cache: KVCache,
     buffer_len: jax.Array,     # [] metric collection buffer for this seq
     spec: AttentionSpec,
+    lora=None,
 ) -> Tuple[jax.Array, KVCache]:
     """Prompt pass: writes KVs + positions, collects prefill metrics,
     returns hidden state of the last real token [D] and updated cache
@@ -468,7 +501,8 @@ def prefill(
         return out, cache, (k, v, pf_metrics)
 
     hidden, cache, (ks, vs, pfs) = forward_collect(
-        params, cfg, token_ids, positions, cache, attn_fn, slot_mappings)
+        params, cfg, token_ids, positions, cache, attn_fn, slot_mappings,
+        lora=lora)
     # Single cache-write epilogue across all layers (instead of 5 scatters
     # per layer): K, V, positions, metric init (+ prefill metric add).
     # ks/vs: [L, T, H, d]; pfs: [L, T, H]; slot_mappings: [L, T, H].
@@ -508,6 +542,7 @@ def decode(
     buffer_lens: jax.Array,    # [S]
     active: jax.Array,         # [S] bool
     spec: AttentionSpec,
+    lora=None,
 ) -> Tuple[jax.Array, KVCache]:
     """Batched single-token decode over per-head block tables. Returns
     hidden states [S, D] and the updated cache (reference
@@ -536,7 +571,7 @@ def decode(
 
     hidden, cache = forward(
         params, cfg, token_ids, positions, cache, attn_fn,
-        (slot_mappings, block_tables, context_lens))
+        (slot_mappings, block_tables, context_lens), lora=lora)
     return hidden, cache
 
 
@@ -554,6 +589,7 @@ def decode_tail(
     cache: KVCache,            # read-only here
     active: jax.Array,         # [S] bool
     spec: AttentionSpec,
+    lora=None,
 ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array, jax.Array]:
     """Production TPU decode: the paged cache is read-only; the burst's
     fresh KVs live in the dense tail buffers, written back once per burst
@@ -584,7 +620,7 @@ def decode_tail(
 
     hidden, cache, (tk, tv, m_cached, m_tail) = forward_collect(
         params, cfg, token_ids, positions, cache,
-        attn_fn, (tail_k, tail_v, block_tables, ctx_gated))
+        attn_fn, (tail_k, tail_v, block_tables, ctx_gated), lora=lora)
     return hidden, tk, tv, m_cached, m_tail
 
 

@@ -61,6 +61,8 @@ class Sequence:
     stop_reason: Optional[str] = None       # matched stop string
     # index into output_token_ids of tokens already emitted to streams
     stream_offset: int = 0
+    # LoRA adapter bank slot (0 = no adapter)
+    lora_int_id: int = 0
 
     @property
     def num_prompt_tokens(self) -> int:
