@@ -179,6 +179,13 @@ class LLMEngine:
             if lora_request.lora_name not in self.lora_bank.name_to_slot:
                 self.add_lora(lora_request)
             seq.lora_int_id = lora_request.lora_int_id
+        if seq.sampling_params.is_guided:
+            assert self.tokenizer is not None, \
+                "guided decoding needs a tokenizer"
+            from kvcompress_tpu.guided import GuidedDecodingState
+            seq.guided = GuidedDecodingState(
+                seq.sampling_params, self.tokenizer,
+                self.cfg.model.vocab_size, self.eos_token_ids)
         self._seqs[request_id] = seq
         self.scheduler.add_seq(seq)
         self.stats.counter("requests_added")
@@ -239,6 +246,8 @@ class LLMEngine:
         if self.lora_bank is not None:
             lora_kw = dict(lora_idx=seq.lora_int_id,
                            lora_scale=self.lora_bank.scale)
+        if seq.guided is not None:
+            lora_kw["allowed_mask"] = jnp.asarray(seq.guided.mask())
         self.state, packed, lp = self.programs.prefill(
             self.state, np.asarray(seq.prompt_token_ids, np.int32),
             seq.num_prompt_tokens, seq.slot,
@@ -248,6 +257,8 @@ class LLMEngine:
         self._carry = None  # batch composition changed
         self.scheduler.free_blocks = int(packed[1])
         seq.output_token_ids.append(int(packed[0]))
+        if seq.guided is not None:
+            seq.guided.advance(int(packed[0]))
         if lp_n:
             chosen, top_v, top_i = (np.asarray(x) for x in lp)
             seq.logprobs = seq.logprobs or []
@@ -354,7 +365,19 @@ class LLMEngine:
         S = self.cfg.scheduler.max_num_seqs
         k = self.multi_step
         running = list(self.scheduler.running)
+        guided_seqs = [s for s in running if s.guided is not None]
+        if guided_seqs:
+            # masks change per emitted token, so guided batches run one
+            # device step per host round-trip
+            k = 1
         carry = self._build_carry(running)
+        allowed_mask = None
+        if guided_seqs:
+            V = self.cfg.model.vocab_size
+            am = np.ones((S, V), bool)
+            for seq in guided_seqs:
+                am[seq.slot] = seq.guided.mask()
+            allowed_mask = jnp.asarray(am)
         self.state, out = self.programs.decode(
             self.state, carry["tokens"], carry["positions"],
             carry["active"], carry["buffer_lens"], carry["st"],
@@ -370,7 +393,8 @@ class LLMEngine:
             logprobs_n=carry["logprobs_n"],
             lora_idx=carry["lora_idx"],
             lora_scale=(self.lora_bank.scale
-                        if self.lora_bank is not None else None))
+                        if self.lora_bank is not None else None),
+            allowed_mask=allowed_mask)
         packed = np.asarray(out.packed)  # the single per-k-steps fetch
         token_matrix = packed[:k * S].reshape(k, S)
         blk = packed[k * S:k * S + S]
@@ -395,6 +419,8 @@ class LLMEngine:
             seq.kv_count = int(kvs[s])
             for t in range(k):
                 seq.output_token_ids.append(int(token_matrix[t, s]))
+                if seq.guided is not None:
+                    seq.guided.advance(int(token_matrix[t, s]))
                 if lp_n and seq.sampling_params.logprobs:
                     seq.logprobs = seq.logprobs or []
                     seq.logprobs.append(self._logprob_entry(
@@ -460,6 +486,8 @@ class LLMEngine:
     def _check_stop(self, seq: Sequence) -> Optional[SequenceStatus]:
         sp = seq.sampling_params
         if seq.stop_reason is not None:  # stop string matched earlier
+            return SequenceStatus.FINISHED_STOPPED
+        if seq.guided is not None and seq.guided.finished:
             return SequenceStatus.FINISHED_STOPPED
         last = seq.output_token_ids[-1]
         past_min = seq.num_output_tokens >= sp.min_tokens

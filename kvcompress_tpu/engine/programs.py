@@ -93,7 +93,8 @@ class EnginePrograms:
 
     # ------------------------------------------------------------- prefill
     def _build_prefill(self, T: int, use_seeds: bool = False,
-                       logprobs_n: int = 0, use_lora: bool = False):
+                       logprobs_n: int = 0, use_lora: bool = False,
+                       use_guided: bool = False):
         cfg, mcfg, ccfg = self.cfg, self.cfg.model, self.cfg.cache
         bs = ccfg.block_size
         nbb = cdiv(T, bs)
@@ -101,7 +102,7 @@ class EnginePrograms:
 
         def prefill_fn(state: CacheState, params, tokens, seq_len, slot,
                        buffer_len, st: SamplingTensors, rng, lora_idx,
-                       lora_scale):
+                       lora_scale, allowed_mask):
             L, S, H, B = state.block_tables.shape
             # allocate ceil(seq_len / bs) blocks per (layer, head)
             # (reference kvcompress/block_manager.py:196-222 _add_sequence)
@@ -127,6 +128,8 @@ class EnginePrograms:
                 _cache_of(state), buffer_len, spec, lora=lora)
             logits = llama.compute_logits(params, mcfg, last_hidden)[None]
             logits = sampler_mod.apply_logit_bias(logits, st)
+            if use_guided:
+                logits = jnp.where(allowed_mask[None], logits, -1e30)
             token = sampler_mod.sample(
                 logits, st, rng, positions=(seq_len - 1)[None],
                 use_seeds=use_seeds, pre_processed=True)[0]
@@ -146,25 +149,28 @@ class EnginePrograms:
     def prefill(self, state, tokens_np, seq_len: int, slot: int,
                 buffer_len: int, st: SamplingTensors, rng,
                 use_seeds: bool = False, logprobs_n: int = 0,
-                lora_idx: int = 0, lora_scale=None):
+                lora_idx: int = 0, lora_scale=None, allowed_mask=None):
         buckets = [b for b in self.cfg.scheduler.prefill_buckets
                    if b >= seq_len]
         T = buckets[0] if buckets else self.cfg.scheduler.max_model_len
         use_lora = lora_scale is not None
-        key = (T, use_seeds, logprobs_n, use_lora)
+        use_guided = allowed_mask is not None
+        key = (T, use_seeds, logprobs_n, use_lora, use_guided)
         if key not in self._prefill_fns:
             self._prefill_fns[key] = self._build_prefill(
                 T, use_seeds=use_seeds, logprobs_n=logprobs_n,
-                use_lora=use_lora)
+                use_lora=use_lora, use_guided=use_guided)
         tokens = np.zeros((T,), np.int32)
         tokens[:seq_len] = tokens_np
         if lora_scale is None:
             lora_scale = jnp.zeros((1,), jnp.float32)
+        if allowed_mask is None:
+            allowed_mask = jnp.zeros((1,), bool)
         return self._prefill_fns[key](
             state, self.params, jnp.asarray(tokens),
             jnp.asarray(seq_len, jnp.int32), jnp.asarray(slot, jnp.int32),
             jnp.asarray(buffer_len, jnp.int32), st, rng,
-            jnp.asarray(lora_idx, jnp.int32), lora_scale)
+            jnp.asarray(lora_idx, jnp.int32), lora_scale, allowed_mask)
 
     # -------------------------------------------------------------- decode
     def _kernel_n_pad(self) -> int:
@@ -183,7 +189,8 @@ class EnginePrograms:
                       use_penalties: bool = False,
                       use_seeds: bool = False,
                       logprobs_n: int = 0,
-                      use_lora: bool = False):
+                      use_lora: bool = False,
+                      use_guided: bool = False):
         """One jitted program running `multi_steps` decode iterations via
         lax.scan: ONE dispatch + ONE host fetch per k tokens. EOS and
         max-tokens termination are enforced on device (a finished slot's
@@ -211,7 +218,7 @@ class EnginePrograms:
         def decode_fn(state: CacheState, params, tokens, positions, active,
                       buffer_lens, st: SamplingTensors, rng, eos_ids,
                       ignore_eos, remaining, min_remaining, token_counts,
-                      prompt_mask, lora_idx, lora_scale):
+                      prompt_mask, lora_idx, lora_scale, allowed_mask):
             L, S, H, B = state.block_tables.shape
 
             acc0 = (jnp.zeros((L, S, H, n_pad), jnp.float32)
@@ -245,7 +252,7 @@ class EnginePrograms:
                 state, out, acc, acc_t, tail, token_counts, lp = decode_step(
                     state, params, tokens, positions, active, buffer_lens,
                     st, rng, acc, acc_t, tail, pos_dense0, token_counts,
-                    prompt_mask, lora_idx, lora_scale)
+                    prompt_mask, lora_idx, lora_scale, allowed_mask)
                 remaining = remaining - active.astype(jnp.int32)
                 min_remaining = min_remaining - active.astype(jnp.int32)
                 is_eos = (jnp.isin(out.tokens, eos_ids) & ~ignore_eos
@@ -352,7 +359,7 @@ class EnginePrograms:
         def decode_step(state: CacheState, params, tokens, positions, active,
                         buffer_lens, st: SamplingTensors, rng, acc,
                         acc_t, tail, pos_dense, token_counts, prompt_mask,
-                        lora_idx, lora_scale):
+                        lora_idx, lora_scale, allowed_mask):
             lora = (lora_idx, lora_scale) if use_lora else None
             rng, sample_rng = jax.random.split(rng)
             L, S, H, B = state.block_tables.shape
@@ -413,6 +420,8 @@ class EnginePrograms:
                 logits = sampler_mod.apply_penalties(
                     logits, token_counts, prompt_mask, st)
             logits = sampler_mod.apply_logit_bias(logits, st)
+            if use_guided:
+                logits = jnp.where(allowed_mask, logits, -1e30)
             out_tokens = sampler_mod.sample(
                 logits, st, sample_rng, greedy_only=greedy_only,
                 positions=positions, use_seeds=use_seeds,
@@ -452,15 +461,18 @@ class EnginePrograms:
                use_metric_buffer: bool = False,
                min_remaining=None, token_counts=None, prompt_mask=None,
                use_penalties: bool = False, use_seeds: bool = False,
-               logprobs_n: int = 0, lora_idx=None, lora_scale=None):
+               logprobs_n: int = 0, lora_idx=None, lora_scale=None,
+               allowed_mask=None):
         use_lora = lora_scale is not None
+        use_guided = allowed_mask is not None
         key = (multi_steps, greedy_only, use_metric_buffer, use_penalties,
-               use_seeds, logprobs_n, use_lora)
+               use_seeds, logprobs_n, use_lora, use_guided)
         if self._decode_fn is None or self._decode_steps != key:
             self._decode_fn = self._build_decode(
                 multi_steps, greedy_only, use_metric_buffer,
                 use_penalties=use_penalties, use_seeds=use_seeds,
-                logprobs_n=logprobs_n, use_lora=use_lora)
+                logprobs_n=logprobs_n, use_lora=use_lora,
+                use_guided=use_guided)
             self._decode_steps = key
         if min_remaining is None:
             min_remaining = jnp.zeros_like(remaining)
@@ -468,10 +480,13 @@ class EnginePrograms:
             lora_idx = jnp.zeros(tokens.shape, jnp.int32)
         if lora_scale is None:
             lora_scale = jnp.zeros((1,), jnp.float32)
+        if allowed_mask is None:
+            allowed_mask = jnp.zeros((1, 1), bool)
         return self._decode_fn(state, self.params, tokens, positions, active,
                                buffer_lens, st, rng, eos_ids, ignore_eos,
                                remaining, min_remaining, token_counts,
-                               prompt_mask, lora_idx, lora_scale)
+                               prompt_mask, lora_idx, lora_scale,
+                               allowed_mask)
 
     # ------------------------------------------------------------ compress
     def _build_compress(self, B: int, nb: int):

@@ -52,6 +52,13 @@ def sampling_params_from_request(req: Dict[str, Any],
         logprobs=logprobs,
         logit_bias=logit_bias,
         skip_special_tokens=_get(req, "skip_special_tokens", True),
+        # --- guided decoding ---
+        guided_regex=req.get("guided_regex"),
+        guided_choice=req.get("guided_choice"),
+        guided_json=(req.get("guided_json")
+                     if req.get("guided_json") is not None
+                     else (True if (req.get("response_format") or {}).get(
+                         "type") == "json_object" else None)),
         # --- KV-Compress extensions ---
         protected_window_size=_get(req, "protected_window_size", 32),
         metric_collection_buffer_size=_get(

@@ -30,6 +30,16 @@ class SamplingParams:
     logprobs: Optional[int] = None
     logit_bias: Optional[dict] = None  # {token_id: bias}
     skip_special_tokens: bool = True
+    # --- guided decoding (reference guided_decoding/) ---
+    guided_regex: Optional[str] = None
+    guided_choice: Optional[List[str]] = None
+    guided_json: Optional[object] = None  # schema dict, {} or True
+
+    @property
+    def is_guided(self) -> bool:
+        return (self.guided_regex is not None
+                or self.guided_choice is not None
+                or self.guided_json is not None)
 
     # --- KV-Compress per-request controls ---
     # Most recent tokens that can never be evicted

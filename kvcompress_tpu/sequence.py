@@ -63,6 +63,8 @@ class Sequence:
     stream_offset: int = 0
     # LoRA adapter bank slot (0 = no adapter)
     lora_int_id: int = 0
+    # Guided-decoding automaton state (guided/processor.py)
+    guided: Optional[object] = None
 
     @property
     def num_prompt_tokens(self) -> int:
