@@ -64,6 +64,9 @@ def build_engine(compress: bool, quick: bool):
         parallel=ParallelConfig(),
     )
     params = init_llama_params(model, seed=0, dtype=dtype)
+    if os.environ.get("BENCH_QUANT") == "int8":
+        from kvcompress_tpu.quantization import quantize_params
+        params = quantize_params(params)
     return LLMEngine(cfg, params, num_blocks=num_blocks,
                      attn_impl=os.environ.get("BENCH_ATTN", "auto"))
 

@@ -74,6 +74,7 @@ class LLM:
         *,
         tokenizer: Optional[str] = None,
         dtype: str = "bfloat16",
+        quantization: Optional[str] = None,
         num_blocks: Optional[int] = None,
         **engine_kw,
     ):
@@ -82,6 +83,11 @@ class LLM:
 
         jdtype = jnp.bfloat16 if dtype == "bfloat16" else jnp.float32
         model_cfg, params = load_model(model, dtype=jdtype)
+        if quantization == "int8":
+            from kvcompress_tpu.quantization import quantize_params
+            params = quantize_params(params)
+        elif quantization is not None:
+            raise ValueError(f"unsupported quantization {quantization}")
         cfg = build_engine_config(model_cfg, **engine_kw)
 
         from transformers import AutoTokenizer

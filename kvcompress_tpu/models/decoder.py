@@ -30,6 +30,8 @@ import numpy as np
 
 from kvcompress_tpu.config import ModelConfig
 from kvcompress_tpu.ops import attention as att
+from kvcompress_tpu.quantization.int8 import gather_rows
+from kvcompress_tpu.quantization.int8 import mm as _mm
 
 
 class KVCache(NamedTuple):
@@ -143,20 +145,20 @@ def _act(x: jax.Array, act: str) -> jax.Array:
 def _dense_mlp(x: jax.Array, lw: Dict[str, jax.Array],
                cfg: ModelConfig) -> jax.Array:
     if cfg.mlp_type == "plain":
-        h = x @ lw["w_fc1"]
+        h = _mm(x, lw, "w_fc1")
         if "b_fc1" in lw:
             h = h + lw["b_fc1"]
         h = _act(h, cfg.hidden_act).astype(x.dtype)
-        out = h @ lw["w_fc2"]
+        out = _mm(h, lw, "w_fc2")
         if "b_fc2" in lw:
             out = out + lw["b_fc2"]
         return out
-    gate = x @ lw["w_gate"]
-    up = x @ lw["w_up"]
+    gate = _mm(x, lw, "w_gate")
+    up = _mm(x, lw, "w_up")
     if "b_gate" in lw:
         gate, up = gate + lw["b_gate"], up + lw["b_up"]
     h = (_act(gate, cfg.hidden_act).astype(x.dtype) * up)
-    out = h @ lw["w_down"]
+    out = _mm(h, lw, "w_down")
     if "b_down" in lw:
         out = out + lw["b_down"]
     return out
@@ -179,10 +181,17 @@ def _moe_mlp(x: jax.Array, lw: Dict[str, jax.Array],
     weights = jnp.zeros((T, E), jnp.float32).at[
         jnp.arange(T)[:, None], topi].set(topv)                   # [T, E]
 
-    gate = jnp.einsum("td,edi->tei", x, lw["experts_gate"])
-    up = jnp.einsum("td,edi->tei", x, lw["experts_up"])
+    def emm(inp, name, pat):
+        q = lw.get(f"{name}_q8")
+        if q is None:
+            return jnp.einsum(pat, inp, lw[name])
+        y = jnp.einsum(pat, inp, q.astype(inp.dtype))
+        return y * lw[f"{name}_scale"][..., 0, :].astype(inp.dtype)
+
+    gate = emm(x, "experts_gate", "td,edi->tei")
+    up = emm(x, "experts_up", "td,edi->tei")
     h = _act(gate, cfg.hidden_act).astype(x.dtype) * up
-    y = jnp.einsum("tei,eid->ted", h, lw["experts_down"])
+    y = emm(h, "experts_down", "tei,eid->ted")
     out = jnp.einsum("ted,te->td", y.astype(jnp.float32), weights)
     out = out.astype(x.dtype)
 
@@ -303,7 +312,8 @@ def init_llama_params(cfg: ModelConfig, seed: int = 0, dtype=jnp.bfloat16):
 # ---------------------------------------------------------------------------
 
 def _embed(params, cfg: ModelConfig, token_ids, positions):
-    x = params["embed"][token_ids]
+    dtype = params["final_norm"].dtype
+    x = gather_rows(params, "embed", token_ids, dtype)
     if cfg.embedding_multiplier != 1.0:
         x = (x.astype(jnp.float32) * cfg.embedding_multiplier).astype(x.dtype)
     if cfg.pos_embedding == "learned":
@@ -330,13 +340,13 @@ def _layer_step_fn(cfg: ModelConfig, T: int, cos, sin, attn_fn,
             lidx, lscale = lora
 
             def proj(h, w_name):
-                y = h @ lw[w_name]
+                y = _mm(h, lw, w_name)
                 if f"lora_{w_name}_A" in lw:
                     y = y + apply_lora(h, lw, w_name, lidx, lscale)
                 return y
         else:
             def proj(h, w_name):
-                return h @ lw[w_name]
+                return _mm(h, lw, w_name)
 
         h = _norm(x, lw["input_norm"], lw.get("input_norm_b"), cfg)
         q = proj(h, "wq")
@@ -357,7 +367,7 @@ def _layer_step_fn(cfg: ModelConfig, T: int, cos, sin, attn_fn,
             attn_out, cache = res
             extra = None
         ao = attn_out.reshape(T, Hq * d)
-        a = proj(ao, "wo") if lora is not None else ao @ lw["wo"]
+        a = proj(ao, "wo")
         if "bo" in lw:
             a = a + lw["bo"]
         if cfg.use_post_norms:
@@ -439,8 +449,23 @@ def forward_collect(
 
 def compute_logits(params: Dict[str, Any], cfg: ModelConfig,
                    hidden: jax.Array) -> jax.Array:
-    head = params["embed"] if cfg.tie_word_embeddings else params["lm_head"]
-    logits = hidden.astype(jnp.float32) @ head.T.astype(jnp.float32)
+    name = "embed" if cfg.tie_word_embeddings else "lm_head"
+    one_d = hidden.ndim == 1
+    h = hidden[None] if one_d else hidden
+    q = params.get(f"{name}_q8")
+    if q is not None:
+        # int8 head with per-row scales: the dequant convert fuses into the
+        # matmul operand stream, halving the largest weight read per step
+        y = jax.lax.dot_general(
+            h, q, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        logits = y * params[f"{name}_scale"][:, 0].astype(jnp.float32)
+    else:
+        logits = jax.lax.dot_general(
+            h, params[name], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+    if one_d:
+        logits = logits[0]
     if "lm_head_b" in params:
         logits = logits + params["lm_head_b"].astype(jnp.float32)
     if cfg.logits_scaling != 1.0:

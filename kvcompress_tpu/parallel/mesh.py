@@ -55,6 +55,17 @@ def param_specs(params: Dict[str, Any]) -> Dict[str, Any]:
     row_w = {"wo", "w_down", "w_fc2", "shared_down"}
 
     def layer_spec(k, v):
+        base = k
+        if k.endswith("_q8"):
+            base = k[:-3]
+        elif k.endswith("_scale"):
+            # scales follow the output axis of their weight: sharded for
+            # column-parallel targets, replicated for row-parallel
+            base = k[:-6]
+            if base in col_w:
+                return P(*([None] * (v.ndim - 1) + [m]))
+            return P(*([None] * v.ndim))
+        k = base
         if k in col_w:
             return P(None, None, m)
         if k in col_b:
@@ -69,18 +80,16 @@ def param_specs(params: Dict[str, Any]) -> Dict[str, Any]:
         return P(*([None] * v.ndim))
 
     specs = {
-        "embed": P(m, None),
-        "final_norm": P(None),
         "layers": {k: layer_spec(k, v) for k, v in params["layers"].items()},
     }
+    vocab_sharded = {"embed", "embed_q8", "embed_scale", "lm_head",
+                     "lm_head_q8", "lm_head_scale"}
     for k, v in params.items():
-        if k in ("embed", "final_norm", "layers"):
+        if k == "layers":
             continue
-        if k == "lm_head":
-            specs[k] = P(m, None)
-        elif k == "lm_head_b":
-            specs[k] = P(None)
-        else:  # pos_embed, final_norm_b
+        if k in vocab_sharded:
+            specs[k] = P(*([m] + [None] * (v.ndim - 1)))
+        else:  # final_norm(_b), lm_head_b, pos_embed
             specs[k] = P(*([None] * v.ndim))
     return specs
 
