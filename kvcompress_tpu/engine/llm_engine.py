@@ -413,22 +413,59 @@ class LLMEngine:
         carry["min_remaining"] = out.min_remaining_next
         carry["token_counts"] = out.token_counts_next
         n_generated = 0
-        for seq in running:
-            s = seq.slot
-            seq.block_count = int(blk[s])
-            seq.kv_count = int(kvs[s])
-            for t in range(k):
-                seq.output_token_ids.append(int(token_matrix[t, s]))
-                if seq.guided is not None:
-                    seq.guided.advance(int(token_matrix[t, s]))
-                if lp_n and seq.sampling_params.logprobs:
-                    seq.logprobs = seq.logprobs or []
-                    seq.logprobs.append(self._logprob_entry(
-                        int(token_matrix[t, s]), float(chosen[t, s]),
-                        top_v[t, s], top_i[t, s]))
-                n_generated += 1
-                if self._check_stop(seq) is not None:
-                    break
+        fast = (not lp_n and all(
+            s2.guided is None and not s2.sampling_params.stop
+            for s2 in running))
+        if fast:
+            # native bulk stop scan (csrc/kvc_host.cpp) replaces the
+            # per-(seq, token) Python loop on the common serving path
+            from kvcompress_tpu.utils import host_ops
+            Smax = token_matrix.shape[1]
+            ig = np.zeros((Smax,), np.uint8)
+            budget = np.full((Smax,), k, np.int32)
+            min_left = np.zeros((Smax,), np.int32)
+            act = np.zeros((Smax,), np.uint8)
+            stop_ids = [()] * Smax
+            max_len = self.cfg.scheduler.max_model_len
+            for seq in running:
+                sl = seq.slot
+                sp = seq.sampling_params
+                ig[sl] = sp.ignore_eos
+                b = max_len - seq.get_len()
+                if sp.max_tokens is not None:
+                    b = min(b, sp.max_tokens - seq.num_output_tokens)
+                budget[sl] = max(b, 0)
+                min_left[sl] = max(sp.min_tokens - seq.num_output_tokens, 0)
+                act[sl] = 1
+                stop_ids[sl] = sp.stop_token_ids or ()
+            accept, _ = host_ops.scan_stops(
+                token_matrix, sorted(self.eos_token_ids), stop_ids, ig,
+                budget, min_left, act)
+            for seq in running:
+                sl = seq.slot
+                seq.block_count = int(blk[sl])
+                seq.kv_count = int(kvs[sl])
+                n = int(accept[sl])
+                seq.output_token_ids.extend(
+                    int(t) for t in token_matrix[:n, sl])
+                n_generated += n
+        else:
+            for seq in running:
+                s = seq.slot
+                seq.block_count = int(blk[s])
+                seq.kv_count = int(kvs[s])
+                for t in range(k):
+                    seq.output_token_ids.append(int(token_matrix[t, s]))
+                    if seq.guided is not None:
+                        seq.guided.advance(int(token_matrix[t, s]))
+                    if lp_n and seq.sampling_params.logprobs:
+                        seq.logprobs = seq.logprobs or []
+                        seq.logprobs.append(self._logprob_entry(
+                            int(token_matrix[t, s]), float(chosen[t, s]),
+                            top_v[t, s], top_i[t, s]))
+                    n_generated += 1
+                    if self._check_stop(seq) is not None:
+                        break
         self.scheduler.new_tokens += n_generated
         self.stats.counter("generation_tokens", n_generated)
         return self._process_finished(running)
