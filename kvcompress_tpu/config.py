@@ -173,6 +173,16 @@ class SchedulerConfig:
 
 
 @dataclasses.dataclass
+class SpeculativeConfig:
+    """N-gram speculative decoding (reference vllm/spec_decode/:
+    ngram_worker + batch-expansion scoring). Greedy-only here; the
+    reference does not support spec decode with KVC at all."""
+    num_speculative_tokens: int = 0  # 0 = disabled
+    ngram_prompt_lookup_min: int = 1
+    ngram_prompt_lookup_max: int = 4
+
+
+@dataclasses.dataclass
 class LoRAConfig:
     """Multi-adapter serving limits (reference vllm/config.py LoRAConfig)."""
     enable_lora: bool = False
@@ -202,12 +212,15 @@ class EngineConfig:
     scheduler: SchedulerConfig
     parallel: ParallelConfig
     lora: Optional[LoRAConfig] = None
+    speculative: Optional[SpeculativeConfig] = None
     seed: int = 0
     enforce_eager: bool = False
 
     def __post_init__(self):
         if self.lora is None:
             self.lora = LoRAConfig()
+        if self.speculative is None:
+            self.speculative = SpeculativeConfig()
         mc, sc, kc = self.model, self.scheduler, self.kvcompress
         kc.num_layers = mc.num_layers
         kc.num_kv_heads = mc.get_num_kv_heads(

@@ -230,8 +230,16 @@ class LLMEngine:
             with BENCHMARKER.range("prefill"):
                 outputs += self._do_prefill(prefill_seq)
         elif self.scheduler.running:
-            with BENCHMARKER.range("decode"):
-                outputs += self._do_decode()
+            if (self.cfg.speculative.num_speculative_tokens > 0
+                    and all(s.sampling_params.greedy
+                            and s.guided is None
+                            and not s.sampling_params.logprobs
+                            for s in self.scheduler.running)):
+                with BENCHMARKER.range("spec_decode"):
+                    outputs += self._do_decode_spec()
+            else:
+                with BENCHMARKER.range("decode"):
+                    outputs += self._do_decode()
         self.stats.timer("step_seconds", time.monotonic() - t0)
         return outputs
 
@@ -468,6 +476,65 @@ class LLMEngine:
                         break
         self.scheduler.new_tokens += n_generated
         self.stats.counter("generation_tokens", n_generated)
+        return self._process_finished(running)
+
+    # ------------------------------------------------------------ speculate
+    def _do_decode_spec(self) -> List[RequestOutput]:
+        """One n-gram speculative round: propose per sequence from its own
+        token history, verify Q = gamma + 1 tokens in one device pass,
+        accept the longest matching prefix (reference vllm/spec_decode/
+        ngram_worker + batch_expansion; greedy acceptance)."""
+        from kvcompress_tpu.utils import host_ops
+
+        sc = self.cfg.speculative
+        S = self.cfg.scheduler.max_num_seqs
+        Q = sc.num_speculative_tokens + 1
+        running = list(self.scheduler.running)
+
+        tokens = np.full((S, Q), -1, np.int32)
+        positions0 = np.zeros((S,), np.int32)
+        active = np.zeros((S,), bool)
+        n_proposed = 0
+        for seq in running:
+            sl = seq.slot
+            active[sl] = True
+            tokens[sl, 0] = seq.last_token_id
+            positions0[sl] = seq.get_len() - 1
+            hist = seq.prompt_token_ids + seq.output_token_ids
+            props = host_ops.ngram_propose(
+                hist, sc.ngram_prompt_lookup_min,
+                sc.ngram_prompt_lookup_max, Q - 1)
+            if props:
+                tokens[sl, 1:1 + len(props)] = props
+                n_proposed += len(props)
+
+        self.state, packed = self.programs.verify(
+            self.state, tokens, positions0, active, Q)
+        packed = np.asarray(packed)
+        greedy = packed[:S * Q].reshape(S, Q)
+        n_out = packed[S * Q:S * Q + S]
+        blk = packed[S * Q + S:S * Q + 2 * S]
+        kvs = packed[S * Q + 2 * S:S * Q + 3 * S]
+        self.scheduler.free_blocks = int(packed[-1])
+        self._carry = None  # positions/tokens changed outside the carry
+
+        n_generated = 0
+        n_accepted = 0
+        for seq in running:
+            sl = seq.slot
+            seq.block_count = int(blk[sl])
+            seq.kv_count = int(kvs[sl])
+            n = int(n_out[sl])
+            n_accepted += max(n - 1, 0)
+            for t in range(n):
+                seq.output_token_ids.append(int(greedy[sl, t]))
+                n_generated += 1
+                if self._check_stop(seq) is not None:
+                    break
+        self.scheduler.new_tokens += n_generated
+        self.stats.counter("generation_tokens", n_generated)
+        self.stats.counter("spec_proposed_tokens", n_proposed)
+        self.stats.counter("spec_accepted_tokens", n_accepted)
         return self._process_finished(running)
 
     # ------------------------------------------------------------ compress

@@ -488,6 +488,104 @@ class EnginePrograms:
                                prompt_mask, lora_idx, lora_scale,
                                allowed_mask)
 
+
+    # ------------------------------------------------------------- speculate
+    def _build_verify(self, Q: int):
+        """Speculative verification program (reference vllm/spec_decode/:
+        proposal scoring via batch expansion + greedy acceptance): process
+        Q tokens per sequence (current + Q-1 n-gram proposals) in one pass,
+        accept the longest matching prefix, roll back the cache for the
+        rejected remainder. Greedy-only; metric recording is off on this
+        path (the reference forbids spec decode with KVC entirely;
+        compression metrics here come from prefill + regular steps)."""
+        cfg, mcfg, ccfg = self.cfg, self.cfg.model, self.cfg.cache
+        bs = ccfg.block_size
+        spec = AttentionSpec(
+            mode="decode", record_metrics=False, impl="xla")
+
+        def verify_fn(state: CacheState, params, tokens, positions0,
+                      active):
+            L, S, H, B = state.block_tables.shape
+            ctx0 = state.context_lens
+
+            # allocate blocks for up to Q new tokens (static small loop)
+            block_tables = state.block_tables
+            free_stack, free_top = state.free_stack, state.free_top
+            li = jnp.arange(L)[:, None, None]
+            si = jnp.arange(S)[None, :, None]
+            hi = jnp.arange(H)[None, None, :]
+            for i in range(Q):
+                need = active[None, :, None] & ((ctx0 + i) % bs == 0)
+                ids, free_top = stack_pop(free_stack, free_top, need)
+                blk_idx = jnp.where(need, (ctx0 + i) // bs, B)
+                block_tables = block_tables.at[li, si, hi, blk_idx].set(
+                    ids, mode="drop")
+
+            ctx_full = ctx0 + Q * active[None, :, None].astype(jnp.int32)
+
+            # slot mappings for the Q new logical positions
+            qi = jnp.arange(Q, dtype=jnp.int32)
+            logical = ctx0[..., None] + qi            # [L, S, H, Q]
+            blk = jnp.take_along_axis(block_tables, logical // bs, axis=-1)
+            sm = (blk * bs + logical % bs)            # [L, S, H, Q]
+            sm = jnp.transpose(sm, (0, 1, 3, 2))      # [L, S, Q, H]
+
+            hidden, cache = llama.decode_multi(
+                params, mcfg, tokens, positions0, block_tables, ctx_full,
+                sm, _cache_of(state), active, spec)
+            logits = llama.compute_logits(
+                params, mcfg, hidden.reshape(S * Q, -1)).reshape(S, Q, -1)
+            greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # [S, Q]
+
+            # acceptance: proposal i+1 accepted iff it equals greedy[i]
+            if Q > 1:
+                match = greedy[:, :-1] == tokens[:, 1:]       # [S, Q-1]
+                acc = jnp.sum(jnp.cumprod(
+                    match.astype(jnp.int32), axis=-1), axis=-1)  # [S]
+            else:
+                acc = jnp.zeros((S,), jnp.int32)
+            n_out = jnp.where(active, acc + 1, 0)  # accepted outputs per seq
+
+            # roll back: keep ctx0 + (acc + 1) KVs (inputs: current +
+            # accepted proposals), free blocks allocated beyond
+            keep = 1 + acc
+            new_ctx = ctx0 + keep[None, :, None] * active[None, :,
+                                                          None].astype(
+                jnp.int32)
+            nb_keep = (new_ctx + bs - 1) // bs
+            nb_full = (ctx_full + bs - 1) // bs
+            blk_i = jnp.arange(B, dtype=jnp.int32)[None, None, None, :]
+            freed = ((blk_i >= nb_keep[..., None])
+                     & (blk_i < nb_full[..., None]))
+            free_stack, free_top = stack_push(free_stack, free_top,
+                                              block_tables, freed)
+
+            new_state = CacheState(
+                k_cache=cache.k, v_cache=cache.v, kv_metrics=cache.metrics,
+                kv_positions=cache.positions, block_tables=block_tables,
+                context_lens=new_ctx, free_stack=free_stack,
+                free_top=free_top)
+
+            nb_alloc = (new_ctx + bs - 1) // bs
+            seq_blocks = jnp.sum(nb_alloc, axis=(0, 2)).astype(jnp.int32)
+            seq_kv = jnp.sum(new_ctx, axis=(0, 2)).astype(jnp.int32)
+            # packed: greedy tokens [S*Q] | n_out | blocks | kv | free_top
+            packed = jnp.concatenate([
+                greedy.reshape(-1), n_out, seq_blocks, seq_kv,
+                free_top[None]])
+            return new_state, packed
+
+        return jax.jit(verify_fn, donate_argnums=(0,))
+
+    def verify(self, state, tokens_np, positions_np, active_np, Q: int):
+        if getattr(self, "_verify_fn", None) is None or \
+                getattr(self, "_verify_q", None) != Q:
+            self._verify_fn = self._build_verify(Q)
+            self._verify_q = Q
+        return self._verify_fn(
+            state, self.params, jnp.asarray(tokens_np),
+            jnp.asarray(positions_np), jnp.asarray(active_np))
+
     # ------------------------------------------------------------ compress
     def _build_compress(self, B: int, nb: int):
         kc = self.cfg.kvcompress

@@ -699,3 +699,46 @@ def decode_fused(
         params, cfg, token_ids, positions, cache, attn_fn,
         (block_tables, ctx_gated))
     return hidden, cache, m_stack
+
+
+def decode_multi(
+    params: Dict[str, Any],
+    cfg: ModelConfig,
+    token_ids: jax.Array,      # [S, Q] the current token + Q-1 proposals
+    positions0: jax.Array,     # [S] position of the FIRST (current) token
+    block_tables: jax.Array,   # [L, S, H_kv, nb]
+    context_lens: jax.Array,   # [L, S, H_kv] INCLUDING the Q new tokens
+    slot_mappings: jax.Array,  # [L, S, Q, H_kv] where each new KV goes
+    cache: KVCache,
+    active: jax.Array,         # [S] bool
+    spec: AttentionSpec,
+) -> Tuple[jax.Array, KVCache]:
+    """Multi-token decode for speculative verification: processes Q tokens
+    per sequence in one pass (KVs written first, then attention where query
+    i sees positions <= its own). Metric recording is off on this path.
+    Returns (hidden [S, Q, D], cache)."""
+    S, Q = token_ids.shape
+    scale = attn_scale(cfg)
+    flat_tokens = token_ids.reshape(S * Q)
+    positions = (positions0[:, None]
+                 + jnp.arange(Q, dtype=jnp.int32)[None, :]).reshape(-1)
+
+    def attn_fn(lxs, q, k, v, cache):
+        sm_l, bt_l, ctx_l = lxs  # sm_l: [S, Q, H]
+        kc, vc, mc, pc = att.write_to_cache(
+            cache.k, cache.v, cache.metrics, cache.positions,
+            k, v,
+            jnp.where(active[:, None, None], sm_l, -1).reshape(S * Q, -1),
+            jnp.where(active[:, None], positions.reshape(S, Q),
+                      -1).reshape(-1))
+        out = att.paged_decode_attention_multi(
+            q.reshape(S, Q, cfg.num_heads, cfg.head_size), kc, vc,
+            bt_l, ctx_l, scale, active=active,
+            logit_cap=cfg.attn_logit_softcap)
+        return out.reshape(S * Q, cfg.num_heads, cfg.head_size), KVCache(
+            kc, vc, mc, pc)
+
+    hidden, cache = forward(
+        params, cfg, flat_tokens, positions, cache, attn_fn,
+        (slot_mappings, block_tables, context_lens))
+    return hidden.reshape(S, Q, -1), cache

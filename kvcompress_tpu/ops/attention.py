@@ -259,3 +259,52 @@ def paged_decode_attention(
             contrib.reshape(-1)).reshape(kv_metrics.shape)
 
     return output, kv_metrics
+
+
+def paged_decode_attention_multi(
+    query: jax.Array,        # [S, Q, H_q, d] Q new tokens per seq
+    k_cache: jax.Array,      # [num_blocks, block_size, d]
+    v_cache: jax.Array,
+    block_tables_l: jax.Array,   # [S, H_kv, nb] i32 (this layer)
+    context_lens_l: jax.Array,   # [S, H_kv] i32 INCLUDING the Q new tokens
+    scale: float,
+    *,
+    active: Optional[jax.Array] = None,  # [S] bool
+    logit_cap: Optional[float] = None,
+) -> jax.Array:
+    """Multi-query decode attention for speculative verification: the Q new
+    tokens' KVs are already written to the cache; query i attends everything
+    up to and including its own position (ctx - Q + i + 1 columns). Used by
+    the spec-decode verify program (reference vllm/spec_decode/ scores
+    proposals with a batch-expanded forward, batch_expansion.py)."""
+    S, Q, Hq, d = query.shape
+    _, Hkv, nb = block_tables_l.shape
+    num_blocks, block_size, _ = k_cache.shape
+    qpk = Hq // Hkv
+    n = nb * block_size
+
+    ctx = context_lens_l
+    if active is not None:
+        ctx = jnp.where(active[:, None], ctx, 0)
+
+    phys = (
+        block_tables_l[..., None] * block_size
+        + jnp.arange(block_size, dtype=jnp.int32)
+    ).reshape(S, Hkv, n)
+    kg = k_cache.reshape(-1, d)[phys].astype(jnp.float32)
+    vg = v_cache.reshape(-1, d)[phys].astype(jnp.float32)
+
+    q = query.reshape(S, Q, Hkv, qpk, d).astype(jnp.float32)
+    logits = jnp.einsum("sqhpd,shnd->shpqn", q, kg) * scale
+    if logit_cap:
+        logits = logit_cap * jnp.tanh(logits / logit_cap)
+    # query i sees ctx - (Q - 1 - i) columns
+    qi = jnp.arange(Q, dtype=jnp.int32)
+    visible = ctx[:, :, None] - (Q - 1 - qi)[None, None, :]  # [S, Hkv, Q]
+    col = jnp.arange(n, dtype=jnp.int32)
+    mask = col[None, None, None, :] < visible[..., None]     # [S,Hkv,Q,n]
+    logits = jnp.where(mask[:, :, None, :, :], logits, NEG_INF)
+    probs = jax.nn.softmax(logits, axis=-1)
+    probs = jnp.where(mask[:, :, None, :, :], probs, 0.0)
+    out = jnp.einsum("shpqn,shnd->sqhpd", probs, vg)
+    return out.reshape(S, Q, Hq, d).astype(query.dtype)
