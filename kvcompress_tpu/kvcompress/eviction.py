@@ -321,7 +321,7 @@ def run_compression(
         & (blk_idx < nb_alloc[..., None])
     )
     free_stack, free_top = stack_push(
-        state.free_stack, state.free_top, bt_w, freed_mask
+        state.free_stack, state.free_top, bt_w, freed_mask, head_axis=2
     )
 
     new_ctx_w = ctx_w - sched.evicted_kv_count

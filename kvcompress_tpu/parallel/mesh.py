@@ -105,8 +105,10 @@ def state_specs() -> CacheState:
         kv_positions=P(m, None),
         block_tables=P(None, None, m, None),
         context_lens=P(None, None, m),
-        free_stack=P(None),
-        free_top=P(),
+        # one allocator partition per TP shard (core/state.py): stacks and
+        # tops shard with their pool partition
+        free_stack=P(m, None),
+        free_top=P(m),
     )
 
 

@@ -149,7 +149,7 @@ def test_compression_frees_blocks(tiny_params):
     assert st.get("evicted_kvs", 0) > 0
     # all blocks returned after the request finished
     assert engine.scheduler.free_blocks == free0
-    assert int(engine.state.free_top) == free0
+    assert int(engine.state.free_top.sum()) == free0
 
 
 def test_continual_compression_rate(tiny_params):
@@ -165,7 +165,7 @@ def test_continual_compression_rate(tiny_params):
     outs = run_all(engine)
     assert len(outs[rid].outputs[0].token_ids) == 16
     assert engine.scheduler.total_evicted_kvs > 0
-    assert int(engine.state.free_top) == engine.scheduler.free_blocks
+    assert int(engine.state.free_top.sum()) == engine.scheduler.free_blocks
 
 
 def test_continuous_batching(tiny_params):
@@ -184,7 +184,7 @@ def test_continuous_batching(tiny_params):
     for i, rid in enumerate(rids):
         assert len(outs[rid].outputs[0].token_ids) == 4 + i
     # cache fully drained
-    assert int(engine.state.free_top) == engine.scheduler.free_blocks
+    assert int(engine.state.free_top.sum()) == engine.scheduler.free_blocks
     assert np.asarray(engine.state.context_lens).sum() == 0
 
 
@@ -222,7 +222,7 @@ def test_multi_step_decode_parity(tiny_params):
     e2.multi_step = 4
     got = greedy_tokens(e2, prompt, 11)  # 11 not divisible by 4
     assert got == base
-    assert int(e2.state.free_top) == e2.scheduler.free_blocks
+    assert int(e2.state.free_top.sum()) == e2.scheduler.free_blocks
 
     # EOS termination on device: pick the model's 3rd greedy token as "eos"
     eos = base[2]

@@ -188,8 +188,8 @@ def build_state(rng, L, S, H, nb_max, bs, hd, num_blocks, seq_lens):
                 positions[ids] = pos.reshape(nb_seq, bs)
                 metrics[ids] = rng.random((nb_seq, bs)).astype(np.float32)
     free_ids = np.arange(next_block, num_blocks, dtype=np.int32)[::-1]
-    stack = np.zeros(num_blocks, dtype=np.int32)
-    stack[:len(free_ids)] = free_ids
+    stack = np.zeros((1, num_blocks), dtype=np.int32)
+    stack[0, :len(free_ids)] = free_ids
     state = CacheState(
         k_cache=jnp.asarray(
             rng.standard_normal((num_blocks, bs, hd)).astype(np.float32)),
@@ -200,7 +200,7 @@ def build_state(rng, L, S, H, nb_max, bs, hd, num_blocks, seq_lens):
         block_tables=jnp.asarray(bt),
         context_lens=jnp.asarray(ctx),
         free_stack=jnp.asarray(stack),
-        free_top=jnp.asarray(len(free_ids), dtype=jnp.int32),
+        free_top=jnp.asarray([len(free_ids)], dtype=jnp.int32),
     )
     return state
 
@@ -217,7 +217,7 @@ def test_run_compression_end_to_end():
     protected = np.array([4, 4], dtype=np.int32)
     eb = np.array([L * H * 2, L * H * 1], dtype=np.int32)  # 2 / 1 blocks/head
 
-    free_top_before = int(state.free_top)
+    free_top_before = int(state.free_top[0])
     new_state, blk_count, new_ctx = jax.jit(
         ev.run_compression, static_argnames=("nb", "moves_cap"),
         donate_argnums=(0,),
@@ -227,7 +227,7 @@ def test_run_compression_end_to_end():
     blk_count = np.asarray(blk_count)
     assert blk_count.sum(axis=(1, 2)).tolist() == eb.tolist()
     # freed blocks returned to the stack
-    assert int(new_state.free_top) == free_top_before + blk_count.sum()
+    assert int(new_state.free_top[0]) == free_top_before + blk_count.sum()
     # context lens shrunk by (e-1)*bs + hanging per head
     new_ctx = np.asarray(new_ctx)
     ctx_after = np.asarray(new_state.context_lens)
@@ -261,10 +261,35 @@ def test_run_compression_end_to_end():
 
 def test_stack_pop_push_roundtrip():
     state = init_cache_state(16, 4, 8, 1, 2, 1, 4)
-    need = jnp.asarray(np.array([[True, False], [True, True]]))
-    ids, top = stack_pop(state.free_stack, state.free_top, need)
+    # need [S=2, H=1]: head axis is the last one (single partition)
+    need = jnp.asarray(np.array([[True], [True]]))
+    ids, top = stack_pop(state.free_stack, state.free_top, need,
+                         head_axis=1)
     ids_np = np.asarray(ids)
-    assert int(top) == int(state.free_top) - 3
-    assert ids_np[0, 1] == 0
-    popped = {int(ids_np[0, 0]), int(ids_np[1, 0]), int(ids_np[1, 1])}
-    assert len(popped) == 3 and 0 not in popped
+    assert int(top[0]) == int(state.free_top[0]) - 2
+    popped = {int(ids_np[0, 0]), int(ids_np[1, 0])}
+    assert len(popped) == 2 and 0 not in popped
+
+
+def test_partitioned_stacks_shard_local():
+    """With G partitions, blocks popped for head h come from partition
+    h // (H/G)'s contiguous id range - the TP shard-locality invariant."""
+    G, H = 4, 8
+    num_blocks = 64
+    state = init_cache_state(num_blocks, 4, 8, 1, 2, H, 4,
+                             num_block_partitions=G)
+    cap = num_blocks // G
+    need = jnp.ones((2, 3, H), bool)  # [L=2, S=3, H]
+    ids, top = stack_pop(state.free_stack, state.free_top, need,
+                         head_axis=2)
+    ids_np = np.asarray(ids)
+    for h in range(H):
+        g = h // (H // G)
+        blocks = ids_np[:, :, h].ravel()
+        assert ((blocks >= g * cap) & (blocks < (g + 1) * cap)).all(), h
+    # push back and verify tops restore
+    from kvcompress_tpu.core.state import stack_push
+    stack2, top2 = stack_push(state.free_stack, top, ids,
+                              jnp.ones_like(need), head_axis=2)
+    np.testing.assert_array_equal(np.asarray(top2),
+                                  np.asarray(state.free_top))
