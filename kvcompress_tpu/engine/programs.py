@@ -494,6 +494,57 @@ class EnginePrograms:
                                allowed_mask)
 
 
+    # -------------------------------------------------------------- embed
+    def _build_embed(self, T: int, pooling: str, normalize: bool):
+        """Embedding-mode forward (reference embedding worker + Pooler):
+        full causal attention over the prompt, no cache interaction,
+        pooled final hidden state."""
+        mcfg = self.cfg.model
+
+        def embed_fn(params, tokens, seq_len):
+            positions = jnp.arange(T, dtype=jnp.int32)
+            scale = llama.attn_scale(mcfg)
+
+            def attn_fn(_, q, k, v, cache):
+                out, _ = llama.att.prefill_attention(
+                    q, k, v, seq_len, scale, metric_window=1,
+                    buffer_len=jnp.asarray(0), use_l2=False,
+                    use_average=False, use_maxpool=False,
+                    logit_cap=mcfg.attn_logit_softcap)
+                return out, cache
+
+            hidden, _ = llama.forward(
+                params, mcfg, tokens, positions, None, attn_fn,
+                jnp.zeros((mcfg.num_layers, 1), jnp.int32))
+            if pooling == "last":
+                pooled = jnp.take(hidden, jnp.clip(seq_len - 1, 0), axis=0)
+            elif pooling == "cls":
+                pooled = hidden[0]
+            else:  # mean over the real tokens
+                mask = (jnp.arange(T) < seq_len)[:, None]
+                pooled = jnp.sum(jnp.where(mask, hidden, 0), axis=0) / (
+                    jnp.maximum(seq_len, 1).astype(hidden.dtype))
+            pooled = pooled.astype(jnp.float32)
+            if normalize:
+                pooled = pooled / jnp.maximum(
+                    jnp.linalg.norm(pooled), 1e-12)
+            return pooled
+
+        return jax.jit(embed_fn)
+
+    def embed(self, tokens_np, seq_len: int, pooling: str = "last",
+              normalize: bool = True):
+        buckets = [b for b in self.cfg.scheduler.prefill_buckets
+                   if b >= seq_len]
+        T = buckets[0] if buckets else self.cfg.scheduler.max_model_len
+        key = ("embed", T, pooling, normalize)
+        if key not in self._prefill_fns:
+            self._prefill_fns[key] = self._build_embed(T, pooling, normalize)
+        tokens = np.zeros((T,), np.int32)
+        tokens[:seq_len] = tokens_np
+        return self._prefill_fns[key](self.params, jnp.asarray(tokens),
+                                      jnp.asarray(seq_len, jnp.int32))
+
     # ------------------------------------------------------------- speculate
     def _build_verify(self, Q: int):
         """Speculative verification program (reference vllm/spec_decode/:

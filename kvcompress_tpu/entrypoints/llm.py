@@ -122,6 +122,31 @@ class LLM:
             ))
         return self._run_engine(ids, use_tqdm)
 
+    def encode(
+        self,
+        prompts: Optional[Union[str, List[str]]] = None,
+        pooling_params=None,
+        prompt_token_ids: Optional[List[List[int]]] = None,
+    ):
+        """Embedding mode (reference LLM.encode + llama_embedding): pooled,
+        optionally normalized hidden states per prompt."""
+        from kvcompress_tpu.pooling_params import PoolingParams
+        import numpy as np
+
+        pp = pooling_params or PoolingParams()
+        if isinstance(prompts, str):
+            prompts = [prompts]
+        if prompt_token_ids is None:
+            tok = self.llm_engine.tokenizer
+            prompt_token_ids = [tok.encode(p) for p in prompts]
+        out = []
+        for ids in prompt_token_ids:
+            emb = self.llm_engine.programs.embed(
+                np.asarray(ids, np.int32), len(ids),
+                pooling=pp.pooling_type, normalize=pp.normalize)
+            out.append(np.asarray(emb))
+        return out
+
     def _run_engine(self, request_ids: List[str],
                     use_tqdm: bool) -> List[RequestOutput]:
         """(reference llm.py:684-735)"""

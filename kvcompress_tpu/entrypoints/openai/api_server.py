@@ -52,6 +52,8 @@ class OpenAIServer:
                 return self._completions(body)
             if method == "POST" and path == "/v1/chat/completions":
                 return self._chat(body)
+            if method == "POST" and path == "/v1/embeddings":
+                return self._embeddings(body)
             if method == "POST" and path == "/tokenize":
                 ids = self.tokenizer.encode(body["prompt"])
                 return 200, {"tokens": ids, "count": len(ids)}
@@ -94,6 +96,26 @@ class OpenAIServer:
                 yield proto.completion_chunk(
                     rid, self.model_name, delta,
                     o.finish_reason if out.finished else None)
+
+    def _embeddings(self, body: Dict[str, Any]) -> tuple:
+        import numpy as np
+        inputs = body["input"]
+        if isinstance(inputs, str):
+            inputs = [inputs]
+        data = []
+        total_tokens = 0
+        for i, text in enumerate(inputs):
+            ids = (text if isinstance(text, list)
+                   else self.tokenizer.encode(text))
+            total_tokens += len(ids)
+            emb = self.engine.programs.embed(
+                np.asarray(ids, np.int32), len(ids))
+            data.append({"object": "embedding", "index": i,
+                         "embedding": np.asarray(emb).tolist()})
+        return 200, {"object": "list", "data": data,
+                     "model": self.model_name,
+                     "usage": {"prompt_tokens": total_tokens,
+                               "total_tokens": total_tokens}}
 
     def _chat(self, body: Dict[str, Any]) -> tuple:
         prompt = _apply_chat_template(self.tokenizer, body["messages"])
