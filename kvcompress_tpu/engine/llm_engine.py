@@ -65,8 +65,9 @@ class LLMEngine:
         on_tpu = jax.devices()[0].platform in ("tpu", "axon")
         # multi-step decode: tokens per host round-trip (reference
         # num_scheduler_steps); dominated by dispatch/fetch latency on TPU
+        # (remote-tunnel round-trips measure ~25 ms, so bursts are long)
         self.multi_step = cfg.scheduler.num_scheduler_steps or (
-            8 if on_tpu else 1)
+            16 if on_tpu else 1)
         if attn_impl == "auto":
             # the pallas decode kernel DMAs [block_size, head_size] rows and
             # needs a full 128-lane last dim
@@ -113,6 +114,9 @@ class LLMEngine:
         self._force_compress = False
         self._request_counter = 0
         self._carry: Optional[dict] = None
+        # device-refreshed max allocated blocks per (layer, head): drives
+        # the bucketed attention width of the decode program
+        self._max_nb = 1
 
     def _profile_num_blocks(self, params) -> int:
         """Size the cache from device memory
@@ -271,6 +275,8 @@ class LLMEngine:
         self._carry = None  # batch composition changed
         self.scheduler.free_blocks = int(packed[1])
         seq.output_token_ids.append(int(packed[0]))
+        self._max_nb = max(self._max_nb,
+                           cdiv(seq.get_len() + 1, self.cfg.cache.block_size))
         if seq.guided is not None:
             seq.guided.advance(int(packed[0]))
         if lp_n:
@@ -385,6 +391,12 @@ class LLMEngine:
             # device step per host round-trip
             k = 1
         carry = self._build_carry(running)
+        # bucketed table width: last device-reported max + burst growth,
+        # rounded to the next power of two (bounded compile set)
+        bs_ = self.cfg.cache.block_size
+        need_nb = self._max_nb + cdiv(k, bs_) + 1
+        nb_bucket = min(self.cfg.max_blocks_per_head,
+                        1 << (max(need_nb, 1) - 1).bit_length())
         allowed_mask = None
         if guided_seqs:
             V = self.cfg.model.vocab_size
@@ -408,8 +420,9 @@ class LLMEngine:
             lora_idx=carry["lora_idx"],
             lora_scale=(self.lora_bank.scale
                         if self.lora_bank is not None else None),
-            allowed_mask=allowed_mask)
+            allowed_mask=allowed_mask, nb_bucket=nb_bucket)
         packed = np.asarray(out.packed)  # the single per-k-steps fetch
+        self._max_nb = int(packed[-1])
         token_matrix = packed[:k * S].reshape(k, S)
         blk = packed[k * S:k * S + S]
         kvs = packed[k * S + S:k * S + 2 * S]
@@ -538,6 +551,11 @@ class LLMEngine:
                 if self._check_stop(seq) is not None:
                     break
         self.scheduler.new_tokens += n_generated
+        if running:
+            self._max_nb = max(
+                self._max_nb,
+                max(cdiv(seq.get_len() + 1, self.cfg.cache.block_size)
+                    for seq in running))
         self.stats.counter("generation_tokens", n_generated)
         self.stats.counter("spec_proposed_tokens", n_proposed)
         self.stats.counter("spec_accepted_tokens", n_accepted)

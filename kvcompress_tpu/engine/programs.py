@@ -86,10 +86,9 @@ class EnginePrograms:
             record_metrics=kc.record_decoding_metrics
             and not kc.random_eviction,
             impl=attn_impl)
-        self._prefill_fns: Dict[int, Any] = {}
+        self._prefill_fns: Dict[Any, Any] = {}
         self._compress_fns: Dict[Tuple[int, int], Any] = {}
-        self._decode_fn = None
-        self._decode_steps = None
+        self._decode_fns: Dict[Any, Any] = {}
         self._free_fn = None
 
     # ------------------------------------------------------------- prefill
@@ -176,11 +175,12 @@ class EnginePrograms:
             jnp.asarray(lora_idx, jnp.int32), lora_scale, allowed_mask)
 
     # -------------------------------------------------------------- decode
-    def _kernel_n_pad(self) -> int:
-        """Logical metric width used by the fused kernel (matches the
-        chunk-alignment padding in ops/pallas/paged_attention.py)."""
+    def _kernel_n_pad(self, nb: Optional[int] = None) -> int:
+        """Logical metric width used by the decode kernel (matches the
+        lane-alignment padding in ops/pallas/paged_attention.py)."""
         bs = self.cfg.cache.block_size
-        nb = self.cfg.max_blocks_per_head
+        if nb is None:
+            nb = self.cfg.max_blocks_per_head
         if nb * bs <= 128:
             return nb * bs
         C = max(1, 128 // bs)
@@ -193,7 +193,8 @@ class EnginePrograms:
                       use_seeds: bool = False,
                       logprobs_n: int = 0,
                       use_lora: bool = False,
-                      use_guided: bool = False):
+                      use_guided: bool = False,
+                      nb_bucket: Optional[int] = None):
         """One jitted program running `multi_steps` decode iterations via
         lax.scan: ONE dispatch + ONE host fetch per k tokens. EOS and
         max-tokens termination are enforced on device (a finished slot's
@@ -213,8 +214,12 @@ class EnginePrograms:
 
         tail_mode = spec.impl in ("pallas", "interpret")
         record = spec.record_metrics
-        n_pad = self._kernel_n_pad()
-        nb_tbl = self.cfg.max_blocks_per_head
+        # bucketed attention width: the kernel's per-head cost scales with
+        # the processed table width, so compressed workloads (tiny per-head
+        # contexts) run over a much narrower slice of the block tables
+        nb_tbl = min(nb_bucket or self.cfg.max_blocks_per_head,
+                     self.cfg.max_blocks_per_head)
+        n_pad = self._kernel_n_pad(nb_tbl)
         KT = multi_steps
         d = mcfg.head_size
 
@@ -239,15 +244,16 @@ class EnginePrograms:
             if tail_mode and record and use_metric_buffer:
                 # dense logical-space positions of the CACHED KVs; static
                 # across the burst (the paged cache is read-only here)
-                phys = (state.block_tables[..., None] * bs
+                bt_v = state.block_tables[..., :nb_tbl]
+                phys = (bt_v[..., None] * bs
                         + jnp.arange(bs, dtype=jnp.int32)).reshape(
-                            L, S, H, B * bs)
-                pos_dense0 = state.kv_positions.reshape(-1)[phys][
-                    ..., :n_pad]
-                if n_pad > B * bs:
-                    pos_dense0 = jnp.pad(pos_dense0,
-                                         ((0, 0),) * 3 + ((0, n_pad - B * bs),),
-                                         constant_values=-1)
+                            L, S, H, nb_tbl * bs)
+                pos_dense0 = state.kv_positions.reshape(-1)[phys]
+                if n_pad > nb_tbl * bs:
+                    pos_dense0 = jnp.pad(
+                        pos_dense0,
+                        ((0, 0),) * 3 + ((0, n_pad - nb_tbl * bs),),
+                        constant_values=-1)
 
             def one_step(carry, _):
                 (state, tokens, positions, active, rng, remaining,
@@ -285,10 +291,12 @@ class EnginePrograms:
                 state = flush_burst(state, acc, acc_t, tail)
 
             S_ = tokens.shape[0]
-            # packed: k*S token matrix | blk | kv | free_top | active
+            max_nb = jnp.max(
+                (state.context_lens + bs - 1) // bs).astype(jnp.int32)
+            # packed: k*S tokens | blk | kv | free_top | active | max_nb
             packed = jnp.concatenate([
                 tok_seq.reshape(-1), last_packed[S_:],
-                active.astype(jnp.int32)])
+                active.astype(jnp.int32), max_nb[None]])
             lp_c = lp_t = lp_i = None
             if lp_seq is not None:
                 lp_c, lp_t, lp_i = lp_seq
@@ -344,7 +352,7 @@ class EnginePrograms:
             if record:
                 # cached-part accumulator: block-row indexed adds through
                 # the final tables (tail columns are zero in acc)
-                bt_rows = state.block_tables.reshape(-1)
+                bt_rows = state.block_tables[..., :nb_tbl].reshape(-1)
                 updates = acc[..., :nb_tbl * bsz].reshape(-1, bsz)
                 kv_metrics = kv_metrics.at[bt_rows].add(updates)
                 # tail accumulator straight onto the freshly-zeroed slots
@@ -386,7 +394,8 @@ class EnginePrograms:
                 tail_len = tail_cnt + active.astype(jnp.int32)
                 hidden, tail_k, tail_v, m_cached, m_tail = (
                     llama.decode_tail(
-                        params, mcfg, tokens, positions, block_tables,
+                        params, mcfg, tokens, positions,
+                        block_tables[..., :nb_tbl],
                         new_ctx, tail_k, tail_v, tail_cnt, tail_len,
                         _cache_of(state), active, spec, lora=lora))
                 # record the new tail entry's logical position
@@ -467,18 +476,17 @@ class EnginePrograms:
                min_remaining=None, token_counts=None, prompt_mask=None,
                use_penalties: bool = False, use_seeds: bool = False,
                logprobs_n: int = 0, lora_idx=None, lora_scale=None,
-               allowed_mask=None):
+               allowed_mask=None, nb_bucket: Optional[int] = None):
         use_lora = lora_scale is not None
         use_guided = allowed_mask is not None
         key = (multi_steps, greedy_only, use_metric_buffer, use_penalties,
-               use_seeds, logprobs_n, use_lora, use_guided)
-        if self._decode_fn is None or self._decode_steps != key:
-            self._decode_fn = self._build_decode(
+               use_seeds, logprobs_n, use_lora, use_guided, nb_bucket)
+        if key not in self._decode_fns:
+            self._decode_fns[key] = self._build_decode(
                 multi_steps, greedy_only, use_metric_buffer,
                 use_penalties=use_penalties, use_seeds=use_seeds,
                 logprobs_n=logprobs_n, use_lora=use_lora,
-                use_guided=use_guided)
-            self._decode_steps = key
+                use_guided=use_guided, nb_bucket=nb_bucket)
         if min_remaining is None:
             min_remaining = jnp.zeros_like(remaining)
         if lora_idx is None:
@@ -487,7 +495,8 @@ class EnginePrograms:
             lora_scale = jnp.zeros((1,), jnp.float32)
         if allowed_mask is None:
             allowed_mask = jnp.zeros((1, 1), bool)
-        return self._decode_fn(state, self.params, tokens, positions, active,
+        return self._decode_fns[key](state, self.params, tokens, positions,
+                               active,
                                buffer_lens, st, rng, eos_ids, ignore_eos,
                                remaining, min_remaining, token_counts,
                                prompt_mask, lora_idx, lora_scale,

@@ -579,142 +579,138 @@ def _tail_kernel(
     tlen_ref,       # [S] i32 tail length (active steps so far this burst)
     bt_ref,         # [S, H, nb] i32
     # inputs
-    q_ref,          # [1, 1, QP, d] VMEM
-    tailk_ref,      # [1, 1, KT, d] VMEM
-    tailv_ref,      # [1, 1, KT, d] VMEM
+    q_ref,          # [1, HG, QP, d] VMEM (this step's head group)
+    tailk_ref,      # [1, HG, KT, d] VMEM
+    tailv_ref,      # [1, HG, KT, d] VMEM
     k_hbm,          # [num_blocks, bs, d] ANY (read-only)
     v_hbm,          # ANY (read-only)
     # outputs
-    o_ref,          # [1, 1, QP, d] VMEM
-    mo_ref,         # [1, 1, 1, n] f32 VMEM (cached-part metric row)
-    mt_ref,         # [1, 1, 1, KT] f32 VMEM (tail metric row)
+    o_ref,          # [1, HG, QP, d] VMEM
+    mo_ref,         # [1, HG, 1, n] f32 VMEM (cached-part metric rows)
+    mt_ref,         # [1, HG, 1, KT] f32 VMEM (tail metric rows)
     # scratch
-    logits,         # [QP, n] f32
-    kbuf,           # [nb, bs, d] whole-context K stage
-    vbuf,           # [nb, bs, d]
+    kbuf,           # [HG, nb, bs, d] whole-context K stage
+    vbuf,           # [HG, nb, bs, d]
     ksem, vsem,
     *,
     scale: float,
     block_size: int,
+    head_group: int,
     use_l2: bool,
     record_metrics: bool,
     qpk_real: int,
     logit_cap: float = 0.0,
 ):
-    s = pl.program_id(0)
-    h = pl.program_id(1)
+    """One grid step = one (sequence, head group): per-grid-step fixed
+    overhead dominates this kernel (measured context-independent ~4us), so
+    HG heads amortise it. All HG heads' block copies are issued upfront,
+    then each head computes its exact softmax + metric rows."""
+    sidx = pl.program_id(0)
+    g = pl.program_id(1)
+    HG = head_group
     bs = block_size
     nb = bt_ref.shape[-1]
     n = nb * bs
     QP, d = q_ref.shape[2], q_ref.shape[3]
     KT = tailk_ref.shape[2]
 
-    ctx = ctx_ref[s, h]
-    tlen = tlen_ref[s]
-    cached = jnp.maximum(ctx - tlen, 0)
-    nb_cached = (cached + bs - 1) // bs
-
-    # ---- issue ALL block copies upfront (K then V), then wait ----
-    # statically-unrolled groups of U with per-element guards: dynamic trip
-    # counts can't unroll directly, and scalar-core loop overhead otherwise
-    # dominates (~192 iterations per grid step)
+    tlen = tlen_ref[sidx]
     U = 8
-    n_groups = (nb_cached + U - 1) // U
 
-    def start_group(g, _):
-        for u in range(U):
-            i = g * U + u
+    # ---- issue ALL HG heads' block copies upfront ----
+    for hh in range(HG):
+        h = g * HG + hh
+        cached_h = jnp.maximum(ctx_ref[sidx, h] - tlen, 0)
+        nbc = (cached_h + bs - 1) // bs
+        n_groups = (nbc + U - 1) // U
 
-            @pl.when(i < nb_cached)
-            def _():
-                bid = bt_ref[s, h, i]
-                pltpu.make_async_copy(k_hbm.at[bid], kbuf.at[i],
-                                      ksem).start()
-                pltpu.make_async_copy(v_hbm.at[bid], vbuf.at[i],
-                                      vsem).start()
-        return ()
+        def start_group(gg, _, hh=hh, h=h, nbc=nbc):
+            for u in range(U):
+                i = gg * U + u
 
-    jax.lax.fori_loop(0, n_groups, start_group, (), unroll=False)
+                @pl.when(i < nbc)
+                def _():
+                    bid = bt_ref[sidx, h, i]
+                    pltpu.make_async_copy(k_hbm.at[bid], kbuf.at[hh, i],
+                                          ksem).start()
+                    pltpu.make_async_copy(v_hbm.at[bid], vbuf.at[hh, i],
+                                          vsem).start()
+            return ()
 
-    def wait_k(g, _):
-        for u in range(U):
-            i = g * U + u
+        jax.lax.fori_loop(0, n_groups, start_group, (), unroll=False)
 
-            @pl.when(i < nb_cached)
-            def _():
-                pltpu.make_async_copy(k_hbm.at[0], kbuf.at[0], ksem).wait()
-        return ()
+    # ---- per head: wait its copies, then compute ----
+    for hh in range(HG):
+        h = g * HG + hh
+        ctx = ctx_ref[sidx, h]
+        cached = jnp.maximum(ctx - tlen, 0)
+        nbc = (cached + bs - 1) // bs
+        n_groups = (nbc + U - 1) // U
 
-    jax.lax.fori_loop(0, n_groups, wait_k, (), unroll=False)
+        def wait_kv(gg, _, nbc=nbc):
+            for u in range(U):
+                i = gg * U + u
 
-    q = q_ref[0, 0]                               # [QP, d] native dtype
+                @pl.when(i < nbc)
+                def _():
+                    pltpu.make_async_copy(k_hbm.at[0], kbuf.at[0, 0],
+                                          ksem).wait()
+                    pltpu.make_async_copy(v_hbm.at[0], vbuf.at[0, 0],
+                                          vsem).wait()
+            return ()
 
-    # ---- logits: one matmul over the whole staged context + tail ----
-    # operands stay in the cache dtype (bf16) so the MXU runs native
-    # passes with f32 accumulation; no whole-context VPU conversions
-    kall = kbuf[...].reshape(n, d)
-    lg_c = jax.lax.dot_general(
-        q, kall, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32) * scale      # [QP, n]
-    tk = tailk_ref[0, 0]                                 # [KT, d]
-    lg_t = jax.lax.dot_general(
-        q, tk, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32) * scale      # [QP, KT]
-    if logit_cap:
-        lg_c = logit_cap * jnp.tanh(lg_c / logit_cap)
-        lg_t = logit_cap * jnp.tanh(lg_t / logit_cap)
+        jax.lax.fori_loop(0, n_groups, wait_kv, (), unroll=False)
 
-    col = jax.lax.broadcasted_iota(jnp.int32, (QP, n), 1)
-    valid_c = col < cached
-    colt = jax.lax.broadcasted_iota(jnp.int32, (QP, KT), 1)
-    # tail rows are packed [0, tlen); the seq is attended iff ctx > 0
-    valid_t = (colt < tlen) & (ctx > 0)
-    lg_c = jnp.where(valid_c, lg_c, NEG_INF)
-    lg_t = jnp.where(valid_t, lg_t, NEG_INF)
+        q = q_ref[0, hh]                          # [QP, d] native dtype
+        kall = kbuf[hh].reshape(n, d)
+        lg_c = jax.lax.dot_general(
+            q, kall, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale      # [QP, n]
+        tk = tailk_ref[0, hh]                                # [KT, d]
+        lg_t = jax.lax.dot_general(
+            q, tk, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale      # [QP, KT]
+        if logit_cap:
+            lg_c = logit_cap * jnp.tanh(lg_c / logit_cap)
+            lg_t = logit_cap * jnp.tanh(lg_t / logit_cap)
 
-    m = jnp.maximum(jnp.max(lg_c, axis=-1, keepdims=True),
-                    jnp.max(lg_t, axis=-1, keepdims=True))
-    e_c = jnp.where(valid_c, jnp.exp(lg_c - m), 0.0)
-    e_t = jnp.where(valid_t, jnp.exp(lg_t - m), 0.0)
-    l = (jnp.sum(e_c, axis=-1, keepdims=True)
-         + jnp.sum(e_t, axis=-1, keepdims=True) + 1e-9)
-    p_c = e_c / l
-    p_t = e_t / l
-    logits[...] = p_c
+        col = jax.lax.broadcasted_iota(jnp.int32, (QP, n), 1)
+        valid_c = col < cached
+        colt = jax.lax.broadcasted_iota(jnp.int32, (QP, KT), 1)
+        valid_t = (colt < tlen) & (ctx > 0)
+        lg_c = jnp.where(valid_c, lg_c, NEG_INF)
+        lg_t = jnp.where(valid_t, lg_t, NEG_INF)
 
-    if record_metrics:
-        c_c = p_c * p_c if use_l2 else p_c
-        c_t = p_t * p_t if use_l2 else p_t
-        mo_ref[0, 0, 0, :] = jnp.sum(c_c[:qpk_real], axis=0)
-        mt_ref[0, 0, 0, :] = jnp.sum(c_t[:qpk_real], axis=0)
-    else:
-        mo_ref[0, 0, 0, :] = jnp.zeros((n,), jnp.float32)
-        mt_ref[0, 0, 0, :] = jnp.zeros((KT,), jnp.float32)
+        m = jnp.maximum(jnp.max(lg_c, axis=-1, keepdims=True),
+                        jnp.max(lg_t, axis=-1, keepdims=True))
+        e_c = jnp.where(valid_c, jnp.exp(lg_c - m), 0.0)
+        e_t = jnp.where(valid_t, jnp.exp(lg_t - m), 0.0)
+        l = (jnp.sum(e_c, axis=-1, keepdims=True)
+             + jnp.sum(e_t, axis=-1, keepdims=True) + 1e-9)
+        p_c = e_c / l
+        p_t = e_t / l
 
-    # ---- output: wait V, one matmul + tail term ----
-    def wait_v(g, _):
-        for u in range(U):
-            i = g * U + u
+        if record_metrics:
+            c_c = p_c * p_c if use_l2 else p_c
+            c_t = p_t * p_t if use_l2 else p_t
+            mo_ref[0, hh, 0, :] = jnp.sum(c_c[:qpk_real], axis=0)
+            mt_ref[0, hh, 0, :] = jnp.sum(c_t[:qpk_real], axis=0)
+        else:
+            mo_ref[0, hh, 0, :] = jnp.zeros((n,), jnp.float32)
+            mt_ref[0, hh, 0, :] = jnp.zeros((KT,), jnp.float32)
 
-            @pl.when(i < nb_cached)
-            def _():
-                pltpu.make_async_copy(v_hbm.at[0], vbuf.at[0], vsem).wait()
-        return ()
-
-    jax.lax.fori_loop(0, n_groups, wait_v, (), unroll=False)
-
-    # zero never-written stale V rows: their probs are 0, but 0 * NaN
-    # (uninitialised VMEM) would still poison the matmul accumulator
-    vrow = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)
-    vall = jnp.where(vrow < cached, vbuf[...].reshape(n, d), 0)
-    pc = logits[...].astype(vall.dtype)
-    acc = jax.lax.dot_general(pc, vall, (((1,), (0,)), ((), ())),
-                              preferred_element_type=jnp.float32)
-    tv = tailv_ref[0, 0]
-    acc = acc + jax.lax.dot_general(
-        p_t.astype(tv.dtype), tv, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    o_ref[0, 0] = acc.astype(o_ref.dtype)
+        # zero never-written stale V rows: their probs are 0, but 0 * NaN
+        # (uninitialised VMEM) would still poison the matmul accumulator
+        vrow = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)
+        vall = jnp.where(vrow < cached, vbuf[hh].reshape(n, d), 0)
+        pc = p_c.astype(vall.dtype)
+        acc = jax.lax.dot_general(pc, vall, (((1,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+        tv = tailv_ref[0, hh]
+        acc = acc + jax.lax.dot_general(
+            p_t.astype(tv.dtype), tv, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        o_ref[0, hh] = acc.astype(o_ref.dtype)
 
 
 @functools.partial(
@@ -763,38 +759,47 @@ def paged_decode_attention_tail(
     if QP != qpk:
         q = jnp.pad(q, ((0, 0), (0, 0), (0, QP - qpk), (0, 0)))
 
+    # head group size: as many heads as fit the VMEM stage budget
+    # (per-grid-step fixed overhead dominates, so bigger groups win)
+    itemsize = 2 if k_cache.dtype in (jnp.bfloat16, jnp.float16) else 4
+    per_head = nb * bs * d * itemsize * 2  # K + V stage
+    budget = 10 * 1024 * 1024
+    HG = max(1, min(Hkv, budget // max(per_head, 1)))
+    while Hkv % HG != 0:
+        HG -= 1
+    n_groups = Hkv // HG
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
-        grid=(S, Hkv),
+        grid=(S, n_groups),
         in_specs=[
-            pl.BlockSpec((1, 1, QP, d), lambda s, h, *_: (s, h, 0, 0),
+            pl.BlockSpec((1, HG, QP, d), lambda s, g, *_: (s, g, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, KT, d), lambda s, h, *_: (s, h, 0, 0),
+            pl.BlockSpec((1, HG, KT, d), lambda s, g, *_: (s, g, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, KT, d), lambda s, h, *_: (s, h, 0, 0),
+            pl.BlockSpec((1, HG, KT, d), lambda s, g, *_: (s, g, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=[
-            pl.BlockSpec((1, 1, QP, d), lambda s, h, *_: (s, h, 0, 0),
+            pl.BlockSpec((1, HG, QP, d), lambda s, g, *_: (s, g, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 1, n), lambda s, h, *_: (s, h, 0, 0),
+            pl.BlockSpec((1, HG, 1, n), lambda s, g, *_: (s, g, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 1, KT), lambda s, h, *_: (s, h, 0, 0),
+            pl.BlockSpec((1, HG, 1, KT), lambda s, g, *_: (s, g, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
-            pltpu.VMEM((QP, n), jnp.float32),
-            pltpu.VMEM((nb, bs, d), k_cache.dtype),
-            pltpu.VMEM((nb, bs, d), v_cache.dtype),
+            pltpu.VMEM((HG, nb, bs, d), k_cache.dtype),
+            pltpu.VMEM((HG, nb, bs, d), v_cache.dtype),
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
         ],
     )
     kernel = functools.partial(
-        _tail_kernel, scale=scale, block_size=bs, use_l2=use_l2,
-        record_metrics=record_metrics, qpk_real=qpk,
+        _tail_kernel, scale=scale, block_size=bs, head_group=HG,
+        use_l2=use_l2, record_metrics=record_metrics, qpk_real=qpk,
         logit_cap=logit_cap or 0.0)
     out, m_cached, m_tail = pl.pallas_call(
         kernel,
