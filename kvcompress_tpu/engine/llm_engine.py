@@ -251,6 +251,13 @@ class LLMEngine:
                 with BENCHMARKER.range("decode"):
                     outputs += self._do_decode()
         self.stats.timer("step_seconds", time.monotonic() - t0)
+        self.stats.gauge("num_requests_running",
+                         len(self.scheduler.running))
+        self.stats.gauge("num_requests_waiting",
+                         len(self.scheduler.waiting))
+        self.stats.gauge("gpu_cache_usage_perc",
+                         1.0 - self.scheduler.free_blocks
+                         / max(self.scheduler.total_blocks, 1))
         return outputs
 
     # ------------------------------------------------------------- prefill

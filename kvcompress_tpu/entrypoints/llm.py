@@ -10,8 +10,9 @@ from __future__ import annotations
 from typing import Dict, List, Optional, Sequence, Union
 
 from kvcompress_tpu.config import (CacheConfig, EngineConfig,
-                                   KVCompressConfig, ModelConfig,
-                                   ParallelConfig, SchedulerConfig)
+                                   KVCompressConfig, LoRAConfig, ModelConfig,
+                                   ParallelConfig, SchedulerConfig,
+                                   SpeculativeConfig)
 from kvcompress_tpu.engine.llm_engine import LLMEngine
 from kvcompress_tpu.sampling_params import SamplingParams
 from kvcompress_tpu.sequence import RequestOutput
@@ -34,6 +35,13 @@ def build_engine_config(
     kv_head_bias_weight: float = 1.0,
     record_decoding_metrics: bool = True,
     tensor_parallel_size: int = 1,
+    enable_lora: bool = False,
+    max_loras: int = 4,
+    max_lora_rank: int = 16,
+    num_speculative_tokens: int = 0,
+    ngram_prompt_lookup_min: int = 1,
+    ngram_prompt_lookup_max: int = 4,
+    num_scheduler_steps: int = 0,
     seed: int = 0,
 ) -> EngineConfig:
     """Assemble an EngineConfig the way reference
@@ -61,8 +69,15 @@ def build_engine_config(
             kv_head_bias_weight=kv_head_bias_weight,
         ),
         scheduler=SchedulerConfig(max_num_seqs=max_num_seqs,
-                                  max_model_len=max_model_len),
+                                  max_model_len=max_model_len,
+                                  num_scheduler_steps=num_scheduler_steps),
         parallel=ParallelConfig(tensor_parallel_size=tensor_parallel_size),
+        lora=LoRAConfig(enable_lora=enable_lora, max_loras=max_loras,
+                        max_lora_rank=max_lora_rank),
+        speculative=SpeculativeConfig(
+            num_speculative_tokens=num_speculative_tokens,
+            ngram_prompt_lookup_min=ngram_prompt_lookup_min,
+            ngram_prompt_lookup_max=ngram_prompt_lookup_max),
         seed=seed,
     )
 

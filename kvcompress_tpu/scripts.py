@@ -38,6 +38,16 @@ def add_engine_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--kv-head-bias-path", default=None)
     p.add_argument("--kv-head-bias-weight", type=float, default=1.0)
     p.add_argument("--disable-decoding-metrics", action="store_true")
+    # --- LoRA (reference --enable-lora / --max-loras / --max-lora-rank) ---
+    p.add_argument("--enable-lora", action="store_true")
+    p.add_argument("--max-loras", type=int, default=4)
+    p.add_argument("--max-lora-rank", type=int, default=16)
+    # --- speculative decoding (reference --num-speculative-tokens etc) ---
+    p.add_argument("--num-speculative-tokens", type=int, default=0)
+    p.add_argument("--ngram-prompt-lookup-min", type=int, default=1)
+    p.add_argument("--ngram-prompt-lookup-max", type=int, default=4)
+    # --- multi-step scheduling (reference --num-scheduler-steps) ---
+    p.add_argument("--num-scheduler-steps", type=int, default=0)
 
 
 def build_llm(args):
@@ -64,6 +74,13 @@ def build_llm(args):
         kv_head_bias_weight=args.kv_head_bias_weight,
         record_decoding_metrics=not args.disable_decoding_metrics,
         tensor_parallel_size=args.tensor_parallel_size,
+        enable_lora=args.enable_lora,
+        max_loras=args.max_loras,
+        max_lora_rank=args.max_lora_rank,
+        num_speculative_tokens=args.num_speculative_tokens,
+        ngram_prompt_lookup_min=args.ngram_prompt_lookup_min,
+        ngram_prompt_lookup_max=args.ngram_prompt_lookup_max,
+        num_scheduler_steps=args.num_scheduler_steps,
         seed=args.seed,
     )
 
