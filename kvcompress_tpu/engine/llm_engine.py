@@ -578,13 +578,20 @@ class LLMEngine:
         self._force_compress = False
         if batch is None:
             return
+        # workspace width: the scheduler's bound comes from uncompressed
+        # sequence lengths; the device-reported max allocated blocks per
+        # head is far tighter once sequences are compressed (the sort is
+        # the documented compression bottleneck, reference config.py:974)
+        nb = min(batch.nb_bucket,
+                 self._max_nb + cdiv(self.multi_step,
+                                     self.cfg.cache.block_size) + 1)
         self.state, packed = self.programs.compress(
             self.state,
             np.asarray(batch.slots, np.int32),
             np.asarray(batch.last_positions, np.int32),
             np.asarray(batch.protected, np.int32),
             np.asarray(batch.evict_blocks, np.int32),
-            nb=batch.nb_bucket,
+            nb=nb,
         )
         packed = np.asarray(packed)  # one fetch
         B = (len(packed) - 1) // 3
