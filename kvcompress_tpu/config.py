@@ -75,6 +75,10 @@ class ModelConfig:
     attention_scale: Optional[float] = None  # default head_size**-0.5
     attn_logit_softcap: Optional[float] = None  # gemma2
     logits_scaling: float = 1.0         # granite: logits /= logits_scaling
+    rope_interleaved: bool = False      # gpt-j / cohere rotate-every-two
+    qk_norm: bool = False               # persimmon/cohere per-head q/k LN
+    embed_norm: bool = False            # bloom word_embeddings_layernorm
+    alibi: bool = False                 # bloom / mpt attention bias
     # MoE (mixtral / qwen2-moe / dbrx families)
     num_experts: int = 0
     num_experts_per_tok: int = 2

@@ -70,8 +70,10 @@ class LLMEngine:
             16 if on_tpu else 1)
         if attn_impl == "auto":
             # the pallas decode kernel DMAs [block_size, head_size] rows and
-            # needs a full 128-lane last dim
-            attn_impl = ("pallas" if on_tpu and cfg.model.head_size % 128 == 0
+            # needs a full 128-lane last dim; alibi models use the XLA path
+            attn_impl = ("pallas" if on_tpu
+                         and cfg.model.head_size % 128 == 0
+                         and not cfg.model.alibi
                          else "xla")
         self.attn_impl = attn_impl
 

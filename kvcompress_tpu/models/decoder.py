@@ -92,18 +92,27 @@ def precompute_rope(cfg: ModelConfig, positions: jax.Array
     return jnp.cos(freqs), jnp.sin(freqs)
 
 
-def apply_rope(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
-    """x: [T, H, d]; neox-style rotate-half over the first 2*cos.shape[-1]
-    dims (matches HF Llama/GPTNeoX); the remainder passes through."""
+def apply_rope(x: jax.Array, cos: jax.Array, sin: jax.Array,
+               interleaved: bool = False) -> jax.Array:
+    """x: [T, H, d]; rotate-half over the first 2*cos.shape[-1] dims
+    (neox-style, matches HF Llama/GPTNeoX) or rotate-every-two
+    (gpt-j/cohere style) when interleaved; the remainder passes through."""
     rot = 2 * cos.shape[-1]
     d = x.shape[-1]
     xr, x_pass = x[..., :rot], x[..., rot:]
     d2 = rot // 2
-    x1, x2 = xr[..., :d2], xr[..., d2:]
     c = cos[:, None, :].astype(jnp.float32)
     s = sin[:, None, :].astype(jnp.float32)
-    x1f, x2f = x1.astype(jnp.float32), x2.astype(jnp.float32)
-    out = jnp.concatenate([x1f * c - x2f * s, x2f * c + x1f * s], axis=-1)
+    if interleaved:
+        x1 = xr[..., 0::2].astype(jnp.float32)
+        x2 = xr[..., 1::2].astype(jnp.float32)
+        o1 = x1 * c - x2 * s
+        o2 = x2 * c + x1 * s
+        out = jnp.stack([o1, o2], axis=-1).reshape(xr.shape)
+    else:
+        x1 = xr[..., :d2].astype(jnp.float32)
+        x2 = xr[..., d2:].astype(jnp.float32)
+        out = jnp.concatenate([x1 * c - x2 * s, x2 * c + x1 * s], axis=-1)
     out = out.astype(x.dtype)
     if rot < d:
         out = jnp.concatenate([out, x_pass], axis=-1)
@@ -139,6 +148,9 @@ def _act(x: jax.Array, act: str) -> jax.Array:
         return jax.nn.gelu(xf, approximate=False)
     if act == "relu":
         return jax.nn.relu(xf)
+    if act == "relu2":
+        r = jax.nn.relu(xf)
+        return r * r
     raise ValueError(f"unsupported activation {act}")
 
 
@@ -284,6 +296,12 @@ def init_params(cfg: ModelConfig, seed: int = 0,
         layers["bv"] = jnp.zeros((L, Hkv * d), dtype)
     if cfg.o_bias:
         layers["bo"] = jnp.zeros((L, D), dtype)
+    if cfg.qk_norm:
+        layers["q_norm"] = jnp.ones((L, d), dtype)
+        layers["k_norm"] = jnp.ones((L, d), dtype)
+        if cfg.norm_bias:
+            layers["q_norm_b"] = jnp.zeros((L, d), dtype)
+            layers["k_norm_b"] = jnp.zeros((L, d), dtype)
 
     params: Dict[str, Any] = {
         "embed": w(V, D, scale=0.02),
@@ -292,6 +310,10 @@ def init_params(cfg: ModelConfig, seed: int = 0,
     }
     if cfg.norm_bias:
         params["final_norm_b"] = jnp.zeros((D,), dtype)
+    if cfg.embed_norm:
+        params["embed_norm_w"] = jnp.ones((D,), dtype)
+        if cfg.norm_bias:
+            params["embed_norm_b"] = jnp.zeros((D,), dtype)
     if cfg.pos_embedding == "learned":
         P = cfg.max_model_len + cfg.learned_pos_offset
         params["pos_embed"] = w(P, D, scale=0.02)
@@ -319,7 +341,24 @@ def _embed(params, cfg: ModelConfig, token_ids, positions):
     if cfg.pos_embedding == "learned":
         x = x + params["pos_embed"][
             jnp.clip(positions, 0) + cfg.learned_pos_offset]
+    if cfg.embed_norm:
+        x = _norm(x, params["embed_norm_w"], params.get("embed_norm_b"),
+                  cfg)
     return x
+
+
+def alibi_slopes(n_heads: int) -> np.ndarray:
+    """Standard ALiBi slope schedule (bloom/mpt)."""
+    def pow2_slopes(n):
+        start = 2.0 ** (-(2.0 ** -(np.log2(n) - 3)))
+        return start * (start ** np.arange(n))
+
+    if np.log2(n_heads).is_integer():
+        return pow2_slopes(n_heads).astype(np.float32)
+    closest = 2 ** int(np.floor(np.log2(n_heads)))
+    base = pow2_slopes(closest)
+    extra = pow2_slopes(2 * closest)[0::2][:n_heads - closest]
+    return np.concatenate([base, extra]).astype(np.float32)
 
 
 def _layer_step_fn(cfg: ModelConfig, T: int, cos, sin, attn_fn,
@@ -357,9 +396,12 @@ def _layer_step_fn(cfg: ModelConfig, T: int, cos, sin, attn_fn,
         q = q.reshape(T, Hq, d)
         k = k.reshape(T, Hkv, d)
         v = v.reshape(T, Hkv, d)
+        if cfg.qk_norm:
+            q = _norm(q, lw["q_norm"], lw.get("q_norm_b"), cfg)
+            k = _norm(k, lw["k_norm"], lw.get("k_norm_b"), cfg)
         if cfg.pos_embedding == "rope":
-            q = apply_rope(q, cos, sin)
-            k = apply_rope(k, cos, sin)
+            q = apply_rope(q, cos, sin, cfg.rope_interleaved)
+            k = apply_rope(k, cos, sin, cfg.rope_interleaved)
         res = attn_fn(lxs, q, k, v, cache)
         if collect:
             attn_out, cache, extra = res
@@ -496,8 +538,9 @@ def prefill(
     T = token_ids.shape[0]
     positions = jnp.arange(T, dtype=jnp.int32)
     scale = attn_scale(cfg)
+    al = (jnp.asarray(alibi_slopes(cfg.num_heads)) if cfg.alibi else None)
 
-    if spec.impl in ("pallas", "interpret"):
+    if spec.impl in ("pallas", "interpret") and not cfg.alibi:
         from kvcompress_tpu.ops.pallas import prefill_attention as ppf
 
         def prefill_attn(q, k, v):
@@ -519,7 +562,7 @@ def prefill(
                 buffer_len=buffer_len,
                 use_l2=spec.use_l2, use_average=spec.use_average,
                 use_maxpool=spec.use_maxpool,
-                logit_cap=cfg.attn_logit_softcap)
+                logit_cap=cfg.attn_logit_softcap, alibi=al)
 
     def attn_fn(slot_mapping_l, q, k, v, cache):
         out, pf_metrics = prefill_attn(q, k, v)
@@ -573,12 +616,15 @@ def decode(
     hidden states [S, D] and the updated cache (reference
     flash_attn.py:1065-1097 decode branch + KVCAttention.forward_decode)."""
     scale = attn_scale(cfg)
+    al = (jnp.asarray(alibi_slopes(cfg.num_heads)) if cfg.alibi else None)
 
-    if spec.impl == "pallas":
+    if spec.impl == "pallas" and not cfg.alibi:
         from kvcompress_tpu.ops.pallas import paged_attention as ppa
         decode_attn = ppa.paged_decode_attention
+        extra_kw = {}
     else:
         decode_attn = att.paged_decode_attention
+        extra_kw = {"alibi": al}
 
     def attn_fn(lxs, q, k, v, cache):
         slot_mapping_l, bt_l, ctx_l = lxs
@@ -591,7 +637,7 @@ def decode(
             q, kc, vc, mc, pc, bt_l, ctx_l, positions, buffer_lens, scale,
             active=active, use_l2=spec.use_l2,
             record_metrics=spec.record_metrics,
-            logit_cap=cfg.attn_logit_softcap)
+            logit_cap=cfg.attn_logit_softcap, **extra_kw)
         return out, KVCache(kc, vc, mc, pc)
 
     hidden, cache = forward(

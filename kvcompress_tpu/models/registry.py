@@ -7,9 +7,9 @@ each supported family is a ModelConfig recipe for the generic decoder
 stacked-[L] parameter pytree. All loaders are torch-free (numpy safetensors).
 
 Families covered: Llama 2/3/3.1 (incl. TinyLlama), Mistral, Qwen2(.5),
-Gemma, Gemma2, Phi (phi-1.5/2), Phi-3, GPT-2, OPT, GPT-NeoX (pythia),
-StableLM, Starcoder2, InternLM2, Mixtral, Qwen2-MoE, Granite, OLMo,
-Baichuan-7B.
+Gemma, Gemma2, Phi (phi-1.5/2), Phi-3, GPT-2, GPT-J, GPT-NeoX (pythia),
+OPT, Bloom, MPT, Falcon, Cohere (Command-R), Persimmon, StableLM,
+Starcoder2, InternLM2, Mixtral, Qwen2-MoE, Granite, OLMo, Baichuan-7B.
 """
 
 from __future__ import annotations
@@ -31,13 +31,14 @@ def _g(hf: dict, *names, default=None):
 
 
 def _base_cfg(hf: dict, arch: str, model_name: str, **over) -> ModelConfig:
-    heads = _g(hf, "num_attention_heads", "n_head")
-    hidden = _g(hf, "hidden_size", "n_embd")
+    heads = _g(hf, "num_attention_heads", "n_head", "n_heads")
+    hidden = _g(hf, "hidden_size", "n_embd", "d_model")
     head_size = over.pop("head_size", None) or _g(
         hf, "head_dim", default=hidden // heads)
     kw = dict(
         model=model_name,
-        num_layers=_g(hf, "num_hidden_layers", "n_layer", "num_layers"),
+        num_layers=_g(hf, "num_hidden_layers", "n_layer", "num_layers",
+                      "n_layers"),
         num_heads=heads,
         num_kv_heads=_g(hf, "num_key_value_heads", default=heads),
         head_size=head_size,
@@ -653,6 +654,272 @@ def _qwen2moe():
                  transpose=True)
         ld.put("embed", "model.embed_tokens.weight")
         ld.put("final_norm", "model.norm.weight")
+        ld.put("lm_head", "lm_head.weight")
+        return ld.params()
+
+    return cfg_fn, load_fn
+
+
+
+
+@_register("GPTJForCausalLM")
+def _gptj():
+    def cfg_fn(hf, name):
+        head = hf["n_embd"] // hf["n_head"]
+        return _base_cfg(
+            hf, "GPTJForCausalLM", name,
+            norm_type="layernorm", norm_bias=True,
+            parallel_residual=True, shared_input_norm=True,
+            partial_rotary_factor=hf.get("rotary_dim", head) / head,
+            rope_interleaved=True,
+            mlp_type="plain", mlp_bias=True, o_bias=False,
+            lm_head_bias=True,
+            hidden_act=hf.get("activation_function", "gelu_new"))
+
+    def load_fn(t, cfg, dtype):
+        params = _load_llama_style(
+            t, cfg, dtype, p="transformer.h.{}.",
+            embed="transformer.wte.weight",
+            final_norm="transformer.ln_f.weight",
+            input_norm="ln_1.weight",
+            q="attn.q_proj", k="attn.k_proj", v="attn.v_proj",
+            o="attn.out_proj", gate="mlp.fc_in", down="mlp.fc_out")
+        return params
+
+    return cfg_fn, load_fn
+
+
+@_register("FalconForCausalLM")
+def _falcon():
+    def cfg_fn(hf, name):
+        new_arch = hf.get("new_decoder_architecture", False)
+        heads = hf["num_attention_heads"]
+        if new_arch:
+            kv = hf.get("num_kv_heads", heads)
+        elif hf.get("multi_query", True):
+            kv = 1
+        else:
+            kv = heads
+        return _base_cfg(
+            hf, "FalconForCausalLM", name,
+            num_kv_heads=kv,
+            norm_type="layernorm", norm_bias=True,
+            parallel_residual=hf.get("parallel_attn", True),
+            shared_input_norm=not new_arch,
+            mlp_type="plain", mlp_bias=hf.get("bias", False),
+            attention_bias=hf.get("bias", False),
+            qkv_bias=hf.get("bias", False),
+            o_bias=hf.get("bias", False),
+            alibi=hf.get("alibi", False),
+            pos_embedding="none" if hf.get("alibi", False) else "rope",
+            tie_word_embeddings=True,
+            rms_norm_eps=hf.get("layer_norm_epsilon", 1e-5),
+            hidden_act="gelu")
+
+    def load_fn(t, cfg, dtype):
+        Hq, Hkv, d = cfg.num_heads, cfg.num_kv_heads, cfg.head_size
+        g = Hq // Hkv
+        new_arch = Hkv > 1 and f"transformer.h.0.ln_attn.weight" in t
+        ld = _Loader(t, cfg, dtype)
+        p = "transformer.h.{}."
+        if new_arch:
+            ld.stack("input_norm", p + "ln_attn.weight")
+            ld.stack("input_norm_b", p + "ln_attn.bias")
+            ld.stack("post_attn_norm", p + "ln_mlp.weight")
+            ld.stack("post_attn_norm_b", p + "ln_mlp.bias")
+        else:
+            ld.stack("input_norm", p + "input_layernorm.weight")
+            ld.stack("input_norm_b", p + "input_layernorm.bias")
+
+        def qkv(i, which):
+            w = t[f"transformer.h.{i}.self_attention.query_key_value"
+                  f".weight"]
+            if new_arch:
+                w = w.reshape(Hkv, g + 2, d, -1)
+                if which == "q":
+                    return w[:, :g].reshape(Hq * d, -1).T
+                j = g if which == "k" else g + 1
+                return w[:, j].reshape(Hkv * d, -1).T
+            # multi-query layout: [Hq*d | d | d]
+            if which == "q":
+                return w[:Hq * d].T
+            if which == "k":
+                return w[Hq * d:Hq * d + Hkv * d].T
+            return w[Hq * d + Hkv * d:].T
+
+        ld.stack_fn("wq", lambda i: qkv(i, "q"))
+        ld.stack_fn("wk", lambda i: qkv(i, "k"))
+        ld.stack_fn("wv", lambda i: qkv(i, "v"))
+        ld.stack("wo", p + "self_attention.dense.weight", transpose=True)
+        ld.stack("w_fc1", p + "mlp.dense_h_to_4h.weight", transpose=True)
+        ld.stack("w_fc2", p + "mlp.dense_4h_to_h.weight", transpose=True)
+        ld.stack_opt("b_fc1", p + "mlp.dense_h_to_4h.bias")
+        ld.stack_opt("b_fc2", p + "mlp.dense_4h_to_h.bias")
+        ld.put("embed", "transformer.word_embeddings.weight")
+        ld.put("final_norm", "transformer.ln_f.weight")
+        ld.put_opt("final_norm_b", "transformer.ln_f.bias")
+        return ld.params()
+
+    return cfg_fn, load_fn
+
+
+@_register("CohereForCausalLM")
+def _cohere():
+    def cfg_fn(hf, name):
+        return _base_cfg(
+            hf, "CohereForCausalLM", name,
+            norm_type="layernorm", norm_bias=False,
+            parallel_residual=True, shared_input_norm=True,
+            rope_interleaved=True,
+            tie_word_embeddings=True,
+            rms_norm_eps=hf.get("layer_norm_eps", 1e-5),
+            # HF multiplies logits BY logit_scale; ours divides
+            logits_scaling=1.0 / hf.get("logit_scale", 1.0))
+    return cfg_fn, _load_llama_style
+
+
+@_register("BloomForCausalLM")
+def _bloom():
+    def cfg_fn(hf, name):
+        return _base_cfg(
+            hf, "BloomForCausalLM", name,
+            num_layers=_g(hf, "num_hidden_layers", "n_layer"),
+            num_heads=_g(hf, "num_attention_heads", "n_head"),
+            norm_type="layernorm", norm_bias=True,
+            pos_embedding="none", alibi=True, embed_norm=True,
+            mlp_type="plain", mlp_bias=True,
+            attention_bias=True, qkv_bias=True, o_bias=True,
+            tie_word_embeddings=True,
+            rms_norm_eps=hf.get("layer_norm_epsilon", 1e-5),
+            hidden_act="gelu")
+
+    def load_fn(t, cfg, dtype):
+        H, d = cfg.num_heads, cfg.head_size
+        ld = _Loader(t, cfg, dtype)
+        pre = ("" if "h.0.input_layernorm.weight" in t else "transformer.")
+        p = pre + "h.{}."
+        ld.stack("input_norm", p + "input_layernorm.weight")
+        ld.stack("input_norm_b", p + "input_layernorm.bias")
+        ld.stack("post_attn_norm", p + "post_attention_layernorm.weight")
+        ld.stack("post_attn_norm_b", p + "post_attention_layernorm.bias")
+
+        # fused qkv interleaved per head: rows [H, 3, d]
+        def qkv_w(i, j):
+            w = t[f"{pre}h.{i}.self_attention.query_key_value.weight"]
+            return w.reshape(H, 3, d, -1)[:, j].reshape(H * d, -1).T
+
+        def qkv_b(i, j):
+            b = t[f"{pre}h.{i}.self_attention.query_key_value.bias"]
+            return b.reshape(H, 3, d)[:, j].reshape(H * d)
+
+        ld.stack_fn("wq", lambda i: qkv_w(i, 0))
+        ld.stack_fn("wk", lambda i: qkv_w(i, 1))
+        ld.stack_fn("wv", lambda i: qkv_w(i, 2))
+        ld.stack_fn("bq", lambda i: qkv_b(i, 0))
+        ld.stack_fn("bk", lambda i: qkv_b(i, 1))
+        ld.stack_fn("bv", lambda i: qkv_b(i, 2))
+        ld.stack("wo", p + "self_attention.dense.weight", transpose=True)
+        ld.stack("bo", p + "self_attention.dense.bias")
+        ld.stack("w_fc1", p + "mlp.dense_h_to_4h.weight", transpose=True)
+        ld.stack("b_fc1", p + "mlp.dense_h_to_4h.bias")
+        ld.stack("w_fc2", p + "mlp.dense_4h_to_h.weight", transpose=True)
+        ld.stack("b_fc2", p + "mlp.dense_4h_to_h.bias")
+        ld.put("embed", pre + "word_embeddings.weight")
+        ld.put("embed_norm_w", pre + "word_embeddings_layernorm.weight")
+        ld.put("embed_norm_b", pre + "word_embeddings_layernorm.bias")
+        ld.put("final_norm", pre + "ln_f.weight")
+        ld.put("final_norm_b", pre + "ln_f.bias")
+        return ld.params()
+
+    return cfg_fn, load_fn
+
+
+@_register("MptForCausalLM", "MPTForCausalLM")
+def _mpt():
+    def cfg_fn(hf, name):
+        D = hf["d_model"]
+        return _base_cfg(
+            hf, "MptForCausalLM", name,
+            num_layers=hf["n_layers"], num_heads=hf["n_heads"],
+            num_kv_heads=hf["n_heads"], hidden_size=D,
+            head_size=D // hf["n_heads"],
+            intermediate_size=int(hf.get("expansion_ratio", 4) * D),
+            max_model_len=hf.get("max_seq_len", 2048),
+            norm_type="layernorm", norm_bias=False,
+            pos_embedding="none", alibi=True,
+            mlp_type="plain", mlp_bias=False,
+            tie_word_embeddings=True,
+            hidden_act="gelu")
+
+    def load_fn(t, cfg, dtype):
+        D = cfg.hidden_size
+        ld = _Loader(t, cfg, dtype)
+        p = "transformer.blocks.{}."
+        ld.stack("input_norm", p + "norm_1.weight")
+        ld.stack("post_attn_norm", p + "norm_2.weight")
+        wq = lambda i: t[f"transformer.blocks.{i}.attn.Wqkv.weight"].T
+        ld.stack_fn("wq", lambda i: wq(i)[:, :D])
+        ld.stack_fn("wk", lambda i: wq(i)[:, D:2 * D])
+        ld.stack_fn("wv", lambda i: wq(i)[:, 2 * D:])
+        ld.stack("wo", p + "attn.out_proj.weight", transpose=True)
+        ld.stack("w_fc1", p + "ffn.up_proj.weight", transpose=True)
+        ld.stack("w_fc2", p + "ffn.down_proj.weight", transpose=True)
+        ld.put("embed", "transformer.wte.weight")
+        ld.put("final_norm", "transformer.norm_f.weight")
+        return ld.params()
+
+    return cfg_fn, load_fn
+
+
+@_register("PersimmonForCausalLM")
+def _persimmon():
+    def cfg_fn(hf, name):
+        return _base_cfg(
+            hf, "PersimmonForCausalLM", name,
+            norm_type="layernorm", norm_bias=True,
+            partial_rotary_factor=hf.get("partial_rotary_factor", 0.5),
+            qk_norm=hf.get("qk_layernorm", True),
+            mlp_type="plain", mlp_bias=True,
+            attention_bias=True, qkv_bias=True, o_bias=True,
+            hidden_act=hf.get("hidden_act", "relu2"))
+
+    def load_fn(t, cfg, dtype):
+        H, d = cfg.num_heads, cfg.head_size
+        ld = _Loader(t, cfg, dtype)
+        p = "model.layers.{}."
+        ld.stack("input_norm", p + "input_layernorm.weight")
+        ld.stack("input_norm_b", p + "input_layernorm.bias")
+        ld.stack("post_attn_norm", p + "post_attention_layernorm.weight")
+        ld.stack("post_attn_norm_b", p + "post_attention_layernorm.bias")
+
+        def qkv_w(i, j):
+            w = t[f"model.layers.{i}.self_attn.query_key_value.weight"]
+            return w.reshape(H, 3, d, -1)[:, j].reshape(H * d, -1).T
+
+        def qkv_b(i, j):
+            b = t[f"model.layers.{i}.self_attn.query_key_value.bias"]
+            return b.reshape(H, 3, d)[:, j].reshape(H * d)
+
+        ld.stack_fn("wq", lambda i: qkv_w(i, 0))
+        ld.stack_fn("wk", lambda i: qkv_w(i, 1))
+        ld.stack_fn("wv", lambda i: qkv_w(i, 2))
+        ld.stack_fn("bq", lambda i: qkv_b(i, 0))
+        ld.stack_fn("bk", lambda i: qkv_b(i, 1))
+        ld.stack_fn("bv", lambda i: qkv_b(i, 2))
+        ld.stack("wo", p + "self_attn.dense.weight", transpose=True)
+        ld.stack("bo", p + "self_attn.dense.bias")
+        if cfg.qk_norm:
+            ld.stack("q_norm", p + "self_attn.q_layernorm.weight")
+            ld.stack("q_norm_b", p + "self_attn.q_layernorm.bias")
+            ld.stack("k_norm", p + "self_attn.k_layernorm.weight")
+            ld.stack("k_norm_b", p + "self_attn.k_layernorm.bias")
+        ld.stack("w_fc1", p + "mlp.dense_h_to_4h.weight", transpose=True)
+        ld.stack("b_fc1", p + "mlp.dense_h_to_4h.bias")
+        ld.stack("w_fc2", p + "mlp.dense_4h_to_h.weight", transpose=True)
+        ld.stack("b_fc2", p + "mlp.dense_4h_to_h.bias")
+        ld.put("embed", "model.embed_tokens.weight")
+        ld.put("final_norm", "model.final_layernorm.weight")
+        ld.put("final_norm_b", "model.final_layernorm.bias")
         ld.put("lm_head", "lm_head.weight")
         return ld.params()
 

@@ -90,6 +90,7 @@ def prefill_attention(
     use_maxpool: bool = True,
     q_chunk: int = 256,
     logit_cap: Optional[float] = None,
+    alibi: Optional[jax.Array] = None,   # [H_q] slopes (bloom/mpt)
 ) -> Tuple[jax.Array, jax.Array]:
     """Causal self-attention for one prompt + per-KV prefill metrics.
 
@@ -115,10 +116,13 @@ def prefill_attention(
         # qc: [q_chunk, Hq, d]; keys: full [T]
         logits = jnp.einsum("qhd,khd->hqk", qc,
                             jnp.repeat(kt, qpk, axis=1)) * scale
-        if logit_cap:
-            logits = logit_cap * jnp.tanh(logits / logit_cap)
         qpos = c0 + jnp.arange(q_chunk)[None, :, None]
         kpos = jnp.arange(T)[None, None, :]
+        if alibi is not None:
+            logits = logits + alibi[:, None, None] * (
+                kpos - qpos).astype(jnp.float32)
+        if logit_cap:
+            logits = logit_cap * jnp.tanh(logits / logit_cap)
         mask = (kpos <= qpos) & (kpos < seq_len)
         logits = jnp.where(mask, logits, NEG_INF)
         probs = jax.nn.softmax(logits, axis=-1)
@@ -146,10 +150,13 @@ def prefill_attention(
             jnp.pad(qf, ((0, mb), (0, 0), (0, 0))), start, mb, axis=0)
         logits = jnp.einsum("qhd,khd->hqk", qb,
                             jnp.repeat(kt, qpk, axis=1)) * scale
-        if logit_cap:
-            logits = logit_cap * jnp.tanh(logits / logit_cap)
         qpos = start + jnp.arange(mb)[None, :, None]
         kpos = jnp.arange(T)[None, None, :]
+        if alibi is not None:
+            logits = logits + alibi[:, None, None] * (
+                kpos - qpos).astype(jnp.float32)
+        if logit_cap:
+            logits = logit_cap * jnp.tanh(logits / logit_cap)
         causal = (kpos <= qpos) & (kpos < seq_len) & (qpos < seq_len)
         logits = jnp.where(causal, logits, NEG_INF)
         probs = jax.nn.softmax(logits, axis=-1)
@@ -204,6 +211,7 @@ def paged_decode_attention(
     use_l2: bool = True,
     record_metrics: bool = True,
     logit_cap: Optional[float] = None,
+    alibi: Optional[jax.Array] = None,   # [H_q] slopes (bloom/mpt)
 ) -> Tuple[jax.Array, jax.Array]:
     """One decode step of paged attention over per-head block tables, fused
     with metric recording: each attended KV accumulates
@@ -237,6 +245,12 @@ def paged_decode_attention(
 
     q = query.reshape(S, Hkv, qpk, d).astype(jnp.float32)
     logits = jnp.einsum("shqd,shnd->shqn", q, kg) * scale
+    if alibi is not None:
+        kv_pos = kv_positions.reshape(-1)[phys].astype(jnp.float32)
+        al = alibi.reshape(Hkv, qpk)
+        logits = logits + al[None, :, :, None] * (
+            kv_pos[:, :, None, :]
+            - last_positions.astype(jnp.float32)[:, None, None, None])
     if logit_cap:
         logits = logit_cap * jnp.tanh(logits / logit_cap)
     valid = (jnp.arange(n)[None, None, :] < context_lens_l[..., None])

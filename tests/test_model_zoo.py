@@ -72,6 +72,28 @@ FAMILIES = {
     "mixtral": lambda: _mk(
         transformers.MixtralConfig, "MixtralForCausalLM",
         num_key_value_heads=2, num_local_experts=4, num_experts_per_tok=2),
+    "gptj": lambda: transformers.GPTJConfig(
+        architectures=["GPTJForCausalLM"], vocab_size=256,
+        n_embd=64, n_layer=2, n_head=4, n_positions=128, rotary_dim=8,
+        activation_function="gelu_new"),
+    "falcon": lambda: _mk(
+        transformers.FalconConfig, "FalconForCausalLM",
+        multi_query=True, parallel_attn=True,
+        new_decoder_architecture=False, bias=False, alibi=False),
+    "cohere": lambda: _mk(
+        transformers.CohereConfig, "CohereForCausalLM",
+        logit_scale=0.0625, use_qk_norm=False),
+    "bloom": lambda: transformers.BloomConfig(
+        architectures=["BloomForCausalLM"], vocab_size=256,
+        hidden_size=64, n_layer=2, n_head=4,
+        pad_token_id=0, bos_token_id=1, eos_token_id=2),
+    "mpt": lambda: transformers.MptConfig(
+        architectures=["MptForCausalLM"], vocab_size=256,
+        d_model=64, n_heads=4, n_layers=2, expansion_ratio=4,
+        max_seq_len=128),
+    "persimmon": lambda: _mk(
+        transformers.PersimmonConfig, "PersimmonForCausalLM",
+        partial_rotary_factor=0.5, qk_layernorm=True, hidden_act="relu2"),
     "qwen2_moe": lambda: _mk(
         transformers.Qwen2MoeConfig, "Qwen2MoeForCausalLM",
         num_key_value_heads=2, num_experts=4, num_experts_per_tok=2,
@@ -81,7 +103,7 @@ FAMILIES = {
 
 # families whose decode path adds coverage beyond llama's
 # (learned positions / sandwich norms+softcaps / MoE routing)
-DECODE_FAMILIES = {"gpt2", "gemma2", "mixtral"}
+DECODE_FAMILIES = {"gpt2", "gemma2", "mixtral", "bloom"}
 
 
 def _build(family):
@@ -148,7 +170,9 @@ def test_prefill_parity(family):
 
 def test_registry_surface():
     archs = supported_architectures()
-    for a in ("LlamaForCausalLM", "MistralForCausalLM", "Qwen2ForCausalLM",
+    for a in ("GPTJForCausalLM", "FalconForCausalLM", "CohereForCausalLM",
+              "BloomForCausalLM", "MptForCausalLM", "PersimmonForCausalLM",
+              "LlamaForCausalLM", "MistralForCausalLM", "Qwen2ForCausalLM",
               "GemmaForCausalLM", "Gemma2ForCausalLM", "Phi3ForCausalLM",
               "PhiForCausalLM", "GPT2LMHeadModel", "OPTForCausalLM",
               "GPTNeoXForCausalLM", "StableLmForCausalLM",
