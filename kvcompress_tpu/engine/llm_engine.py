@@ -119,6 +119,11 @@ class LLMEngine:
         # device-refreshed max allocated blocks per (layer, head): drives
         # the bucketed attention width of the decode program
         self._max_nb = 1
+        # pipelined decode: burst N+1 is dispatched before burst N's
+        # results are fetched, hiding the host round-trip (the remote
+        # tunnel measures ~25 ms per dispatch+fetch)
+        self.pipeline_decode = on_tpu
+        self._pending = None  # (out, meta) of the in-flight burst
 
     def _profile_num_blocks(self, params) -> int:
         """Size the cache from device memory
@@ -209,6 +214,7 @@ class LLMEngine:
         return request_id
 
     def abort_request(self, request_id: str) -> None:
+        self._flush_pending()
         seq = self._seqs.get(request_id)
         if seq is None or seq.status.is_finished:
             return
@@ -219,11 +225,15 @@ class LLMEngine:
             self._finish(seq, SequenceStatus.FINISHED_ABORTED)
 
     def has_unfinished_requests(self) -> bool:
-        return bool(self.scheduler.waiting or self.scheduler.running)
+        return bool(self.scheduler.waiting or self.scheduler.running
+                    or self._pending is not None)
 
     # ----------------------------------------------------------------- step
     def step(self) -> List[RequestOutput]:
         t0 = time.monotonic()
+        pending_outputs: List[RequestOutput] = []
+        if self._pending is not None and self._should_flush():
+            pending_outputs = self._flush_pending()
         with BENCHMARKER.range("compress"):
             self._maybe_compress()
         while (self.scheduler.must_preempt(self.multi_step)
@@ -238,6 +248,16 @@ class LLMEngine:
 
         outputs: List[RequestOutput] = []
         prefill_seq = self.scheduler.next_prefill()
+        if (prefill_seq is None and self.scheduler.waiting
+                and not self.scheduler.running):
+            # admission failed with nothing running: the free-block mirror
+            # may be stale LOW (a pipelined burst collected after frees
+            # overwrites the mirror with its older snapshot) - refresh it
+            # from the device and retry, otherwise the loop would spin
+            from kvcompress_tpu.core.state import effective_free_blocks
+            self.scheduler.free_blocks = int(np.asarray(
+                effective_free_blocks(self.state.free_top)))
+            prefill_seq = self.scheduler.next_prefill()
         if prefill_seq is not None:
             with BENCHMARKER.range("prefill"):
                 outputs += self._do_prefill(prefill_seq)
@@ -252,6 +272,7 @@ class LLMEngine:
             else:
                 with BENCHMARKER.range("decode"):
                     outputs += self._do_decode()
+        outputs = pending_outputs + outputs
         self.stats.timer("step_seconds", time.monotonic() - t0)
         self.stats.gauge("num_requests_running",
                          len(self.scheduler.running))
@@ -264,6 +285,8 @@ class LLMEngine:
 
     # ------------------------------------------------------------- prefill
     def _do_prefill(self, seq: Sequence) -> List[RequestOutput]:
+        assert self._pending is None, \
+            "prefill dispatched with a decode burst in flight"
         sp = seq.sampling_params
         st = SamplingTensors.from_params([sp], pad_to=1,
                                          vocab_size=self.cfg.model.vocab_size)
@@ -390,14 +413,54 @@ class LLMEngine:
         }
         return self._carry
 
+    def _should_flush(self) -> bool:
+        """The in-flight burst must be collected before any OTHER program
+        dispatch (compression / prefill / free), so scheduler mirrors are
+        fresh when those decisions are made."""
+        sc = self.scheduler
+        if sc.waiting or not sc.running:
+            return True
+        kc = self.cfg.kvcompress
+        if kc.enabled:
+            n_iters = self.multi_step if sc.running else 1
+            if (self._force_compress
+                    or sc.iteration_count + n_iters
+                    >= kc.compression_interval
+                    or (kc.new_token_limit > -1
+                        and sc.new_tokens > kc.new_token_limit)):
+                return True
+        # near-preemption: mirrors are stale by at most one burst of
+        # allocations, so use a doubled bound
+        if sc.free_blocks < 2 * sc.blocks_needed_next_decode(
+                self.multi_step):
+            return True
+        return False
+
+    def _flush_pending(self) -> List[RequestOutput]:
+        if self._pending is None:
+            return []
+        out, meta = self._pending
+        self._pending = None
+        return self._collect_burst(out, meta)
+
     def _do_decode(self) -> List[RequestOutput]:
         S = self.cfg.scheduler.max_num_seqs
         k = self.multi_step
         running = list(self.scheduler.running)
         guided_seqs = [s for s in running if s.guided is not None]
+        outputs: List[RequestOutput] = []
+        sig = tuple(sorted((s.slot, s.request_id) for s in running))
+        if self._pending is not None and self._pending[1]["sig"] != sig:
+            outputs += self._flush_pending()
+            running = [s for s in running
+                       if not s.status.is_finished]
+            if not running:
+                return outputs
+            sig = tuple(sorted((s.slot, s.request_id) for s in running))
         if guided_seqs:
             # masks change per emitted token, so guided batches run one
-            # device step per host round-trip
+            # device step per host round-trip (and never pipeline)
+            outputs += self._flush_pending()
             k = 1
         carry = self._build_carry(running)
         # bucketed table width: last device-reported max + burst growth,
@@ -430,17 +493,7 @@ class LLMEngine:
             lora_scale=(self.lora_bank.scale
                         if self.lora_bank is not None else None),
             allowed_mask=allowed_mask, nb_bucket=nb_bucket)
-        packed = np.asarray(out.packed)  # the single per-k-steps fetch
-        self._max_nb = int(packed[-1])
-        token_matrix = packed[:k * S].reshape(k, S)
-        blk = packed[k * S:k * S + S]
-        kvs = packed[k * S + S:k * S + 2 * S]
-        self.scheduler.free_blocks = int(packed[k * S + 2 * S])
-        lp_n = carry["logprobs_n"]
-        if lp_n:
-            chosen = np.asarray(out.chosen_logprobs)      # [k, S]
-            top_v = np.asarray(out.top_logprobs)          # [k, S, n]
-            top_i = np.asarray(out.top_logprob_ids)
+        # feed device outputs straight back into the carry (no host sync)
         carry["tokens"] = out.tokens
         carry["positions"] = out.positions_next
         carry["rng"] = out.rng_next
@@ -448,6 +501,34 @@ class LLMEngine:
         carry["active"] = out.active_next
         carry["min_remaining"] = out.min_remaining_next
         carry["token_counts"] = out.token_counts_next
+        meta = {"sig": sig, "running": running, "k": k,
+                "logprobs_n": carry["logprobs_n"]}
+        if self.pipeline_decode and not guided_seqs:
+            prev = self._pending
+            self._pending = (out, meta)
+            if prev is not None:
+                outputs += self._collect_burst(*prev)
+            return outputs
+        outputs += self._collect_burst(out, meta)
+        return outputs
+
+    def _collect_burst(self, out, meta) -> List[RequestOutput]:
+        S = self.cfg.scheduler.max_num_seqs
+        k = meta["k"]
+        # skip sequences finished (host-side) after this burst was dispatched
+        running = [s for s in meta["running"]
+                   if not s.status.is_finished]
+        packed = np.asarray(out.packed)  # the single per-k-steps fetch
+        self._max_nb = int(packed[-1])
+        token_matrix = packed[:k * S].reshape(k, S)
+        blk = packed[k * S:k * S + S]
+        kvs = packed[k * S + S:k * S + 2 * S]
+        self.scheduler.free_blocks = int(packed[k * S + 2 * S])
+        lp_n = meta["logprobs_n"]
+        if lp_n:
+            chosen = np.asarray(out.chosen_logprobs)      # [k, S]
+            top_v = np.asarray(out.top_logprobs)          # [k, S, n]
+            top_i = np.asarray(out.top_logprob_ids)
         n_generated = 0
         fast = (not lp_n and all(
             s2.guided is None and not s2.sampling_params.stop
@@ -513,6 +594,11 @@ class LLMEngine:
         accept the longest matching prefix (reference vllm/spec_decode/
         ngram_worker + batch_expansion; greedy acceptance)."""
         from kvcompress_tpu.utils import host_ops
+
+        pre = self._flush_pending()
+        if pre:
+            return pre + (self._do_decode_spec()
+                          if self.scheduler.running else [])
 
         sc = self.cfg.speculative
         S = self.cfg.scheduler.max_num_seqs
