@@ -187,6 +187,15 @@ class SpeculativeConfig:
 
 
 @dataclasses.dataclass
+class PromptAdapterConfig:
+    """Prompt-adapter limits (reference vllm/config.py
+    PromptAdapterConfig)."""
+    enable_prompt_adapter: bool = False
+    max_prompt_adapters: int = 4
+    max_prompt_adapter_token: int = 64
+
+
+@dataclasses.dataclass
 class LoRAConfig:
     """Multi-adapter serving limits (reference vllm/config.py LoRAConfig)."""
     enable_lora: bool = False
@@ -216,6 +225,7 @@ class EngineConfig:
     scheduler: SchedulerConfig
     parallel: ParallelConfig
     lora: Optional[LoRAConfig] = None
+    prompt_adapter: Optional[PromptAdapterConfig] = None
     speculative: Optional[SpeculativeConfig] = None
     seed: int = 0
     enforce_eager: bool = False
@@ -223,6 +233,8 @@ class EngineConfig:
     def __post_init__(self):
         if self.lora is None:
             self.lora = LoRAConfig()
+        if self.prompt_adapter is None:
+            self.prompt_adapter = PromptAdapterConfig()
         if self.speculative is None:
             self.speculative = SpeculativeConfig()
         mc, sc, kc = self.model, self.scheduler, self.kvcompress

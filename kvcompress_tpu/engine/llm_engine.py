@@ -97,6 +97,20 @@ class LLMEngine:
             else jnp.float32,
             num_block_partitions=G,
         )
+        self.prompt_adapter_bank = None
+        if cfg.prompt_adapter and cfg.prompt_adapter.enable_prompt_adapter:
+            from kvcompress_tpu.prompt_adapter import PromptAdapterBank
+            self.prompt_adapter_bank = PromptAdapterBank.create(
+                cfg.model, cfg.prompt_adapter.max_prompt_adapters,
+                cfg.prompt_adapter.max_prompt_adapter_token,
+                dtype=jnp.bfloat16 if cfg.model.dtype == "bfloat16"
+                else jnp.float32)
+        # artificial preemption fault injection (reference
+        # VLLM_TEST_ENABLE_ARTIFICIAL_PREEMPT, core/scheduler.py:388-396)
+        self._artificial_preempt = os.environ.get(
+            "KVC_TEST_ENABLE_ARTIFICIAL_PREEMPT") == "1"
+        self._artificial_preempt_rate = float(os.environ.get(
+            "KVC_TEST_ARTIFICIAL_PREEMPT_RATE", "0.1"))
         self.lora_bank = None
         if cfg.lora and cfg.lora.enable_lora:
             from kvcompress_tpu.lora.models import LoRABank
@@ -170,6 +184,20 @@ class LLMEngine:
         self.programs.params = params
         self._carry = None
 
+    def add_prompt_adapter(self, pa_request, embeddings=None) -> None:
+        """Install a prompt adapter (reference
+        vllm/prompt_adapter/worker_manager.py)."""
+        assert self.prompt_adapter_bank is not None, \
+            "engine built without enable_prompt_adapter"
+        if embeddings is None:
+            from kvcompress_tpu.prompt_adapter import (
+                load_peft_prompt_adapter)
+            embeddings = load_peft_prompt_adapter(
+                pa_request.prompt_adapter_local_path)
+        self.prompt_adapter_bank.add(
+            pa_request.prompt_adapter_name, pa_request.prompt_adapter_id,
+            np.asarray(embeddings))
+
     def add_request(
         self,
         request_id: Optional[str],
@@ -177,6 +205,7 @@ class LLMEngine:
         sampling_params: Optional[SamplingParams] = None,
         prompt_token_ids: Optional[List[int]] = None,
         lora_request=None,
+        prompt_adapter_request=None,
     ) -> str:
         if request_id is None:
             request_id = str(self._request_counter)
@@ -196,6 +225,21 @@ class LLMEngine:
             if lora_request.lora_name not in self.lora_bank.name_to_slot:
                 self.add_lora(lora_request)
             seq.lora_int_id = lora_request.lora_int_id
+        if prompt_adapter_request is not None:
+            assert self.prompt_adapter_bank is not None, \
+                "engine built without enable_prompt_adapter"
+            bank = self.prompt_adapter_bank
+            if (prompt_adapter_request.prompt_adapter_name
+                    not in bank.name_to_slot):
+                self.add_prompt_adapter(prompt_adapter_request)
+            slot = bank.name_to_slot[
+                prompt_adapter_request.prompt_adapter_name]
+            n_virtual = int(np.asarray(bank.n_virtual)[slot])
+            # virtual tokens occupy the first positions: prepend
+            # placeholders so cache/length accounting covers them
+            seq.prompt_token_ids = [0] * n_virtual + seq.prompt_token_ids
+            seq.prompt_adapter_slot = slot
+            seq.prompt_adapter_virtual = n_virtual
         if seq.sampling_params.is_guided:
             assert self.tokenizer is not None, \
                 "guided decoding needs a tokenizer"
@@ -246,6 +290,17 @@ class LLMEngine:
             self.scheduler.free_blocks = int(free_top)
             self.stats.counter("preemptions")
 
+        if (self._artificial_preempt and self.scheduler.running
+                and len(self.scheduler.running) > 1
+                and np.random.random() < self._artificial_preempt_rate):
+            self._flush_pending()
+            victim, slot = self.scheduler.preempt_last()
+            if victim is not None:
+                self.state, free_top = self.programs.free_slots(
+                    self.state, [slot])
+                self.scheduler.free_blocks = int(free_top)
+                self._carry = None
+                self.stats.counter("preemptions")
         outputs: List[RequestOutput] = []
         prefill_seq = self.scheduler.next_prefill()
         if (prefill_seq is None and self.scheduler.waiting
@@ -298,6 +353,10 @@ class LLMEngine:
                            lora_scale=self.lora_bank.scale)
         if seq.guided is not None:
             lora_kw["allowed_mask"] = jnp.asarray(seq.guided.mask())
+        if getattr(seq, "prompt_adapter_slot", 0):
+            bank = self.prompt_adapter_bank
+            lora_kw["pa_embed"] = bank.embeddings[seq.prompt_adapter_slot]
+            lora_kw["pa_len"] = seq.prompt_adapter_virtual
         self.state, packed, lp = self.programs.prefill(
             self.state, np.asarray(seq.prompt_token_ids, np.int32),
             seq.num_prompt_tokens, seq.slot,

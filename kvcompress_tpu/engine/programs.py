@@ -94,7 +94,7 @@ class EnginePrograms:
     # ------------------------------------------------------------- prefill
     def _build_prefill(self, T: int, use_seeds: bool = False,
                        logprobs_n: int = 0, use_lora: bool = False,
-                       use_guided: bool = False):
+                       use_guided: bool = False, use_pa: bool = False):
         cfg, mcfg, ccfg = self.cfg, self.cfg.model, self.cfg.cache
         bs = ccfg.block_size
         nbb = cdiv(T, bs)
@@ -102,7 +102,7 @@ class EnginePrograms:
 
         def prefill_fn(state: CacheState, params, tokens, seq_len, slot,
                        buffer_len, st: SamplingTensors, rng, lora_idx,
-                       lora_scale, allowed_mask):
+                       lora_scale, allowed_mask, pa_embed, pa_len):
             L, S, H, B = state.block_tables.shape
             # allocate ceil(seq_len / bs) blocks per (layer, head)
             # (reference kvcompress/block_manager.py:196-222 _add_sequence)
@@ -126,7 +126,9 @@ class EnginePrograms:
             lora = (lora_idx, lora_scale) if use_lora else None
             last_hidden, cache = llama.prefill(
                 params, mcfg, tokens, seq_len, slot_mappings,
-                _cache_of(state), buffer_len, spec, lora=lora)
+                _cache_of(state), buffer_len, spec, lora=lora,
+                prefix_embed=pa_embed if use_pa else None,
+                prefix_len=pa_len if use_pa else None)
             logits = llama.compute_logits(params, mcfg, last_hidden)[None]
             logits = sampler_mod.apply_logit_bias(logits, st)
             if use_guided:
@@ -151,28 +153,33 @@ class EnginePrograms:
     def prefill(self, state, tokens_np, seq_len: int, slot: int,
                 buffer_len: int, st: SamplingTensors, rng,
                 use_seeds: bool = False, logprobs_n: int = 0,
-                lora_idx: int = 0, lora_scale=None, allowed_mask=None):
+                lora_idx: int = 0, lora_scale=None, allowed_mask=None,
+                pa_embed=None, pa_len: int = 0):
         buckets = [b for b in self.cfg.scheduler.prefill_buckets
                    if b >= seq_len]
         T = buckets[0] if buckets else self.cfg.scheduler.max_model_len
         use_lora = lora_scale is not None
         use_guided = allowed_mask is not None
-        key = (T, use_seeds, logprobs_n, use_lora, use_guided)
+        use_pa = pa_embed is not None
+        key = (T, use_seeds, logprobs_n, use_lora, use_guided, use_pa)
         if key not in self._prefill_fns:
             self._prefill_fns[key] = self._build_prefill(
                 T, use_seeds=use_seeds, logprobs_n=logprobs_n,
-                use_lora=use_lora, use_guided=use_guided)
+                use_lora=use_lora, use_guided=use_guided, use_pa=use_pa)
         tokens = np.zeros((T,), np.int32)
         tokens[:seq_len] = tokens_np
         if lora_scale is None:
             lora_scale = jnp.zeros((1,), jnp.float32)
         if allowed_mask is None:
             allowed_mask = jnp.zeros((1,), bool)
+        if pa_embed is None:
+            pa_embed = jnp.zeros((1, 1), jnp.float32)
         return self._prefill_fns[key](
             state, self.params, jnp.asarray(tokens),
             jnp.asarray(seq_len, jnp.int32), jnp.asarray(slot, jnp.int32),
             jnp.asarray(buffer_len, jnp.int32), st, rng,
-            jnp.asarray(lora_idx, jnp.int32), lora_scale, allowed_mask)
+            jnp.asarray(lora_idx, jnp.int32), lora_scale, allowed_mask,
+            pa_embed, jnp.asarray(pa_len, jnp.int32))
 
     # -------------------------------------------------------------- decode
     def _kernel_n_pad(self, nb: Optional[int] = None) -> int:
@@ -668,7 +675,8 @@ class EnginePrograms:
             moves_cap=kc.max_cache_moves_per_compression,
             num_sinks=kc.num_attention_sinks, use_average=kc.use_average,
             bias=bias, position_bins=position_bins,
-            bias_weight=kc.kv_head_bias_weight)
+            bias_weight=kc.kv_head_bias_weight,
+            even_layer_evict=kc.even_layer_evict)
 
         def compress_fn(state, slots, last_pos, protected, evict_blocks):
             state, blk_count, new_ctx_w = fn(

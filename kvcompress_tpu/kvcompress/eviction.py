@@ -83,6 +83,7 @@ def schedule_evictions(
     evicted_blocks_per_seq: jax.Array,  # [B] i32
     block_size: int,
     num_sinks: int = 0,
+    even_layer_evict: bool = False,
 ) -> EvictionSchedule:
     B, L, H, n = metrics.shape
     nb = n // block_size
@@ -119,23 +120,44 @@ def schedule_evictions(
 
     # --- 3. per-sequence budget selection (reference metrics.py:667-729):
     # sort candidate blocks by (metric, flat index) and select the lowest
-    # `evicted_blocks_per_seq` finite ones ---
-    M = L * H * nb
-    bm = block_metric.reshape(B, M)
-    flat_idx = jnp.broadcast_to(jnp.arange(M, dtype=jnp.int32)[None, :], (B, M))
-    bm_sorted, bm_sorted_idx = jax.lax.sort((bm, flat_idx), dimension=-1,
-                                            num_keys=2)
-    finite_count = jnp.sum(jnp.isfinite(bm), axis=-1).astype(jnp.int32)
-    n_select = jnp.minimum(evicted_blocks_per_seq.astype(jnp.int32),
-                           finite_count)
-    sel_sorted = jnp.arange(M, dtype=jnp.int32)[None, :] < n_select[:, None]
-    sel = jnp.zeros((B, M), dtype=bool).at[
-        jnp.arange(B)[:, None], bm_sorted_idx
-    ].set(sel_sorted, unique_indices=True)
-    # Selected blocks within a head always form a prefix of that head's
-    # blocks (block metrics ascend within a head), so a per-head count
-    # fully determines the evicted set.
-    e = sel.reshape(B, L, H, nb).sum(-1).astype(jnp.int32)  # blocks per head
+    # `evicted_blocks_per_seq` finite ones. With even_layer_evict
+    # (reference kvcompress_eviction_kernels.cu:52-78 per-layer threads),
+    # the budget is split evenly across layers and selection runs
+    # layer-local. ---
+    if even_layer_evict:
+        M = H * nb
+        bm = block_metric.reshape(B, L, M)
+        flat_idx = jnp.broadcast_to(
+            jnp.arange(M, dtype=jnp.int32)[None, None, :], (B, L, M))
+        bm_sorted, bm_sorted_idx = jax.lax.sort(
+            (bm, flat_idx), dimension=-1, num_keys=2)
+        finite_count = jnp.sum(jnp.isfinite(bm), axis=-1).astype(jnp.int32)
+        per_layer = (evicted_blocks_per_seq // L).astype(jnp.int32)
+        n_select = jnp.minimum(per_layer[:, None], finite_count)
+        sel_sorted = (jnp.arange(M, dtype=jnp.int32)[None, None, :]
+                      < n_select[..., None])
+        sel = jnp.zeros((B, L, M), dtype=bool).at[
+            jnp.arange(B)[:, None, None], jnp.arange(L)[None, :, None],
+            bm_sorted_idx
+        ].set(sel_sorted, unique_indices=True)
+        e = sel.reshape(B, L, H, nb).sum(-1).astype(jnp.int32)
+    else:
+        M = L * H * nb
+        bm = block_metric.reshape(B, M)
+        flat_idx = jnp.broadcast_to(jnp.arange(M, dtype=jnp.int32)[None, :], (B, M))
+        bm_sorted, bm_sorted_idx = jax.lax.sort((bm, flat_idx), dimension=-1,
+                                                num_keys=2)
+        finite_count = jnp.sum(jnp.isfinite(bm), axis=-1).astype(jnp.int32)
+        n_select = jnp.minimum(evicted_blocks_per_seq.astype(jnp.int32),
+                               finite_count)
+        sel_sorted = jnp.arange(M, dtype=jnp.int32)[None, :] < n_select[:, None]
+        sel = jnp.zeros((B, M), dtype=bool).at[
+            jnp.arange(B)[:, None], bm_sorted_idx
+        ].set(sel_sorted, unique_indices=True)
+        # Selected blocks within a head always form a prefix of that head's
+        # blocks (block metrics ascend within a head), so a per-head count
+        # fully determines the evicted set.
+        e = sel.reshape(B, L, H, nb).sum(-1).astype(jnp.int32)  # per head
 
     # --- 4. evicted KV counts and masks: freeing k blocks evicts the
     # (k-1)*block_size + hanging lowest-metric KVs
@@ -275,6 +297,7 @@ def run_compression(
     bias: Optional[jax.Array] = None,           # [L, H, bins]
     position_bins: Optional[jax.Array] = None,  # [bins]
     bias_weight: float = 1.0,
+    even_layer_evict: bool = False,
 ) -> Tuple[CacheState, jax.Array, jax.Array]:
     """One full compression round on device: gather -> bias -> schedule ->
     compact -> free blocks. Returns (new_state, evicted_block_count [B,L,H],
@@ -301,6 +324,7 @@ def run_compression(
     sched = schedule_evictions(
         metrics_w, positions_w, ctx_w, last_position, protected_window,
         evicted_blocks_per_seq, block_size, num_sinks,
+        even_layer_evict=even_layer_evict,
     )
     moves = plan_cache_moves(
         sched.evicted_mask, sched.evicted_kv_count, ctx_w, bt_w,

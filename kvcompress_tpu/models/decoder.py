@@ -454,10 +454,13 @@ def forward(
     attn_fn: Callable,      # (layer_xs, q, k, v, cache) -> (out, cache)
     layer_xs: Any,          # pytree with leading [L] axis, per-layer inputs
     lora=None,              # (lora_idx, lora_scale) or None
+    embed_override: Optional[Callable] = None,
 ) -> Tuple[jax.Array, Optional[KVCache]]:
     """Shared trunk: embeds tokens, scans layers calling attn_fn, returns
     final hidden states [T, D] and the updated cache."""
     x = _embed(params, cfg, token_ids, positions)
+    if embed_override is not None:
+        x = embed_override(x)
     cos, sin = precompute_rope(cfg, positions)
     step = _layer_step_fn(cfg, token_ids.shape[0], cos, sin, attn_fn,
                           collect=False, lora=lora)
@@ -476,10 +479,13 @@ def forward_collect(
     attn_fn: Callable,
     layer_xs: Any,
     lora=None,
+    embed_override: Optional[Callable] = None,
 ):
     """Like forward() but attn_fn returns (out, cache, extra); the per-layer
     extras are stacked and returned."""
     x = _embed(params, cfg, token_ids, positions)
+    if embed_override is not None:
+        x = embed_override(x)
     cos, sin = precompute_rope(cfg, positions)
     step = _layer_step_fn(cfg, token_ids.shape[0], cos, sin, attn_fn,
                           collect=True, lora=lora)
@@ -531,6 +537,8 @@ def prefill(
     buffer_len: jax.Array,     # [] metric collection buffer for this seq
     spec: AttentionSpec,
     lora=None,
+    prefix_embed=None,         # [max_virtual, D] prompt-adapter soft prompt
+    prefix_len=None,           # [] i32 valid virtual tokens
 ) -> Tuple[jax.Array, KVCache]:
     """Prompt pass: writes KVs + positions, collects prefill metrics,
     returns hidden state of the last real token [D] and updated cache
@@ -568,9 +576,23 @@ def prefill(
         out, pf_metrics = prefill_attn(q, k, v)
         return out, cache, (k, v, pf_metrics)
 
+    embed_override = None
+    if prefix_embed is not None:
+        nv = prefix_embed.shape[0]
+
+        def embed_override(x, prefix_embed=prefix_embed,
+                           prefix_len=prefix_len, nv=nv):
+            # the first prefix_len positions take the adapter's soft-prompt
+            # vectors (reference vllm/prompt_adapter/: PEFT prompt tuning)
+            pad = jnp.zeros((x.shape[0] - nv, x.shape[1]),
+                            prefix_embed.dtype)
+            pe = jnp.concatenate([prefix_embed, pad], axis=0)
+            use = (jnp.arange(x.shape[0]) < prefix_len)[:, None]
+            return jnp.where(use, pe.astype(x.dtype), x)
+
     hidden, cache, (ks, vs, pfs) = forward_collect(
         params, cfg, token_ids, positions, cache, attn_fn, slot_mappings,
-        lora=lora)
+        lora=lora, embed_override=embed_override)
     # Single cache-write epilogue across all layers (instead of 5 scatters
     # per layer): K, V, positions, metric init (+ prefill metric add).
     # ks/vs: [L, T, H, d]; pfs: [L, T, H]; slot_mappings: [L, T, H].

@@ -65,6 +65,9 @@ class Sequence:
     lora_int_id: int = 0
     # Guided-decoding automaton state (guided/processor.py)
     guided: Optional[object] = None
+    # Prompt-adapter (prefix tuning) bank slot + virtual token count
+    prompt_adapter_slot: int = 0
+    prompt_adapter_virtual: int = 0
 
     @property
     def num_prompt_tokens(self) -> int:
