@@ -35,18 +35,28 @@ class RequestStream:
             yield item
 
 
+class EngineDeadError(RuntimeError):
+    """The background engine loop crashed (reference AsyncLLMEngine
+    errored/dead-engine propagation, async_llm_engine.py)."""
+
+
 class AsyncEngine:
     def __init__(self, engine: LLMEngine):
         self.engine = engine
         self._streams: Dict[str, RequestStream] = {}
         self._pending: "queue.Queue" = queue.Queue()
         self._shutdown = False
+        self.errored: Optional[BaseException] = None
         self._wake = threading.Event()
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
 
     def submit(self, prompt: Optional[str], prompt_token_ids,
                sampling_params: SamplingParams) -> RequestStream:
+        if self.errored is not None:
+            raise EngineDeadError(
+                f"engine loop crashed: {self.errored!r}") \
+                from self.errored
         stream = RequestStream()
         self._pending.put((prompt, prompt_token_ids, sampling_params,
                            stream))
@@ -57,6 +67,10 @@ class AsyncEngine:
                  sampling_params) -> RequestOutput:
         stream = self.submit(prompt, prompt_token_ids, sampling_params)
         stream.done.wait()
+        if stream.finished is None and self.errored is not None:
+            raise EngineDeadError(
+                f"engine loop crashed: {self.errored!r}") \
+                from self.errored
         return stream.finished
 
     def abort(self, request_id: str) -> None:
@@ -84,19 +98,26 @@ class AsyncEngine:
             self._streams[rid] = stream
 
     def _loop(self):
-        while not self._shutdown:
-            self._drain_pending()
-            if not self.engine.has_unfinished_requests():
-                self._wake.wait(timeout=0.05)
-                self._wake.clear()
-                continue
-            for out in self.engine.step():
-                stream = self._streams.get(out.request_id)
-                if stream is None:
+        try:
+            while not self._shutdown:
+                self._drain_pending()
+                if not self.engine.has_unfinished_requests():
+                    self._wake.wait(timeout=0.05)
+                    self._wake.clear()
                     continue
-                stream.queue.put(out)
-                if out.finished:
-                    stream.finished = out
-                    stream.done.set()
-                    stream.queue.put(None)
-                    del self._streams[out.request_id]
+                for out in self.engine.step():
+                    stream = self._streams.get(out.request_id)
+                    if stream is None:
+                        continue
+                    stream.queue.put(out)
+                    if out.finished:
+                        stream.finished = out
+                        stream.done.set()
+                        stream.queue.put(None)
+                        del self._streams[out.request_id]
+        except BaseException as e:  # noqa: BLE001 - propagate to callers
+            self.errored = e
+            for stream in list(self._streams.values()):
+                stream.done.set()
+                stream.queue.put(None)
+            self._streams.clear()

@@ -138,6 +138,7 @@ class LLMEngine:
         # tunnel measures ~25 ms per dispatch+fetch)
         self.pipeline_decode = on_tpu
         self._pending = None  # (out, meta) of the in-flight burst
+        self._pending_compress = None  # (packed, batch) of in-flight round
 
     def _profile_num_blocks(self, params) -> int:
         """Size the cache from device memory
@@ -327,6 +328,7 @@ class LLMEngine:
             else:
                 with BENCHMARKER.range("decode"):
                     outputs += self._do_decode()
+        self._collect_compress()
         outputs = pending_outputs + outputs
         self.stats.timer("step_seconds", time.monotonic() - t0)
         self.stats.gauge("num_requests_running",
@@ -716,7 +718,29 @@ class LLMEngine:
         return self._process_finished(running)
 
     # ------------------------------------------------------------ compress
+    def _collect_compress(self) -> None:
+        if self._pending_compress is None:
+            return
+        packed, batch = self._pending_compress
+        self._pending_compress = None
+        packed = np.asarray(packed)  # one fetch
+        B = (len(packed) - 1) // 3
+        evicted = packed[:B]
+        seq_blocks = packed[B:2 * B]
+        seq_kv = packed[2 * B:3 * B]
+        for i, seq in enumerate(batch.seqs):
+            if seq.status.is_finished:
+                continue
+            seq.block_count = int(seq_blocks[i])
+            seq.kv_count = int(seq_kv[i])
+        self.scheduler.free_blocks = int(packed[3 * B])
+        n_evicted = int(evicted.sum()) * self.cfg.cache.block_size
+        self.scheduler.total_evicted_kvs += n_evicted
+        self.stats.counter("compression_rounds")
+        self.stats.counter("evicted_kvs", n_evicted)
+
     def _maybe_compress(self) -> None:
+        self._collect_compress()
         force = self._force_compress or (
             self.scheduler.must_preempt(self.multi_step) and bool(self.scheduler.running))
         n_iters = self.multi_step if self.scheduler.running else 1
@@ -740,19 +764,11 @@ class LLMEngine:
             np.asarray(batch.evict_blocks, np.int32),
             nb=nb,
         )
-        packed = np.asarray(packed)  # one fetch
-        B = (len(packed) - 1) // 3
-        evicted = packed[:B]
-        seq_blocks = packed[B:2 * B]
-        seq_kv = packed[2 * B:3 * B]
-        for i, seq in enumerate(batch.seqs):
-            seq.block_count = int(seq_blocks[i])
-            seq.kv_count = int(seq_kv[i])
-        self.scheduler.free_blocks = int(packed[3 * B])
-        n_evicted = int(evicted.sum()) * self.cfg.cache.block_size
-        self.scheduler.total_evicted_kvs += n_evicted
-        self.stats.counter("compression_rounds")
-        self.stats.counter("evicted_kvs", n_evicted)
+        # defer the fetch: it is collected at step end (overlapping the
+        # decode burst) or at the next _maybe_compress, whichever first
+        self._pending_compress = (packed, batch)
+        if not self.pipeline_decode:
+            self._collect_compress()
 
     # ------------------------------------------------------------- outputs
     @staticmethod

@@ -134,3 +134,70 @@ def test_bad_request(server):
         assert False, "expected 400"
     except urllib.error.HTTPError as e:
         assert e.code == 400
+
+
+def test_async_engine_error_propagation():
+    """A crash in the background engine loop must surface to callers
+    instead of hanging them (reference AsyncLLMEngine dead-engine
+    propagation)."""
+    import pytest as _pytest
+    from kvcompress_tpu.engine.async_engine import AsyncEngine, EngineDeadError
+
+    class BoomEngine:
+        tokenizer = None
+
+        def add_request(self, *a, **k):
+            return "r0"
+
+        def has_unfinished_requests(self):
+            return True
+
+        def step(self):
+            raise RuntimeError("boom")
+
+    async_eng = AsyncEngine(BoomEngine())
+    try:
+        # the loop may crash before or after this submit lands
+        stream = async_eng.submit(None, [1, 2, 3], None)
+        stream.done.wait(timeout=5)
+    except EngineDeadError:
+        pass
+    assert async_eng.errored is not None
+    with _pytest.raises(EngineDeadError):
+        async_eng.generate(None, [1, 2, 3], None)
+    async_eng.shutdown()
+
+
+def test_sse_streaming_completion(server):
+    """stream=true yields SSE chunks ending in [DONE] whose concatenated
+    text equals the non-streaming completion."""
+    import http.client
+    import json as _json
+    from urllib.parse import urlparse
+
+    url, _srv = server
+    parsed = urlparse(url)
+    host, port = parsed.hostname, parsed.port
+    body = _json.dumps({"prompt": [5, 6, 7, 8], "max_tokens": 6,
+                        "temperature": 0.0, "ignore_eos": True})
+    conn = http.client.HTTPConnection(host, port, timeout=60)
+    conn.request("POST", "/v1/completions", body,
+                 {"Content-Type": "application/json"})
+    ref = _json.loads(conn.getresponse().read())
+    ref_text = ref["choices"][0]["text"]
+
+    body = _json.dumps({"prompt": [5, 6, 7, 8], "max_tokens": 6,
+                        "temperature": 0.0, "ignore_eos": True,
+                        "stream": True})
+    conn = http.client.HTTPConnection(host, port, timeout=60)
+    conn.request("POST", "/v1/completions", body,
+                 {"Content-Type": "application/json"})
+    resp = conn.getresponse()
+    assert resp.getheader("Content-Type").startswith("text/event-stream")
+    raw = resp.read().decode()
+    chunks = [l[len("data: "):] for l in raw.splitlines()
+              if l.startswith("data: ")]
+    assert chunks[-1] == "[DONE]"
+    text = "".join(_json.loads(c)["choices"][0]["text"]
+                   for c in chunks[:-1])
+    assert text == ref_text
