@@ -139,6 +139,32 @@ class LLMEngine:
         self.pipeline_decode = on_tpu
         self._pending = None  # (out, meta) of the in-flight burst
         self._pending_compress = None  # (packed, batch) of in-flight round
+        self._pending_prefill = None   # dict of the in-flight prefill
+        # free-block mirror versioning: snapshots from out-of-order
+        # collects must never make the mirror read HIGHER than reality
+        self._dispatch_seq = 0
+        self._free_snap_id = 0
+
+    def _note_dispatch(self) -> int:
+        self._dispatch_seq += 1
+        return self._dispatch_seq
+
+    def _apply_free_snapshot(self, snap_id: int, value: int) -> None:
+        """Update the free-block mirror from a device snapshot taken at
+        dispatch order `snap_id`, subtracting worst-case allocations of any
+        in-flight programs dispatched AFTER it (the mirror may be stale LOW,
+        never HIGH)."""
+        if snap_id < self._free_snap_id:
+            return
+        adj = 0
+        if (self._pending_prefill is not None
+                and self._pending_prefill["id"] > snap_id):
+            adj += self._pending_prefill["blocks"]
+        if self._pending is not None and self._pending[1]["id"] > snap_id:
+            adj += self.scheduler.blocks_needed_next_decode(
+                self._pending[1]["k"])
+        self.scheduler.free_blocks = int(value) - adj
+        self._free_snap_id = snap_id
 
     def _profile_num_blocks(self, params) -> int:
         """Size the cache from device memory
@@ -260,6 +286,7 @@ class LLMEngine:
 
     def abort_request(self, request_id: str) -> None:
         self._flush_pending()
+        self._collect_prefill()
         seq = self._seqs.get(request_id)
         if seq is None or seq.status.is_finished:
             return
@@ -288,7 +315,7 @@ class LLMEngine:
                 break
             self.state, free_top = self.programs.free_slots(
                 self.state, [slot])
-            self.scheduler.free_blocks = int(free_top)
+            self._apply_free_snapshot(self._note_dispatch(), int(free_top))
             self.stats.counter("preemptions")
 
         if (self._artificial_preempt and self.scheduler.running
@@ -299,7 +326,8 @@ class LLMEngine:
             if victim is not None:
                 self.state, free_top = self.programs.free_slots(
                     self.state, [slot])
-                self.scheduler.free_blocks = int(free_top)
+                self._apply_free_snapshot(self._note_dispatch(),
+                                          int(free_top))
                 self._carry = None
                 self.stats.counter("preemptions")
         outputs: List[RequestOutput] = []
@@ -311,8 +339,9 @@ class LLMEngine:
             # overwrites the mirror with its older snapshot) - refresh it
             # from the device and retry, otherwise the loop would spin
             from kvcompress_tpu.core.state import effective_free_blocks
-            self.scheduler.free_blocks = int(np.asarray(
-                effective_free_blocks(self.state.free_top)))
+            self._apply_free_snapshot(
+                self._note_dispatch(),
+                int(np.asarray(effective_free_blocks(self.state.free_top))))
             prefill_seq = self.scheduler.next_prefill()
         if prefill_seq is not None:
             with BENCHMARKER.range("prefill"):
@@ -329,7 +358,9 @@ class LLMEngine:
                 with BENCHMARKER.range("decode"):
                     outputs += self._do_decode()
         self._collect_compress()
-        outputs = pending_outputs + outputs
+        deferred = getattr(self, "_deferred_outputs", [])
+        self._deferred_outputs = []
+        outputs = deferred + pending_outputs + outputs
         self.stats.timer("step_seconds", time.monotonic() - t0)
         self.stats.gauge("num_requests_running",
                          len(self.scheduler.running))
@@ -341,9 +372,34 @@ class LLMEngine:
         return outputs
 
     # ------------------------------------------------------------- prefill
+    def _collect_prefill(self) -> List[RequestOutput]:
+        if self._pending_prefill is None:
+            return []
+        pp = self._pending_prefill
+        self._pending_prefill = None
+        seq = pp["seq"]
+        packed = np.asarray(pp["packed"])  # [token, free_top]
+        self._apply_free_snapshot(pp["id"], int(packed[1]))
+        if seq.status.is_finished:  # aborted while in flight
+            return []
+        seq.output_token_ids.append(int(packed[0]))
+        self._max_nb = max(self._max_nb,
+                           cdiv(seq.get_len() + 1,
+                                self.cfg.cache.block_size))
+        if seq.guided is not None:
+            seq.guided.advance(int(packed[0]))
+        if pp["lp_n"]:
+            chosen, top_v, top_i = (np.asarray(x) for x in pp["lp"])
+            seq.logprobs = seq.logprobs or []
+            seq.logprobs.append(self._logprob_entry(
+                int(packed[0]), float(chosen[0]), top_v[0], top_i[0]))
+        seq.first_token_time = time.monotonic()
+        return self._process_finished([seq])
+
     def _do_prefill(self, seq: Sequence) -> List[RequestOutput]:
         assert self._pending is None, \
             "prefill dispatched with a decode burst in flight"
+        outputs = self._collect_prefill()
         sp = seq.sampling_params
         st = SamplingTensors.from_params([sp], pad_to=1,
                                          vocab_size=self.cfg.model.vocab_size)
@@ -364,20 +420,12 @@ class LLMEngine:
             seq.num_prompt_tokens, seq.slot,
             sp.metric_collection_buffer_size, st, key,
             use_seeds=sp.seed is not None, logprobs_n=lp_n, **lora_kw)
-        packed = np.asarray(packed)  # one fetch: [token, free_top]
         self._carry = None  # batch composition changed
-        self.scheduler.free_blocks = int(packed[1])
-        seq.output_token_ids.append(int(packed[0]))
-        self._max_nb = max(self._max_nb,
-                           cdiv(seq.get_len() + 1, self.cfg.cache.block_size))
-        if seq.guided is not None:
-            seq.guided.advance(int(packed[0]))
-        if lp_n:
-            chosen, top_v, top_i = (np.asarray(x) for x in lp)
-            seq.logprobs = seq.logprobs or []
-            seq.logprobs.append(self._logprob_entry(
-                int(packed[0]), float(chosen[0]), top_v[0], top_i[0]))
-        seq.first_token_time = time.monotonic()
+        self._pending_prefill = {
+            "seq": seq, "packed": packed, "lp": lp, "lp_n": lp_n,
+            "id": self._note_dispatch(),
+            "blocks": self.scheduler.blocks_needed_for_prefill(seq),
+        }
         self.stats.counter("prompt_tokens", seq.num_prompt_tokens)
         self.stats.counter("generation_tokens")
         # force compression after prefill for sequences with compression
@@ -386,10 +434,14 @@ class LLMEngine:
                 and (sp.max_cache_tokens >= 0
                      or sp.target_compression_rate < 1.0)):
             self._force_compress = True
-        return self._process_finished([seq])
+        if not self.pipeline_decode:
+            outputs += self._collect_prefill()
+        return outputs
 
     # -------------------------------------------------------------- decode
     def _build_carry(self, running: List[Sequence]) -> dict:
+        assert self._pending_prefill is None, \
+            "decode carry built with a prefill in flight"
         """Device-resident decode inputs, rebuilt only when the batch
         composition changes; between rebuilds the step feeds its own device
         outputs (tokens, positions, rng) back in - zero per-step host->device
@@ -510,6 +562,10 @@ class LLMEngine:
         running = list(self.scheduler.running)
         guided_seqs = [s for s in running if s.guided is not None]
         outputs: List[RequestOutput] = []
+        outputs += self._collect_prefill()
+        running = [s for s in running if not s.status.is_finished]
+        if not running:
+            return outputs
         sig = tuple(sorted((s.slot, s.request_id) for s in running))
         if self._pending is not None and self._pending[1]["sig"] != sig:
             outputs += self._flush_pending()
@@ -563,7 +619,8 @@ class LLMEngine:
         carry["min_remaining"] = out.min_remaining_next
         carry["token_counts"] = out.token_counts_next
         meta = {"sig": sig, "running": running, "k": k,
-                "logprobs_n": carry["logprobs_n"]}
+                "logprobs_n": carry["logprobs_n"],
+                "id": self._note_dispatch()}
         if self.pipeline_decode and not guided_seqs:
             prev = self._pending
             self._pending = (out, meta)
@@ -584,7 +641,7 @@ class LLMEngine:
         token_matrix = packed[:k * S].reshape(k, S)
         blk = packed[k * S:k * S + S]
         kvs = packed[k * S + S:k * S + 2 * S]
-        self.scheduler.free_blocks = int(packed[k * S + 2 * S])
+        self._apply_free_snapshot(meta["id"], int(packed[k * S + 2 * S]))
         lp_n = meta["logprobs_n"]
         if lp_n:
             chosen = np.asarray(out.chosen_logprobs)      # [k, S]
@@ -656,7 +713,7 @@ class LLMEngine:
         ngram_worker + batch_expansion; greedy acceptance)."""
         from kvcompress_tpu.utils import host_ops
 
-        pre = self._flush_pending()
+        pre = self._flush_pending() + self._collect_prefill()
         if pre:
             return pre + (self._do_decode_spec()
                           if self.scheduler.running else [])
@@ -721,7 +778,7 @@ class LLMEngine:
     def _collect_compress(self) -> None:
         if self._pending_compress is None:
             return
-        packed, batch = self._pending_compress
+        packed, batch, snap_id = self._pending_compress
         self._pending_compress = None
         packed = np.asarray(packed)  # one fetch
         B = (len(packed) - 1) // 3
@@ -733,7 +790,7 @@ class LLMEngine:
                 continue
             seq.block_count = int(seq_blocks[i])
             seq.kv_count = int(seq_kv[i])
-        self.scheduler.free_blocks = int(packed[3 * B])
+        self._apply_free_snapshot(snap_id, int(packed[3 * B]))
         n_evicted = int(evicted.sum()) * self.cfg.cache.block_size
         self.scheduler.total_evicted_kvs += n_evicted
         self.stats.counter("compression_rounds")
@@ -741,6 +798,22 @@ class LLMEngine:
 
     def _maybe_compress(self) -> None:
         self._collect_compress()
+        kc = self.cfg.kvcompress
+        sc = self.scheduler
+        if self._pending_prefill is not None and kc.enabled:
+            n_iters = self.multi_step if sc.running else 1
+            will_compress = (
+                self._force_compress
+                or (sc.must_preempt(self.multi_step) and bool(sc.running))
+                or sc.iteration_count + n_iters >= kc.compression_interval
+                or (kc.new_token_limit > -1
+                    and sc.new_tokens > kc.new_token_limit))
+            if will_compress:
+                # compression scheduling reads sequence lengths/positions;
+                # the in-flight prefill's sampled token must land first
+                self._deferred_outputs = getattr(self, "_deferred_outputs",
+                                                 [])
+                self._deferred_outputs += self._collect_prefill()
         force = self._force_compress or (
             self.scheduler.must_preempt(self.multi_step) and bool(self.scheduler.running))
         n_iters = self.multi_step if self.scheduler.running else 1
@@ -766,7 +839,7 @@ class LLMEngine:
         )
         # defer the fetch: it is collected at step end (overlapping the
         # decode burst) or at the next _maybe_compress, whichever first
-        self._pending_compress = (packed, batch)
+        self._pending_compress = (packed, batch, self._note_dispatch())
         if not self.pipeline_decode:
             self._collect_compress()
 
@@ -822,7 +895,7 @@ class LLMEngine:
         if slot >= 0:
             self.state, free_top = self.programs.free_slots(self.state,
                                                             [slot])
-            self.scheduler.free_blocks = int(free_top)
+            self._apply_free_snapshot(self._note_dispatch(), int(free_top))
         seq.finish_time = time.monotonic()
 
     def _process_finished(self, seqs: List[Sequence]) -> List[RequestOutput]:
@@ -844,7 +917,7 @@ class LLMEngine:
         if freed_slots:
             self.state, free_top = self.programs.free_slots(
                 self.state, freed_slots)
-            self.scheduler.free_blocks = int(free_top)
+            self._apply_free_snapshot(self._note_dispatch(), int(free_top))
             self.stats.counter("requests_finished", len(freed_slots))
         return outputs
 
