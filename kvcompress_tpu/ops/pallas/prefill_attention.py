@@ -4,26 +4,24 @@ emission.
 Replaces the reference's modified-FA2 `flash_attn_kvc` fast path (returns the
 S-matrix slice for the last `key_attn_agg_window` queries so prefill metrics
 need no second pass - reference flash_attn.py:928-969, 1233-1256) and the
-`_naive_kvc_attention` recompute fallback (flash_attn.py:1122-1211): here the
-per-KV squared-attention sums over the metric window are accumulated inside
-the attention kernel itself, so K is read exactly once per query block and
-the full attention matrix is never materialized in HBM.
+`_naive_kvc_attention` recompute fallback (flash_attn.py:1122-1211).
 
-Design (grid = (Hq, n_q_blocks), q-block innermost so metric rows accumulate
-across q blocks into one output row per head):
-- phase A: stream this head's K column-chunks HBM->VMEM (double-buffered),
-  filling the exact logits row [BQ, T_kv] in VMEM. Chunks beyond the causal
-  frontier of the q block are never fetched.
-- phase B: exact softmax over the valid (causal & in-sequence) columns, then
-  the metric row: sum over in-window queries (qpos >= seq_len - window) of
-  probs^2 (or probs), excluding columns inside the per-sequence metric
-  buffer (col <= qpos - buffer_len). Accumulated into m_out[hq, :] across
-  q blocks.
-- phase C: stream V chunks the same way, out += probs @ V.
+Two-phase design per (query head, query block) grid step:
+- main pass: ONLINE-softmax flash attention streaming K and V chunks
+  HBM->VMEM double-buffered; work scales with the causal prefix only (no
+  full-width logits scratch), and chunks beyond the causal frontier are
+  never fetched.
+- metric pass, gated to q blocks overlapping the observation window
+  (qpos >= seq_len - window): re-streams K with the now-final softmax
+  stats and accumulates sum over in-window queries of probs^2 (or probs)
+  per key column, excluding the per-sequence metric buffer
+  (col <= qpos - buffer_len). For the default window (32) this costs one
+  extra K read for a single q block; KVC-full (window = whole prompt)
+  degrades gracefully to 2x K reads.
 
 The GQA fold over query heads, avg-mode rescale, and the k=7 maxpool happen
-in the XLA epilogue (cheap elementwise over [Hq, T]), mirroring where the
-reference does them in Python (metrics.py:413-427, flash_attn.py:1196-1210).
+in the XLA epilogue (reference does them in Python: metrics.py:413-427,
+flash_attn.py:1196-1210).
 """
 
 from __future__ import annotations
@@ -50,7 +48,6 @@ def _kernel(
     o_ref,        # [1, BQ, d] VMEM
     m_ref,        # [Hq, T] f32 VMEM (full array; accumulated in-place)
     # scratch
-    logits,       # [BQ, T] f32
     kbuf,         # [2, CK, d]
     vbuf,         # [2, CK, d]
     ksem, vsem,
@@ -68,15 +65,14 @@ def _kernel(
     h = hq // qpk
     BQ = q_block
     CK = chunk
-    T = logits.shape[1]
+    T = m_ref.shape[1]
+    d = q_ref.shape[2]
 
     seq_len = dims_ref[0]
     window = dims_ref[1]
     buffer_len = dims_ref[2]
 
     q_start = qb * BQ
-    # causal frontier: no key beyond the last query row of this block or the
-    # sequence end is ever needed
     kv_hi = jnp.minimum(q_start + BQ, seq_len)
     n_chunks = (kv_hi + CK - 1) // CK
 
@@ -88,85 +84,96 @@ def _kernel(
         return pltpu.make_async_copy(
             v_hbm.at[h, pl.ds(j * CK, CK)], vbuf.at[slot], vsem.at[slot])
 
-    q = q_ref[0].astype(jnp.float32)  # [BQ, d]
+    q = q_ref[0]                                  # [BQ, d] native dtype
+    row = jax.lax.broadcasted_iota(jnp.int32, (BQ, CK), 0)
+    colc = jax.lax.broadcasted_iota(jnp.int32, (BQ, CK), 1)
+    qpos = q_start + row
 
-    # ---------------- phase A: stream K, fill logits ----------------
+    # zero the metric output once per program
+    @pl.when((hq == 0) & (qb == 0))
+    def _():
+        m_ref[...] = jnp.zeros_like(m_ref)
+
+    def chunk_logits(j, kc):
+        s = jax.lax.dot_general(
+            q, kc, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
+        if logit_cap:
+            s = logit_cap * jnp.tanh(s / logit_cap)
+        col = j * CK + colc
+        causal = (col <= qpos) & (col < seq_len) & (qpos < seq_len)
+        return jnp.where(causal, s, NEG_INF), col
+
+    # ---------------- main pass: online-softmax flash ----------------
     @pl.when(n_chunks > 0)
     def _():
         k_copy(0, 0).start()
+        v_copy(0, 0).start()
 
-        def body(j, _):
+        def body(j, carry):
+            m_i, l_i, acc = carry
             slot = j % 2
 
             @pl.when(j + 1 < n_chunks)
             def _():
                 k_copy((j + 1) % 2, j + 1).start()
-
-            k_copy(slot, j).wait()
-            kc = kbuf[slot].astype(jnp.float32)  # [CK, d]
-            off = pl.multiple_of(j * CK, CK)
-            logits[:, pl.ds(off, CK)] = jax.lax.dot_general(
-                q, kc, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32) * scale
-            return ()
-
-        jax.lax.fori_loop(0, n_chunks, body, (), unroll=False)
-
-    # ---------------- phase B: softmax + metric row ----------------
-    col = jax.lax.broadcasted_iota(jnp.int32, (BQ, T), 1)
-    row = jax.lax.broadcasted_iota(jnp.int32, (BQ, T), 0)
-    qpos = q_start + row
-    causal = (col <= qpos) & (col < seq_len) & (qpos < seq_len)
-    lg = logits[...]
-    if logit_cap:
-        lg = logit_cap * jnp.tanh(lg / logit_cap)
-    lg = jnp.where(causal, lg, NEG_INF)
-    m = jnp.max(lg, axis=-1, keepdims=True)
-    e = jnp.exp(lg - m)
-    e = jnp.where(causal, e, 0.0)
-    l = jnp.sum(e, axis=-1, keepdims=True)
-    probs = e / (l + 1e-9)
-    logits[...] = probs  # reuse scratch for phase C
-
-    # the [Hq, T] metric output rides as one full-array block revisited by
-    # every grid step; zero it once, then accumulate this block's row
-    @pl.when((hq == 0) & (qb == 0))
-    def _():
-        m_ref[...] = jnp.zeros_like(m_ref)
-
-    if record_metrics:
-        contrib = probs * probs if use_l2 else probs
-        in_window = qpos >= (seq_len - window)
-        rec = in_window & (col <= qpos - buffer_len)
-        mrow = jnp.sum(jnp.where(rec, contrib, 0.0), axis=0)  # [T]
-        m_ref[pl.ds(hq, 1), :] += mrow[None, :]
-
-    # ---------------- phase C: stream V, accumulate out ----------------
-    o_ref[0] = jnp.zeros((BQ, q_ref.shape[2]), o_ref.dtype)
-
-    @pl.when(n_chunks > 0)
-    def _():
-        v_copy(0, 0).start()
-
-        def body(j, acc):
-            slot = j % 2
-
-            @pl.when(j + 1 < n_chunks)
-            def _():
                 v_copy((j + 1) % 2, j + 1).start()
 
+            k_copy(slot, j).wait()
+            s, _ = chunk_logits(j, kbuf[slot])
+            m_new = jnp.maximum(m_i, jnp.max(s, axis=-1, keepdims=True))
+            p = jnp.exp(s - m_new)
+            corr = jnp.exp(m_i - m_new)
+            l_i = l_i * corr + jnp.sum(p, axis=-1, keepdims=True)
             v_copy(slot, j).wait()
-            vc = vbuf[slot].astype(jnp.float32)  # [CK, d]
-            off = pl.multiple_of(j * CK, CK)
-            pj = logits[:, pl.ds(off, CK)]
-            return acc + jax.lax.dot_general(
-                pj, vc, (((1,), (0,)), ((), ())),
+            pv = jax.lax.dot_general(
+                p.astype(vbuf.dtype), vbuf[slot],
+                (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
+            acc = acc * corr + pv
+            return m_new, l_i, acc
 
-        acc = jax.lax.fori_loop(
-            0, n_chunks, body,
-            jnp.zeros((BQ, q_ref.shape[2]), jnp.float32), unroll=False)
-        o_ref[0] = acc.astype(o_ref.dtype)
+        m0 = jnp.full((BQ, 1), NEG_INF, jnp.float32)
+        l0 = jnp.zeros((BQ, 1), jnp.float32)
+        a0 = jnp.zeros((BQ, d), jnp.float32)
+        m_f, l_f, acc = jax.lax.fori_loop(0, n_chunks, body, (m0, l0, a0),
+                                          unroll=False)
+        o_ref[0] = (acc / jnp.maximum(l_f, 1e-9)).astype(o_ref.dtype)
+
+        # ------------- metric pass: only in-window q blocks -------------
+        if record_metrics:
+            in_window = (q_start + BQ > seq_len - window) & (
+                q_start < seq_len)
+
+            @pl.when(in_window)
+            def _():
+                k_copy(0, 0).start()
+
+                def mbody(j, _):
+                    slot = j % 2
+
+                    @pl.when(j + 1 < n_chunks)
+                    def _():
+                        k_copy((j + 1) % 2, j + 1).start()
+
+                    k_copy(slot, j).wait()
+                    s, col = chunk_logits(j, kbuf[slot])
+                    p = jnp.exp(s - m_f) / jnp.maximum(l_f, 1e-9)
+                    if use_l2:
+                        p = p * p
+                    rec = ((qpos >= seq_len - window)
+                           & (qpos < seq_len)
+                           & (col <= qpos - buffer_len))
+                    mrow = jnp.sum(jnp.where(rec, p, 0.0), axis=0)  # [CK]
+                    off = pl.multiple_of(j * CK, CK)
+                    m_ref[pl.ds(hq, 1), pl.ds(off, CK)] += mrow[None, :]
+                    return ()
+
+                jax.lax.fori_loop(0, n_chunks, mbody, (), unroll=False)
+
+    @pl.when(n_chunks == 0)
+    def _():
+        o_ref[0] = jnp.zeros((BQ, d), o_ref.dtype)
 
 
 def _maxpool1d_k7(x: jax.Array) -> jax.Array:
@@ -198,7 +205,7 @@ def prefill_attention(
     use_average: bool = False,
     use_maxpool: bool = True,
     record_metrics: bool = True,
-    q_block: int = 128,
+    q_block: int = 256,
     chunk: int = 512,
     interpret: bool = False,
     logit_cap: Optional[float] = None,
@@ -241,7 +248,6 @@ def prefill_attention(
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
-            pltpu.VMEM((BQ, T), jnp.float32),
             pltpu.VMEM((2, CK, d), key.dtype),
             pltpu.VMEM((2, CK, d), value.dtype),
             pltpu.SemaphoreType.DMA((2,)),

@@ -311,5 +311,7 @@ def test_fused_metrics_match_xla_state(tiny_params):
     m_x, p_x, k_x = states["xla"]
     m_p, p_p, k_p = states["interpret"]
     np.testing.assert_array_equal(p_p[1:], p_x[1:])
-    np.testing.assert_allclose(k_p[1:], k_x[1:], rtol=1e-5, atol=1e-6)
+    # the flash prefill's online softmax reorders reductions, so hidden
+    # states (and the K projections derived from them) drift at f32 eps
+    np.testing.assert_allclose(k_p[1:], k_x[1:], rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(m_p[1:], m_x[1:], rtol=1e-4, atol=1e-5)
