@@ -926,6 +926,56 @@ def _persimmon():
     return cfg_fn, load_fn
 
 
+
+
+@_register("GPTBigCodeForCausalLM")
+def _gptbigcode(): 
+    def cfg_fn(hf, name):
+        heads = _g(hf, "num_attention_heads", "n_head")
+        return _base_cfg(
+            hf, "GPTBigCodeForCausalLM", name,
+            num_kv_heads=1 if hf.get("multi_query", True) else heads,
+            norm_type="layernorm", norm_bias=True,
+            pos_embedding="learned",
+            mlp_type="plain", mlp_bias=True,
+            attention_bias=True, qkv_bias=True, o_bias=True,
+            tie_word_embeddings=True,
+            hidden_act=hf.get("activation_function", "gelu_pytorch_tanh"))
+
+    def load_fn(t, cfg, dtype):
+        D = cfg.hidden_size
+        kvd = cfg.num_kv_heads * cfg.head_size
+        ld = _Loader(t, cfg, dtype)
+        pre = ("" if "h.0.ln_1.weight" in t else "transformer.")
+        p = pre + "h.{}."
+        ld.stack("input_norm", p + "ln_1.weight")
+        ld.stack("input_norm_b", p + "ln_1.bias")
+        ld.stack("post_attn_norm", p + "ln_2.weight")
+        ld.stack("post_attn_norm_b", p + "ln_2.bias")
+        # Linear (not Conv1D): weight [D + 2*kv_dim, D] -> transpose
+        ca = lambda i: t[f"{pre}h.{i}.attn.c_attn.weight"].T
+        cb = lambda i: t[f"{pre}h.{i}.attn.c_attn.bias"]
+        ld.stack_fn("wq", lambda i: ca(i)[:, :D])
+        ld.stack_fn("wk", lambda i: ca(i)[:, D:D + kvd])
+        ld.stack_fn("wv", lambda i: ca(i)[:, D + kvd:])
+        ld.stack_fn("bq", lambda i: cb(i)[:D])
+        ld.stack_fn("bk", lambda i: cb(i)[D:D + kvd])
+        ld.stack_fn("bv", lambda i: cb(i)[D + kvd:])
+        ld.stack("wo", p + "attn.c_proj.weight", transpose=True)
+        ld.stack("bo", p + "attn.c_proj.bias")
+        ld.stack("w_fc1", p + "mlp.c_fc.weight", transpose=True)
+        ld.stack("b_fc1", p + "mlp.c_fc.bias")
+        ld.stack("w_fc2", p + "mlp.c_proj.weight", transpose=True)
+        ld.stack("b_fc2", p + "mlp.c_proj.bias")
+        ld.put("embed", pre + "wte.weight")
+        ld.put("pos_embed", pre + "wpe.weight")
+        ld.put("final_norm", pre + "ln_f.weight")
+        ld.put("final_norm_b", pre + "ln_f.bias")
+        return ld.params()
+
+    return cfg_fn, load_fn
+
+
 # ---------------------------------------------------------------------------
 # Public API
 # ---------------------------------------------------------------------------

@@ -91,6 +91,11 @@ FAMILIES = {
         architectures=["MptForCausalLM"], vocab_size=256,
         d_model=64, n_heads=4, n_layers=2, expansion_ratio=4,
         max_seq_len=128),
+    "gpt_bigcode": lambda: transformers.GPTBigCodeConfig(
+        architectures=["GPTBigCodeForCausalLM"], vocab_size=256,
+        n_embd=64, n_layer=2, n_head=4, n_positions=128,
+        multi_query=True, activation_function="gelu_pytorch_tanh",
+        bos_token_id=1, eos_token_id=2),
     "persimmon": lambda: _mk(
         transformers.PersimmonConfig, "PersimmonForCausalLM",
         partial_rotary_factor=0.5, qk_layernorm=True, hidden_act="relu2"),
@@ -170,7 +175,8 @@ def test_prefill_parity(family):
 
 def test_registry_surface():
     archs = supported_architectures()
-    for a in ("GPTJForCausalLM", "FalconForCausalLM", "CohereForCausalLM",
+    for a in ("GPTBigCodeForCausalLM",
+              "GPTJForCausalLM", "FalconForCausalLM", "CohereForCausalLM",
               "BloomForCausalLM", "MptForCausalLM", "PersimmonForCausalLM",
               "LlamaForCausalLM", "MistralForCausalLM", "Qwen2ForCausalLM",
               "GemmaForCausalLM", "Gemma2ForCausalLM", "Phi3ForCausalLM",

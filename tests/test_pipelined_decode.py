@@ -69,3 +69,50 @@ def test_pipelined_with_eos(params):
         return run_all(eng2)[rid].outputs[0].token_ids
 
     assert run_one(True) == run_one(False)
+
+
+def test_abort_with_pending_burst(params):
+    """Aborting a request while a burst is in flight must collect cleanly
+    and free its slot."""
+    from kvcompress_tpu.sampling_params import SamplingParams as SP
+    cfg = tiny_cfg()
+    cfg.kvcompress.enabled = False
+    eng = LLMEngine(cfg, params, num_blocks=512, attn_impl="xla")
+    eng.multi_step = 4
+    eng.pipeline_decode = True
+    rng = np.random.default_rng(11)
+    r1 = eng.add_request(None, prompt_token_ids=rng.integers(
+        0, VOCAB, size=8).tolist(),
+        sampling_params=SP(temperature=0.0, max_tokens=40, ignore_eos=True))
+    r2 = eng.add_request(None, prompt_token_ids=rng.integers(
+        0, VOCAB, size=8).tolist(),
+        sampling_params=SP(temperature=0.0, max_tokens=40, ignore_eos=True))
+    for _ in range(4):
+        eng.step()
+    eng.abort_request(r1)
+    outs = run_all(eng)
+    assert r2 in outs and len(outs[r2].outputs[0].token_ids) == 40
+    assert eng._pending is None
+    assert eng.scheduler.free_blocks == eng.scheduler.total_blocks
+
+
+def test_bucket_growth_across_boundary(params):
+    """Generation crossing attention-width bucket boundaries (power-of-two
+    table slices) must stay consistent with the sync path."""
+    from kvcompress_tpu.sampling_params import SamplingParams as SP
+    rng = np.random.default_rng(12)
+    prompt = rng.integers(0, VOCAB, size=5).tolist()
+
+    def run_one(pipeline):
+        cfg = tiny_cfg(max_model_len=64)
+        cfg.kvcompress.enabled = False
+        eng = LLMEngine(cfg, params, num_blocks=512, attn_impl="xla")
+        eng.multi_step = 3
+        eng.pipeline_decode = pipeline
+        rid = eng.add_request(None, prompt_token_ids=prompt,
+                              sampling_params=SP(temperature=0.0,
+                                                 max_tokens=40,
+                                                 ignore_eos=True))
+        return run_all(eng)[rid].outputs[0].token_ids
+
+    assert run_one(True) == run_one(False)
