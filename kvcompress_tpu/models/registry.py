@@ -9,7 +9,8 @@ stacked-[L] parameter pytree. All loaders are torch-free (numpy safetensors).
 Families covered: Llama 2/3/3.1 (incl. TinyLlama), Mistral, Qwen2(.5),
 Gemma, Gemma2, Phi (phi-1.5/2), Phi-3, GPT-2, GPT-J, GPT-NeoX (pythia),
 OPT, Bloom, MPT, Falcon, Cohere (Command-R), Persimmon, StableLM,
-Starcoder2, InternLM2, Mixtral, Qwen2-MoE, Granite, OLMo, Baichuan-7B.
+Starcoder2, GPT-BigCode, InternLM2, Mixtral, Qwen2-MoE, Granite, OLMo,
+Baichuan-7B.
 """
 
 from __future__ import annotations
