@@ -49,7 +49,14 @@ class ModelConfig:
     attention_bias: bool = False
     mlp_bias: bool = False
     logit_soft_cap: Optional[float] = None
+    # Sliding-window attention: query at position p attends keys with
+    # position > p - sliding_window (mistral/qwen2 semantics). Applied on
+    # layers where layer_idx % sliding_window_every == 0 (gemma2 alternates
+    # sliding/full with every=2; every=1 windows all layers). Unlike the
+    # reference, which rejects sliding-window models outright
+    # (vllm/config.py:631-635), the XLA attention path implements it.
     sliding_window: Optional[int] = None
+    sliding_window_every: int = 1
     # Qwen2-style bias on QKV projections only.
     qkv_bias: bool = False
 

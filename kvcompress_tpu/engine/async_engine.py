@@ -58,7 +58,7 @@ class AsyncEngine:
                 f"engine loop crashed: {self.errored!r}") \
                 from self.errored
         stream = RequestStream()
-        self._pending.put((prompt, prompt_token_ids, sampling_params,
+        self._pending.put(("add", prompt, prompt_token_ids, sampling_params,
                            stream))
         self._wake.set()
         return stream
@@ -74,11 +74,12 @@ class AsyncEngine:
         return stream.finished
 
     def abort(self, request_id: str) -> None:
-        self.engine.abort_request(request_id)
-        stream = self._streams.pop(request_id, None)
-        if stream is not None:
-            stream.done.set()
-            stream.queue.put(None)
+        # Route the abort through the loop thread: engine.abort_request
+        # flushes bursts and mutates scheduler/state, which must never race
+        # a step() running on the loop thread (a client disconnect can land
+        # at any time). The stream is finished by the loop thread too.
+        self._pending.put(("abort", request_id))
+        self._wake.set()
 
     def shutdown(self):
         self._shutdown = True
@@ -88,9 +89,18 @@ class AsyncEngine:
     def _drain_pending(self):
         while True:
             try:
-                prompt, ids, sp, stream = self._pending.get_nowait()
+                item = self._pending.get_nowait()
             except queue.Empty:
                 return
+            if item[0] == "abort":
+                rid = item[1]
+                self.engine.abort_request(rid)
+                stream = self._streams.pop(rid, None)
+                if stream is not None:
+                    stream.done.set()
+                    stream.queue.put(None)
+                continue
+            _, prompt, ids, sp, stream = item
             rid = self.engine.add_request(None, prompt=prompt,
                                           prompt_token_ids=ids,
                                           sampling_params=sp)

@@ -70,11 +70,25 @@ class LLMEngine:
             16 if on_tpu else 1)
         if attn_impl == "auto":
             # the pallas decode kernel DMAs [block_size, head_size] rows and
-            # needs a full 128-lane last dim; alibi models use the XLA path
+            # needs a full 128-lane last dim; alibi and sliding-window
+            # models use the XLA path (windowed masking is implemented
+            # there; the reference instead rejects sliding-window models,
+            # vllm/config.py:631-635)
             attn_impl = ("pallas" if on_tpu
                          and cfg.model.head_size % 128 == 0
                          and not cfg.model.alibi
+                         and not cfg.model.sliding_window
                          else "xla")
+        if cfg.model.sliding_window:
+            if attn_impl in ("pallas", "interpret"):
+                raise ValueError(
+                    "sliding-window attention runs on the XLA path only; "
+                    f"attn_impl={attn_impl!r} is not supported "
+                    "(pass attn_impl='xla' or 'auto')")
+            if cfg.speculative.num_speculative_tokens > 0:
+                raise ValueError(
+                    "speculative decoding does not support sliding-window "
+                    "models yet")
         self.attn_impl = attn_impl
 
         if num_blocks is None:
@@ -581,9 +595,12 @@ class LLMEngine:
             k = 1
         carry = self._build_carry(running)
         # bucketed table width: last device-reported max + burst growth,
-        # rounded to the next power of two (bounded compile set)
+        # rounded to the next power of two (bounded compile set). Under
+        # pipelining _max_nb is stale by ONE uncollected burst (burst N+1
+        # dispatches before burst N collects), so budget TWO bursts of
+        # growth on top of the last device report.
         bs_ = self.cfg.cache.block_size
-        need_nb = self._max_nb + cdiv(k, bs_) + 1
+        need_nb = self._max_nb + 2 * cdiv(k, bs_) + 1
         nb_bucket = min(self.cfg.max_blocks_per_head,
                         1 << (max(need_nb, 1) - 1).bit_length())
         allowed_mask = None
@@ -742,12 +759,17 @@ class LLMEngine:
 
         self.state, packed = self.programs.verify(
             self.state, tokens, positions0, active, Q)
+        verify_snap = self._note_dispatch()
         packed = np.asarray(packed)
         greedy = packed[:S * Q].reshape(S, Q)
         n_out = packed[S * Q:S * Q + S]
         blk = packed[S * Q + S:S * Q + 2 * S]
         kvs = packed[S * Q + 2 * S:S * Q + 3 * S]
-        self.scheduler.free_blocks = int(packed[-1])
+        # versioned mirror update: verify runs AFTER any in-flight
+        # compression (dispatch order serializes donated-state programs),
+        # so its snapshot supersedes the pending compress fetch, which
+        # _apply_free_snapshot will then correctly drop as stale
+        self._apply_free_snapshot(verify_snap, int(packed[-1]))
         self._carry = None  # positions/tokens changed outside the carry
 
         n_generated = 0
@@ -827,8 +849,8 @@ class LLMEngine:
         # head is far tighter once sequences are compressed (the sort is
         # the documented compression bottleneck, reference config.py:974)
         nb = min(batch.nb_bucket,
-                 self._max_nb + cdiv(self.multi_step,
-                                     self.cfg.cache.block_size) + 1)
+                 self._max_nb + 2 * cdiv(self.multi_step,
+                                         self.cfg.cache.block_size) + 1)
         self.state, packed = self.programs.compress(
             self.state,
             np.asarray(batch.slots, np.int32),

@@ -140,6 +140,25 @@ def schedule_evictions(
             jnp.arange(B)[:, None, None], jnp.arange(L)[None, :, None],
             bm_sorted_idx
         ].set(sel_sorted, unique_indices=True)
+        # Distribute the floored-away remainder (budget % L) to the
+        # globally-lowest leftover candidates, so small budgets (< L
+        # blocks) still evict instead of silently stalling (the reference
+        # per-layer walk, csrc/kvcompress_eviction_kernels.cu:52-78, never
+        # drops budget; ours must not either).
+        rem = evicted_blocks_per_seq.astype(jnp.int32) - per_layer * L
+        left_key = jnp.where(sel, inf, bm).reshape(B, L * M)
+        left_idx = jnp.broadcast_to(
+            jnp.arange(L * M, dtype=jnp.int32)[None, :], (B, L * M))
+        _, li_sorted = jax.lax.sort((left_key, left_idx),
+                                    dimension=-1, num_keys=2)
+        n_extra = jnp.minimum(
+            rem, jnp.sum(jnp.isfinite(left_key), axis=-1).astype(jnp.int32))
+        extra_sorted = (jnp.arange(L * M, dtype=jnp.int32)[None, :]
+                        < n_extra[:, None])
+        extra = jnp.zeros((B, L * M), dtype=bool).at[
+            jnp.arange(B)[:, None], li_sorted
+        ].set(extra_sorted, unique_indices=True)
+        sel = sel | extra.reshape(B, L, M)
         e = sel.reshape(B, L, H, nb).sum(-1).astype(jnp.int32)
     else:
         M = L * H * nb

@@ -64,6 +64,21 @@ def attn_scale(cfg: ModelConfig) -> float:
             else cfg.head_size ** -0.5)
 
 
+def window_array(cfg: ModelConfig) -> Optional[np.ndarray]:
+    """Per-layer sliding window sizes [L] i32 (-1 = full attention), or None
+    when the model has no sliding window. Layers where
+    layer_idx % sliding_window_every == 0 are windowed (gemma2 alternates
+    with every=2; mistral/qwen2 window every layer). The reference rejects
+    sliding-window models (vllm/config.py:631-635); our XLA attention path
+    implements them."""
+    if not cfg.sliding_window:
+        return None
+    every = max(cfg.sliding_window_every, 1)
+    w = np.full((cfg.num_layers,), -1, np.int32)
+    w[::every] = cfg.sliding_window
+    return w
+
+
 def precompute_rope(cfg: ModelConfig, positions: jax.Array
                     ) -> Tuple[jax.Array, jax.Array]:
     """RoPE cos/sin for given positions over the rotary sub-dimension.
@@ -547,11 +562,13 @@ def prefill(
     positions = jnp.arange(T, dtype=jnp.int32)
     scale = attn_scale(cfg)
     al = (jnp.asarray(alibi_slopes(cfg.num_heads)) if cfg.alibi else None)
+    win = window_array(cfg)
 
-    if spec.impl in ("pallas", "interpret") and not cfg.alibi:
+    if (spec.impl in ("pallas", "interpret") and not cfg.alibi
+            and win is None):
         from kvcompress_tpu.ops.pallas import prefill_attention as ppf
 
-        def prefill_attn(q, k, v):
+        def prefill_attn(q, k, v, window=None):
             return ppf.prefill_attention(
                 q, k, v, seq_len, scale,
                 metric_window=spec.metric_window,
@@ -562,7 +579,7 @@ def prefill(
                 logit_cap=cfg.attn_logit_softcap,
                 interpret=spec.impl == "interpret")
     else:
-        def prefill_attn(q, k, v):
+        def prefill_attn(q, k, v, window=None):
             return att.prefill_attention(
                 q, k, v, seq_len, scale,
                 metric_window=spec.metric_window,
@@ -570,11 +587,20 @@ def prefill(
                 buffer_len=buffer_len,
                 use_l2=spec.use_l2, use_average=spec.use_average,
                 use_maxpool=spec.use_maxpool,
-                logit_cap=cfg.attn_logit_softcap, alibi=al)
+                logit_cap=cfg.attn_logit_softcap, alibi=al,
+                window=window)
 
-    def attn_fn(slot_mapping_l, q, k, v, cache):
-        out, pf_metrics = prefill_attn(q, k, v)
-        return out, cache, (k, v, pf_metrics)
+    if win is None:
+        def attn_fn(slot_mapping_l, q, k, v, cache):
+            out, pf_metrics = prefill_attn(q, k, v)
+            return out, cache, (k, v, pf_metrics)
+        layer_xs = slot_mappings
+    else:
+        def attn_fn(lxs, q, k, v, cache):
+            _, w_l = lxs
+            out, pf_metrics = prefill_attn(q, k, v, window=w_l)
+            return out, cache, (k, v, pf_metrics)
+        layer_xs = (slot_mappings, jnp.asarray(win))
 
     embed_override = None
     if prefix_embed is not None:
@@ -591,7 +617,7 @@ def prefill(
             return jnp.where(use, pe.astype(x.dtype), x)
 
     hidden, cache, (ks, vs, pfs) = forward_collect(
-        params, cfg, token_ids, positions, cache, attn_fn, slot_mappings,
+        params, cfg, token_ids, positions, cache, attn_fn, layer_xs,
         lora=lora, embed_override=embed_override)
     # Single cache-write epilogue across all layers (instead of 5 scatters
     # per layer): K, V, positions, metric init (+ prefill metric add).
@@ -639,8 +665,9 @@ def decode(
     flash_attn.py:1065-1097 decode branch + KVCAttention.forward_decode)."""
     scale = attn_scale(cfg)
     al = (jnp.asarray(alibi_slopes(cfg.num_heads)) if cfg.alibi else None)
+    win = window_array(cfg)
 
-    if spec.impl == "pallas" and not cfg.alibi:
+    if spec.impl == "pallas" and not cfg.alibi and win is None:
         from kvcompress_tpu.ops.pallas import paged_attention as ppa
         decode_attn = ppa.paged_decode_attention
         extra_kw = {}
@@ -649,7 +676,12 @@ def decode(
         extra_kw = {"alibi": al}
 
     def attn_fn(lxs, q, k, v, cache):
-        slot_mapping_l, bt_l, ctx_l = lxs
+        if win is None:
+            slot_mapping_l, bt_l, ctx_l = lxs
+            w_kw = {}
+        else:
+            slot_mapping_l, bt_l, ctx_l, w_l = lxs
+            w_kw = {"window": w_l}
         kc, vc, mc, pc = att.write_to_cache(
             cache.k, cache.v, cache.metrics, cache.positions,
             k, v,
@@ -659,12 +691,15 @@ def decode(
             q, kc, vc, mc, pc, bt_l, ctx_l, positions, buffer_lens, scale,
             active=active, use_l2=spec.use_l2,
             record_metrics=spec.record_metrics,
-            logit_cap=cfg.attn_logit_softcap, **extra_kw)
+            logit_cap=cfg.attn_logit_softcap, **extra_kw, **w_kw)
         return out, KVCache(kc, vc, mc, pc)
 
+    layer_xs = (slot_mappings, block_tables, context_lens)
+    if win is not None:
+        layer_xs = layer_xs + (jnp.asarray(win),)
     hidden, cache = forward(
-        params, cfg, token_ids, positions, cache, attn_fn,
-        (slot_mappings, block_tables, context_lens), lora=lora)
+        params, cfg, token_ids, positions, cache, attn_fn, layer_xs,
+        lora=lora)
     return hidden, cache
 
 

@@ -273,7 +273,10 @@ def _gemma2():
                                    hf.get("head_dim", 256)) ** -0.5,
             attn_logit_softcap=hf.get("attn_logit_softcapping"),
             logit_soft_cap=hf.get("final_logit_softcapping"),
-            sliding_window=hf.get("sliding_window"))
+            # gemma2 alternates sliding/full attention: even layers
+            # windowed (HF Gemma2Attention: sliding iff not layer_idx % 2)
+            sliding_window=hf.get("sliding_window"),
+            sliding_window_every=2)
 
     def load_fn(t, cfg, dtype):
         params = _load_llama_style(

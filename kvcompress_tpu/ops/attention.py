@@ -91,6 +91,7 @@ def prefill_attention(
     q_chunk: int = 256,
     logit_cap: Optional[float] = None,
     alibi: Optional[jax.Array] = None,   # [H_q] slopes (bloom/mpt)
+    window: Optional[jax.Array] = None,  # [] i32 sliding window (<0 = off)
 ) -> Tuple[jax.Array, jax.Array]:
     """Causal self-attention for one prompt + per-KV prefill metrics.
 
@@ -124,6 +125,8 @@ def prefill_attention(
         if logit_cap:
             logits = logit_cap * jnp.tanh(logits / logit_cap)
         mask = (kpos <= qpos) & (kpos < seq_len)
+        if window is not None:
+            mask = mask & ((window < 0) | (kpos > qpos - window))
         logits = jnp.where(mask, logits, NEG_INF)
         probs = jax.nn.softmax(logits, axis=-1)
         out = jnp.einsum("hqk,khd->qhd", probs,
@@ -158,6 +161,8 @@ def prefill_attention(
         if logit_cap:
             logits = logit_cap * jnp.tanh(logits / logit_cap)
         causal = (kpos <= qpos) & (kpos < seq_len) & (qpos < seq_len)
+        if window is not None:
+            causal = causal & ((window < 0) | (kpos > qpos - window))
         logits = jnp.where(causal, logits, NEG_INF)
         probs = jax.nn.softmax(logits, axis=-1)
         probs = jnp.where(causal, probs, 0.0)
@@ -212,6 +217,7 @@ def paged_decode_attention(
     record_metrics: bool = True,
     logit_cap: Optional[float] = None,
     alibi: Optional[jax.Array] = None,   # [H_q] slopes (bloom/mpt)
+    window: Optional[jax.Array] = None,  # [] i32 sliding window (<0 = off)
 ) -> Tuple[jax.Array, jax.Array]:
     """One decode step of paged attention over per-head block tables, fused
     with metric recording: each attended KV accumulates
@@ -254,6 +260,13 @@ def paged_decode_attention(
     if logit_cap:
         logits = logit_cap * jnp.tanh(logits / logit_cap)
     valid = (jnp.arange(n)[None, None, :] < context_lens_l[..., None])
+    if window is not None:
+        # sliding window masks by the KV's TOKEN position (compression may
+        # have compacted logical indices, so positions are authoritative)
+        kv_pos_w = kv_positions.reshape(-1)[phys]
+        valid = valid & (
+            (window < 0)
+            | (kv_pos_w > (last_positions[:, None, None] - window)))
     logits = jnp.where(valid[:, :, None, :], logits, NEG_INF)
     probs = jax.nn.softmax(logits, axis=-1)
     probs = jnp.where(valid[:, :, None, :], probs, 0.0)

@@ -1,13 +1,16 @@
 """ctypes bindings for the native host-side ops (csrc/kvc_host.cpp).
 
 Lazy build: compiles the shared library with the system C++ toolchain on
-first use and caches it next to the source; every entry point has a pure
-NumPy/Python fallback so the engine works without a compiler.
+first use into a build cache keyed by the SOURCE HASH (never a pre-built
+binary - nothing opaque is loaded, and edits always trigger a rebuild);
+every entry point has a pure NumPy/Python fallback so the engine works
+without a compiler.
 """
 
 from __future__ import annotations
 
 import ctypes
+import hashlib
 import os
 import subprocess
 from typing import List, Optional, Sequence, Tuple
@@ -32,13 +35,18 @@ def _load() -> Optional[ctypes.CDLL]:
     if os.environ.get("KVC_DISABLE_NATIVE") == "1":
         return None
     src = os.path.join(_csrc_dir(), "kvc_host.cpp")
-    so = os.path.join(_csrc_dir(), "libkvc_host.so")
     try:
-        if (not os.path.exists(so)
-                or os.path.getmtime(so) < os.path.getmtime(src)):
+        with open(src, "rb") as f:
+            digest = hashlib.sha256(f.read()).hexdigest()[:16]
+        build_dir = os.path.join(_csrc_dir(), ".build")
+        so = os.path.join(build_dir, f"libkvc_host-{digest}.so")
+        if not os.path.exists(so):
+            os.makedirs(build_dir, exist_ok=True)
+            tmp = so + f".tmp.{os.getpid()}"
             subprocess.run(
-                ["g++", "-O3", "-shared", "-fPIC", "-o", so, src],
+                ["g++", "-O3", "-shared", "-fPIC", "-o", tmp, src],
                 check=True, capture_output=True)
+            os.replace(tmp, so)  # atomic: concurrent builders race safely
         lib = ctypes.CDLL(so)
         lib.scan_stops.restype = None
         lib.ngram_propose.restype = ctypes.c_int

@@ -61,6 +61,12 @@ FAMILIES = {
     "qwen2": lambda: _mk(
         transformers.Qwen2Config, "Qwen2ForCausalLM",
         num_key_value_heads=2),
+    # sliding window SMALLER than the prompt so the window mask binds in
+    # both prefill and decode (the reference rejects sliding-window models,
+    # vllm/config.py:631-635; our XLA path implements them)
+    "mistral_swa": lambda: _mk(
+        transformers.MistralConfig, "MistralForCausalLM",
+        num_key_value_heads=2, sliding_window=8),
     "stablelm": lambda: _mk(
         transformers.StableLmConfig, "StableLmForCausalLM",
         num_key_value_heads=2, partial_rotary_factor=0.25,
@@ -108,7 +114,7 @@ FAMILIES = {
 
 # families whose decode path adds coverage beyond llama's
 # (learned positions / sandwich norms+softcaps / MoE routing)
-DECODE_FAMILIES = {"gpt2", "gemma2", "mixtral", "bloom"}
+DECODE_FAMILIES = {"gpt2", "gemma2", "mixtral", "bloom", "mistral_swa"}
 
 
 def _build(family):

@@ -77,6 +77,21 @@ def test_even_layer_evict_balances_layers(params):
     assert g[0] == 8 and g[1:].sum() == 0          # greedy drains layer 0
     np.testing.assert_array_equal(e, [2, 2, 2, 2])  # even split
 
+    # remainder distribution: budget % L extra blocks go to the
+    # globally-lowest leftover candidates instead of being dropped
+    args9 = args[:-1] + (jnp.asarray([9], np.int32),)
+    even9 = schedule_evictions(*args9, block_size=bs, even_layer_evict=True)
+    e9 = np.asarray(even9.evicted_block_count).sum(axis=(0, 2))
+    assert e9.sum() == 9
+    np.testing.assert_array_equal(e9, [3, 2, 2, 2])  # extra -> lowest layer
+
+    # budget smaller than L must still evict (previously stalled at 0)
+    args3 = args[:-1] + (jnp.asarray([3], np.int32),)
+    even3 = schedule_evictions(*args3, block_size=bs, even_layer_evict=True)
+    e3 = np.asarray(even3.evicted_block_count).sum(axis=(0, 2))
+    assert e3.sum() == 3
+    np.testing.assert_array_equal(e3, [3, 0, 0, 0])
+
 
 def test_artificial_preemption(params):
     os.environ["KVC_TEST_ENABLE_ARTIFICIAL_PREEMPT"] = "1"
