@@ -91,6 +91,25 @@ class LLMEngine:
                     "models yet")
         self.attn_impl = attn_impl
 
+        # Tensor parallelism: build the ("data", "model") mesh, shard the
+        # weights (megatron specs) and the cache state (block pool + tables
+        # on the kv-head axis) - the capability the reference lists as an
+        # open question (vllm/kvcompress/README.md "How to support
+        # multi-GPU?"; TP hard-blocked at vllm/config.py:702-703).
+        if mesh is None and cfg.parallel.world_size > 1:
+            from kvcompress_tpu.parallel.mesh import build_mesh
+            mesh = build_mesh(cfg.parallel.tensor_parallel_size,
+                              cfg.parallel.data_parallel_size)
+        self.mesh = mesh
+        if mesh is not None:
+            from kvcompress_tpu.parallel.mesh import MODEL_AXIS, shard_params
+            tp = mesh.shape[MODEL_AXIS]
+            if cfg.model.num_kv_heads % tp:
+                raise ValueError(
+                    f"num_kv_heads={cfg.model.num_kv_heads} not divisible "
+                    f"by tensor_parallel_size={tp}")
+            params = shard_params(params, mesh)
+
         if num_blocks is None:
             num_blocks = cfg.cache.num_blocks or self._profile_num_blocks(
                 params)
@@ -111,6 +130,9 @@ class LLMEngine:
             else jnp.float32,
             num_block_partitions=G,
         )
+        if mesh is not None:
+            from kvcompress_tpu.parallel.mesh import shard_state
+            self.state = shard_state(self.state, mesh)
         self.prompt_adapter_bank = None
         if cfg.prompt_adapter and cfg.prompt_adapter.enable_prompt_adapter:
             from kvcompress_tpu.prompt_adapter import PromptAdapterBank

@@ -128,7 +128,8 @@ class EnginePrograms:
                 params, mcfg, tokens, seq_len, slot_mappings,
                 _cache_of(state), buffer_len, spec, lora=lora,
                 prefix_embed=pa_embed if use_pa else None,
-                prefix_len=pa_len if use_pa else None)
+                prefix_len=pa_len if use_pa else None,
+                mesh=self.mesh)
             logits = llama.compute_logits(params, mcfg, last_hidden)[None]
             logits = sampler_mod.apply_logit_bias(logits, st)
             if use_guided:
@@ -404,7 +405,8 @@ class EnginePrograms:
                         params, mcfg, tokens, positions,
                         block_tables[..., :nb_tbl],
                         new_ctx, tail_k, tail_v, tail_cnt, tail_len,
-                        _cache_of(state), active, spec, lora=lora))
+                        _cache_of(state), active, spec, lora=lora,
+                        mesh=self.mesh))
                 # record the new tail entry's logical position
                 srow = jnp.arange(S)
                 wrow = jnp.where(active, tail_cnt, KT)

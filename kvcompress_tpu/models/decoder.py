@@ -554,6 +554,7 @@ def prefill(
     lora=None,
     prefix_embed=None,         # [max_virtual, D] prompt-adapter soft prompt
     prefix_len=None,           # [] i32 valid virtual tokens
+    mesh=None,                 # TP mesh: pallas kernel runs per shard
 ) -> Tuple[jax.Array, KVCache]:
     """Prompt pass: writes KVs + positions, collects prefill metrics,
     returns hidden state of the last real token [D] and updated cache
@@ -568,7 +569,24 @@ def prefill(
             and win is None):
         from kvcompress_tpu.ops.pallas import prefill_attention as ppf
 
+        sharded = None
+        if mesh is not None:
+            from kvcompress_tpu.parallel.mesh import MODEL_AXIS
+            if mesh.shape.get(MODEL_AXIS, 1) > 1:
+                from kvcompress_tpu.parallel.shard_attn import (
+                    prefill_attention_sharded)
+                sharded = prefill_attention_sharded
+
         def prefill_attn(q, k, v, window=None):
+            if sharded is not None:
+                return sharded(
+                    mesh, q, k, v, seq_len, buffer_len, scale,
+                    metric_window=spec.metric_window,
+                    use_l2=spec.use_l2, use_average=spec.use_average,
+                    use_maxpool=spec.use_maxpool,
+                    record_metrics=spec.record_metrics,
+                    logit_cap=cfg.attn_logit_softcap,
+                    interpret=spec.impl == "interpret")
             return ppf.prefill_attention(
                 q, k, v, seq_len, scale,
                 metric_window=spec.metric_window,
@@ -718,6 +736,7 @@ def decode_tail(
     active: jax.Array,         # [S] bool
     spec: AttentionSpec,
     lora=None,
+    mesh=None,                 # TP mesh: kernel runs per shard (shard_map)
 ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array, jax.Array]:
     """Production TPU decode: the paged cache is read-only; the burst's
     fresh KVs live in the dense tail buffers, written back once per burst
@@ -730,6 +749,14 @@ def decode_tail(
     scale = attn_scale(cfg)
     ctx_gated = jnp.where(active[None, :, None], context_lens, 0)
 
+    tail_sharded = None
+    if mesh is not None:
+        from kvcompress_tpu.parallel.mesh import MODEL_AXIS
+        if mesh.shape.get(MODEL_AXIS, 1) > 1:
+            from kvcompress_tpu.parallel.shard_attn import (
+                paged_decode_attention_tail_sharded)
+            tail_sharded = paged_decode_attention_tail_sharded
+
     def attn_fn(lxs, q, k, v, cache_):
         tk_l, tv_l, bt_l, ctx_l = lxs
         # insert the new K/V into this layer's tail row (gated by active)
@@ -739,11 +766,20 @@ def decode_tail(
             k.astype(tk_l.dtype), mode="drop")
         tv_l = tv_l.at[si, :, row].set(
             v.astype(tv_l.dtype), mode="drop")
-        out, m_cached, m_tail = ppa.paged_decode_attention_tail(
-            q, tk_l, tv_l, tail_len, cache_.k, cache_.v, bt_l, ctx_l, scale,
-            use_l2=spec.use_l2, record_metrics=spec.record_metrics,
-            logit_cap=cfg.attn_logit_softcap,
-            interpret=spec.impl == "interpret")
+        if tail_sharded is not None:
+            out, m_cached, m_tail = tail_sharded(
+                mesh, q, tk_l, tv_l, tail_len, cache_.k, cache_.v, bt_l,
+                ctx_l, scale, use_l2=spec.use_l2,
+                record_metrics=spec.record_metrics,
+                logit_cap=cfg.attn_logit_softcap,
+                interpret=spec.impl == "interpret")
+        else:
+            out, m_cached, m_tail = ppa.paged_decode_attention_tail(
+                q, tk_l, tv_l, tail_len, cache_.k, cache_.v, bt_l, ctx_l,
+                scale, use_l2=spec.use_l2,
+                record_metrics=spec.record_metrics,
+                logit_cap=cfg.attn_logit_softcap,
+                interpret=spec.impl == "interpret")
         return out, cache_, (tk_l, tv_l, m_cached, m_tail)
 
     hidden, cache, (tk, tv, m_cached, m_tail) = forward_collect(

@@ -78,3 +78,49 @@ def paged_decode_attention_tail_sharded(
         fn = shard_map(local, check_rep=False, **kw)
     return fn(query, tail_k, tail_v, tail_len, k_cache, v_cache,
               block_tables_l, context_lens_l)
+
+
+def prefill_attention_sharded(
+    mesh: Mesh,
+    query: jax.Array,    # [T, H_q, d]
+    key: jax.Array,      # [T, H_kv, d]
+    value: jax.Array,    # [T, H_kv, d]
+    seq_len: jax.Array,  # [] i32
+    buffer_len: jax.Array,  # [] i32
+    scale: float,
+    *,
+    metric_window: int = 32,
+    use_l2: bool = True,
+    use_average: bool = False,
+    use_maxpool: bool = True,
+    record_metrics: bool = True,
+    interpret: bool = False,
+    logit_cap: Optional[float] = None,
+):
+    """Per-shard Pallas prefill flash attention: query/key/value heads shard
+    on the model axis (GQA groups stay whole because tp divides H_kv), the
+    kernel runs fully shard-locally, outputs come back head-sharded. The
+    per-KV metric emission is per kv head, so no cross-shard reduction is
+    needed (the KVC head-parallel property, SURVEY.md section 5.7)."""
+    from kvcompress_tpu.ops.pallas import prefill_attention as ppf
+
+    m = MODEL_AXIS
+
+    def local(q, k, v, sl, bl):
+        return ppf.prefill_attention(
+            q, k, v, sl, scale, metric_window=metric_window,
+            buffer_len=bl, use_l2=use_l2, use_average=use_average,
+            use_maxpool=use_maxpool, record_metrics=record_metrics,
+            interpret=interpret, logit_cap=logit_cap)
+
+    kw = dict(
+        mesh=mesh,
+        in_specs=(P(None, m, None), P(None, m, None), P(None, m, None),
+                  P(), P()),
+        out_specs=(P(None, m, None), P(None, m)),
+    )
+    try:
+        fn = shard_map(local, check_vma=False, **kw)
+    except TypeError:
+        fn = shard_map(local, check_rep=False, **kw)
+    return fn(query, key, value, seq_len, buffer_len)
