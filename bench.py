@@ -1,14 +1,22 @@
 """Throughput benchmark (driver contract: prints ONE JSON line).
 
 Workload mirrors the reference's canonical KVC throughput bench
-(/root/reference/benchmarks/benchmark_throughput.py:95-147 + README.md:131-147):
-N prompts of fixed input length, fixed output length, greedy, with
-per-request max_cache_tokens giving compression rate CR vs the input length
-(max_cache_tokens = max(block, input_len / CR rounded to blocks)).
+(/root/reference/benchmarks/benchmark_throughput.py:95-147 + README.md:131-147
++ benchmarks/scripts/benchmark_llama3_8b.sh): FULL-DEPTH Llama-3.1-8B shape
+(32 layers, GQA 32/8, head 128) with W8A16 int8 weights (8 GB, fits one v5e
+chip), prompts of input length 6000, output length 500, greedy, with
+per-request max_cache_tokens giving compression rate CR=64 vs the input
+length (max_cache_tokens = max(128, input_len/CR // bs * bs), the reference
+formula at benchmark_throughput.py:391-393).
+
+The cache is sized by the engine's PROFILED memory sizing (AOT memory
+analysis of the largest programs; reference worker.py:230-275 equivalent),
+not a hand-picked block count.
 
 Reports generated-token throughput with continual compression at CR=64 and
 its ratio vs the uncompressed run on the same hardware (the reference's
-headline metric is the throughput *gain* from compression).
+headline metric is the throughput *gain* from compression). Best-of-2
+measured passes (tunnel runs are bimodal).
 """
 
 import json
@@ -16,6 +24,63 @@ import os
 import time
 
 import numpy as np
+
+
+def init_q8_params(model, seed=0):
+    """Random parameters generated DIRECTLY as W8A16 (int8 + per-channel
+    scales): an 8B bf16 tree would not fit HBM alongside its quantized copy,
+    and the bench needs shape/memory fidelity, not trained weights."""
+    import jax
+    import jax.numpy as jnp
+    from kvcompress_tpu.models.decoder import init_params
+    from kvcompress_tpu.quantization.int8 import (_DEFAULT_TARGETS,
+                                                  _TOP_TARGETS)
+
+    shapes = jax.eval_shape(
+        lambda: init_params(model, seed, jnp.bfloat16))
+    key = [jax.random.PRNGKey(seed)]
+
+    def nxt():
+        key[0], k = jax.random.split(key[0])
+        return k
+
+    def q8(sds, per_row):
+        q = jax.random.randint(nxt(), sds.shape, -127, 128, jnp.int8)
+        if per_row:  # [V, D] embedding layout: per-row scale
+            sshape = sds.shape[:-1] + (1,)
+            fan = sds.shape[-1]
+        else:        # [.., in, out]: per-output-channel scale
+            sshape = sds.shape[:-2] + (1, sds.shape[-1])
+            fan = sds.shape[-2]
+        s = jnp.full(sshape, (fan ** -0.5) / 73.0, jnp.float32)
+        return q, s
+
+    def dense(sds):
+        if sds.ndim >= 2:
+            return (jax.random.normal(nxt(), sds.shape, jnp.float32)
+                    * sds.shape[-2] ** -0.5).astype(sds.dtype)
+        return jnp.ones(sds.shape, sds.dtype)
+
+    out = {}
+    layers = {}
+    for name, sds in shapes["layers"].items():
+        if name in _DEFAULT_TARGETS:
+            q, s = q8(sds, per_row=False)
+            layers[f"{name}_q8"] = q
+            layers[f"{name}_scale"] = s
+        else:
+            layers[name] = dense(sds)
+    out["layers"] = layers
+    for name, sds in shapes.items():
+        if name == "layers":
+            continue
+        if name in _TOP_TARGETS:
+            q, s = q8(sds, per_row=True)
+            out[f"{name}_q8"] = q
+            out[f"{name}_scale"] = s
+        else:
+            out[name] = dense(sds)
+    return out
 
 
 def build_engine(compress: bool, quick: bool):
@@ -32,41 +97,39 @@ def build_engine(compress: bool, quick: bool):
             hidden_size=64, intermediate_size=128, vocab_size=512,
             max_model_len=512)
         num_blocks, max_seqs = 4096, 8
-        dtype = jnp.float32
+        params = init_llama_params(model, seed=0, dtype=jnp.float32)
         cache_dtype = "float32"
+        buckets = (128, 256, 512)
+        kvc = KVCompressConfig(
+            enabled=compress, compression_interval=16,
+            max_kv_per_compression=1 << 18,
+            max_cache_moves_per_compression=1 << 14)
     else:
-        # Llama-3.1-8B per-layer shape at quarter depth (head_size 128,
-        # GQA 32/8). The workload mirrors the reference's canonical
-        # memory-pressured single-device regime (README.md:131-147: many
-        # prompts, long inputs, KV pool far smaller than the uncompressed
-        # working set) scaled to one v5e chip: the uncompressed baseline
-        # can only admit a few sequences at a time, while CR=64
-        # compression fits the whole batch - the headline effect.
+        # Llama-3.1-8B full shape (reference benchmark_llama3_8b.sh), W8A16
         model = ModelConfig(
-            num_layers=8, num_heads=32, num_kv_heads=8, head_size=128,
+            num_layers=32, num_heads=32, num_kv_heads=8, head_size=128,
             hidden_size=4096, intermediate_size=14336, vocab_size=128256,
-            max_model_len=2560, rope_theta=500000.0,
-            tie_word_embeddings=True)
-        num_blocks, max_seqs = 40960, 32
-        dtype = jnp.bfloat16
+            max_model_len=6656, rope_theta=500000.0,
+            tie_word_embeddings=False)
+        num_blocks = None  # PROFILED sizing (AOT memory analysis)
+        max_seqs = 64
+        params = init_q8_params(model, seed=0)
         cache_dtype = "bfloat16"
+        buckets = (6144,)
+        kvc = KVCompressConfig(
+            enabled=compress, compression_interval=16,
+            max_kv_per_compression=5_000_000,        # reference default
+            max_cache_moves_per_compression=1 << 21)
 
     cfg = EngineConfig(
         model=model,
         cache=CacheConfig(block_size=16, cache_dtype=cache_dtype),
-        kvcompress=KVCompressConfig(
-            enabled=compress, compression_interval=16,
-            max_kv_per_compression=1 << 21,
-            max_cache_moves_per_compression=1 << 17),
+        kvcompress=kvc,
         scheduler=SchedulerConfig(
             max_num_seqs=max_seqs, max_model_len=model.max_model_len,
-            prefill_buckets=(128, 512, 1024, 2048)),
+            prefill_buckets=buckets),
         parallel=ParallelConfig(),
     )
-    params = init_llama_params(model, seed=0, dtype=dtype)
-    if os.environ.get("BENCH_QUANT") == "int8":
-        from kvcompress_tpu.quantization import quantize_params
-        params = quantize_params(params)
     return LLMEngine(cfg, params, num_blocks=num_blocks,
                      attn_impl=os.environ.get("BENCH_ATTN", "auto"))
 
@@ -80,7 +143,6 @@ def run(engine, prompts, output_len, max_cache_tokens):
                 temperature=0.0, max_tokens=output_len, ignore_eos=True,
                 max_cache_tokens=max_cache_tokens,
                 protected_window_size=32, compress_once=False))
-    n_gen = 0
     t0 = time.monotonic()
     while engine.has_unfinished_requests():
         engine.step()
@@ -89,39 +151,62 @@ def run(engine, prompts, output_len, max_cache_tokens):
     return n_gen / dt
 
 
-def main():
+def run_phase(compress: bool) -> float:
+    """One engine's warm + best-of-2 measured passes. Runs in its OWN
+    process (see main): the compressed and baseline engines each need most
+    of HBM, and backend allocator state does not reliably return to zero
+    when an engine is deleted in-process."""
     quick = os.environ.get("BENCH_QUICK") == "1"
     rng = np.random.default_rng(0)
     cr = 64
     if quick:
         n_prompts, input_len, output_len = 4, 128, 16
+        vocab = 512
     else:
-        n_prompts, input_len, output_len = 32, 2048, 128
-    vocab = 512 if quick else 128256
+        # reference canonical run: input 6000 / output 500 / CR 64
+        # (README.md:131-147); prompt count scaled to keep the bench
+        # within the driver budget while exercising continual batching
+        n_prompts = int(os.environ.get("BENCH_PROMPTS", "64"))
+        input_len, output_len = 6000, 500
+        vocab = 128256
     block = 16
     prompts = [rng.integers(0, vocab, size=input_len).tolist()
                for _ in range(n_prompts)]
-    max_cache_tokens = max(block, input_len // cr // block * block)
+    # reference CR -> cache-size formula (benchmark_throughput.py:391-393)
+    max_cache_tokens = (max(128, input_len // cr // block * block)
+                        if compress else -1)
 
-    # Warm with a full batch so every (batch-bucket, nb-bucket) compression
-    # program and the decode/prefill programs are compiled before timing,
-    # then measure two passes and keep the best (the shared-tunnel chip
-    # shows bimodal interference; the best pass is the machine capability).
-    warm_n = min(8, n_prompts)
+    # Warm with a few prompts so every program (prefill bucket, decode and
+    # compression buckets) is compiled before timing, then measure two
+    # passes and keep the best (the shared-tunnel chip shows bimodal
+    # interference; the best pass is the machine capability).
+    warm_n = min(4, n_prompts)
     warm_tokens = 40  # enough decode steps to hit compression cadence twice
-    eng_c = build_engine(compress=True, quick=quick)
-    run(eng_c, prompts[:warm_n], warm_tokens, max_cache_tokens)
-    tput_c = max(run(eng_c, prompts, output_len, max_cache_tokens)
-                 for _ in range(1 if quick else 2))
-    del eng_c
+    eng = build_engine(compress=compress, quick=quick)
+    run(eng, prompts[:warm_n], warm_tokens, max_cache_tokens)
+    return max(run(eng, prompts, output_len, max_cache_tokens)
+               for _ in range(1 if quick else 2))
 
-    eng_b = build_engine(compress=False, quick=quick)
-    run(eng_b, prompts[:warm_n], warm_tokens, -1)
-    tput_b = max(run(eng_b, prompts, output_len, -1)
-                 for _ in range(1 if quick else 2))
 
+def main():
+    import subprocess
+    import sys
+
+    def phase(name):
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--phase", name],
+            capture_output=True, text=True)
+        for line in out.stdout.splitlines():
+            if line.startswith("PHASE_RESULT "):
+                return float(line.split()[1])
+        raise RuntimeError(
+            f"phase {name} failed:\n{out.stdout[-2000:]}\n"
+            f"{out.stderr[-4000:]}")
+
+    tput_c = phase("compressed")
+    tput_b = phase("baseline")
     print(json.dumps({
-        "metric": f"decode_tokens_per_s_cr{cr}",
+        "metric": "decode_tokens_per_s_cr64",
         "value": round(tput_c, 2),
         "unit": "tokens/s",
         "vs_baseline": round(tput_c / tput_b, 3),
@@ -129,4 +214,10 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    import sys
+    if "--phase" in sys.argv:
+        which = sys.argv[sys.argv.index("--phase") + 1]
+        tput = run_phase(compress=(which == "compressed"))
+        print("PHASE_RESULT", tput)
+    else:
+        main()

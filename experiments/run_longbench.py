@@ -49,12 +49,15 @@ def main(argv=None):
     p.add_argument("--max-model-len", type=int, default=33000)
     p.add_argument("--block-size", type=int, default=16)
     p.add_argument("--limit", type=int, default=0)
+    p.add_argument("--num-blocks", type=int, default=0,
+                   help="cache blocks; 0 = profiled from device memory")
     args = p.parse_args(argv)
 
     from kvcompress_tpu.entrypoints.llm import LLM
     from kvcompress_tpu.sampling_params import SamplingParams
 
     llm = LLM(args.model, max_model_len=args.max_model_len,
+              num_blocks=args.num_blocks or None,
               block_size=args.block_size, enable_kvcompress=True,
               prefill_metric_collection_window_size=(
                   args.prefill_metric_collection_window_size),
@@ -64,6 +67,9 @@ def main(argv=None):
                                   else "L2-maxpool"),
               kv_head_bias_file=args.kv_head_bias_path)
     tok = llm.llm_engine.tokenizer
+    # the engine clamps max_model_len to the model's trained context;
+    # truncate against the EFFECTIVE length, not the requested one
+    eff_max_len = llm.llm_engine.cfg.scheduler.max_model_len
 
     os.makedirs(args.out_dir, exist_ok=True)
     for ds in args.datasets:
@@ -78,9 +84,9 @@ def main(argv=None):
         for row in rows:
             prompt = tmpl.format(**row)
             ids = tok.encode(prompt)
-            if len(ids) > args.max_model_len - max_gen:
+            if len(ids) > eff_max_len - max_gen:
                 # LongBench convention: truncate from the middle
-                keep = args.max_model_len - max_gen
+                keep = eff_max_len - max_gen
                 ids = ids[:keep // 2] + ids[-(keep - keep // 2):]
             prompts.append(ids)
             if args.max_cache_tokens > 0:

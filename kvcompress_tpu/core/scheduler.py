@@ -169,23 +169,31 @@ class Scheduler:
         self.new_tokens = 0
 
         bs = self.block_size
+        L, H = self.cfg.model.num_layers, self.cfg.model.num_kv_heads
         candidates = sorted(
             self.running,
             key=lambda s: (-s.iters_since_compression, s.slot))
         batch: List[Tuple[Sequence, int]] = []
-        total_kv = 0
+        nb_max = 0
         total_evicted_kv = 0
         for seq in candidates:
             eb = self._seq_evict_blocks(seq)
             if eb == 0:
                 continue
-            seq_kvs = seq.block_count * bs
-            if total_kv + seq_kvs > kc.max_kv_per_compression:
+            # Account the DEVICE WORKSPACE the round will gather
+            # ([B, L, H, nb_max * bs], eviction.py gather_workspace), not
+            # just the batch's own KVs: the workspace is what bounds the
+            # sort memory (reference config.py:974-985), and mixing one
+            # long sequence with many short ones would otherwise blow it
+            # past max_kv_per_compression.
+            new_nb = max(nb_max, cdiv(seq.get_len(), bs))
+            if ((len(batch) + 1) * L * H * new_nb * bs
+                    > kc.max_kv_per_compression):
                 break
             if (total_evicted_kv + eb * bs
                     > kc.max_cache_moves_per_compression):
                 break
-            total_kv += seq_kvs
+            nb_max = new_nb
             total_evicted_kv += eb * bs
             batch.append((seq, eb))
 

@@ -203,21 +203,113 @@ class LLMEngine:
         self._free_snap_id = snap_id
 
     def _profile_num_blocks(self, params) -> int:
-        """Size the cache from device memory
-        (reference worker/worker.py:230-275 determine_num_available_blocks).
-        """
-        cc, mc = self.cfg.cache, self.cfg.model
+        """Profiled cache sizing (reference worker/worker.py:230-275
+        determine_num_available_blocks + metrics.py:277-335
+        profile_schedule_evictions): AOT-compile the LARGEST engine
+        programs - prefill at the top bucket, decode at full table width,
+        compression at the workspace cap - against a nominal tiny cache and
+        read their peak temp memory from XLA's memory analysis, then give
+        the remaining HBM to cache blocks. Falls back to the analytic sort
+        bound when memory analysis is unavailable (CPU test backend)."""
+        cc, mc, sc = self.cfg.cache, self.cfg.model, self.cfg.scheduler
         dev = jax.devices()[0]
         stats = getattr(dev, "memory_stats", lambda: None)() or {}
-        total = stats.get("bytes_limit", 16 << 30)
-        used = stats.get("bytes_in_use", 0)
-        budget = int(total * cc.gpu_memory_utilization) - used
-        # reserve workspace for the compression sort (~6 arrays over the
-        # workspace; reference config.py:974-985 documents the sort bound)
-        workspace = self.cfg.kvcompress.max_kv_per_compression * 4 * 8
-        budget -= workspace
-        nblocks = max(budget, 0) // cc.block_bytes(mc.head_size)
+        # the axon tunnel device reports no memory_stats; v5e default 16 GB
+        total = stats.get("bytes_limit", 0) or int(
+            os.environ.get("KVC_HBM_BYTES", 16 << 30))
+        budget = int(total * cc.gpu_memory_utilization)
+        params_bytes = sum(
+            int(np.prod(x.shape)) * x.dtype.itemsize
+            for x in jax.tree.leaves(params))
+        if stats.get("bytes_in_use"):
+            budget -= int(stats["bytes_in_use"])  # params already resident
+        else:
+            budget -= params_bytes
+        try:
+            temp = self._profile_temp_bytes(params)
+        except Exception:  # pragma: no cover - backend without AOT analysis
+            temp = self.cfg.kvcompress.max_kv_per_compression * 4 * 8
+        L, S, H = mc.num_layers, sc.max_num_seqs, mc.num_kv_heads
+        Bmax = self.cfg.max_blocks_per_head
+        fixed = L * S * H * Bmax * 4 + L * S * H * 4  # tables + ctx lens
+        per_block = cc.block_bytes(mc.head_size) + 4  # + free-stack entry
+        nblocks = max(budget - temp - fixed, 0) // per_block
         return int(min(nblocks, 2 ** 24))
+
+    def _profile_temp_bytes(self, params) -> int:
+        """Peak temp bytes over the largest engine programs, from AOT
+        compilation (no execution, no dummy data - XLA's memory analysis is
+        exact where the reference must run a dummy forward and read the
+        allocator high-water mark)."""
+        from kvcompress_tpu.core.state import init_cache_state
+        from kvcompress_tpu.engine.programs import EnginePrograms
+        from kvcompress_tpu.engine.sampler import SamplingTensors
+
+        cfg = self.cfg
+        mc, sc, cc, kc = cfg.model, cfg.scheduler, cfg.cache, cfg.kvcompress
+        G = max(cfg.parallel.tensor_parallel_size, 1)
+        S = sc.max_num_seqs
+        L, H = mc.num_layers, mc.num_kv_heads
+        bs = cc.block_size
+        nominal = init_cache_state(
+            num_blocks=64 * G, block_size=bs, head_size=mc.head_size,
+            num_layers=L, max_num_seqs=S, num_kv_heads=H,
+            max_blocks_per_head=cfg.max_blocks_per_head,
+            cache_dtype=jnp.bfloat16 if cc.cache_dtype == "bfloat16"
+            else jnp.float32,
+            num_block_partitions=G)
+        progs = EnginePrograms(cfg, params, attn_impl=self.attn_impl,
+                               mesh=self.mesh)
+
+        def temp_of(lowered) -> int:
+            ma = lowered.compile().memory_analysis()
+            if ma is None:
+                raise RuntimeError("no memory analysis")
+            return int(ma.temp_size_in_bytes)
+
+        peaks = []
+        # prefill at the largest bucket
+        T = next((b for b in sc.prefill_buckets
+                  if b >= sc.max_model_len), sc.max_model_len)
+        st1 = SamplingTensors.from_params([None], pad_to=1,
+                                          vocab_size=mc.vocab_size)
+        rng = jax.random.PRNGKey(0)
+        z = jnp.zeros((1,), jnp.float32)
+        peaks.append(temp_of(progs._build_prefill(T).lower(
+            nominal, params, jnp.zeros((T,), jnp.int32),
+            jnp.asarray(T, jnp.int32), jnp.asarray(0, jnp.int32),
+            jnp.asarray(0, jnp.int32), st1, rng,
+            jnp.asarray(0, jnp.int32), z, jnp.zeros((1,), bool),
+            jnp.zeros((1, 1), jnp.float32), jnp.asarray(0, jnp.int32))))
+        # decode burst at FULL table width (the transient regime before a
+        # long prompt's first compression runs at wide buckets)
+        k = self.multi_step
+        nb_full = min(cfg.max_blocks_per_head,
+                      1 << (cfg.max_blocks_per_head - 1).bit_length())
+        st = SamplingTensors.from_params([None] * S, pad_to=S,
+                                         vocab_size=mc.vocab_size)
+        peaks.append(temp_of(progs._build_decode(
+            multi_steps=k, greedy_only=True, nb_bucket=nb_full).lower(
+            nominal, params, jnp.zeros((S,), jnp.int32),
+            jnp.zeros((S,), jnp.int32), jnp.zeros((S,), bool),
+            jnp.zeros((S,), jnp.int32), st, rng,
+            jnp.asarray([-1], jnp.int32), jnp.zeros((S,), bool),
+            jnp.zeros((S,), jnp.int32), jnp.zeros((S,), jnp.int32),
+            None, None, jnp.zeros((S,), jnp.int32), z,
+            jnp.zeros((1, 1), bool))))
+        if kc.enabled:
+            # compression at the workspace cap: the scheduler bounds the
+            # gathered workspace to max_kv_per_compression, and power-of-2
+            # bucketing of (B, nb) inflates it at most 4x
+            Bb = 1 << (S - 1).bit_length()
+            nbb = max(1, cdiv(4 * kc.max_kv_per_compression,
+                              Bb * L * H * bs))
+            nbb = min(cfg.max_blocks_per_head,
+                      1 << (nbb - 1).bit_length())
+            zi = jnp.zeros((Bb,), jnp.int32)
+            peaks.append(temp_of(progs._build_compress(Bb, nbb).lower(
+                nominal, zi, zi, zi, zi)))
+        return max(peaks)
 
     # ------------------------------------------------------------- requests
     # ----------------------------------------------------------------- lora
@@ -276,6 +368,13 @@ class LLMEngine:
         if prompt_token_ids is None:
             assert self.tokenizer is not None, "no tokenizer for str prompt"
             prompt_token_ids = self.tokenizer.encode(prompt)
+        if len(prompt_token_ids) > self.cfg.scheduler.max_model_len:
+            # reject loudly at submission (reference llm_engine.py
+            # _validate_model_inputs) - the scheduler would otherwise have
+            # to drop it without ever producing an output
+            raise ValueError(
+                f"prompt is {len(prompt_token_ids)} tokens but "
+                f"max_model_len is {self.cfg.scheduler.max_model_len}")
         seq = Sequence(
             request_id=request_id,
             prompt_token_ids=list(prompt_token_ids),

@@ -77,13 +77,14 @@ class EnginePrograms:
         kc = cfg.kvcompress
         self.prefill_spec = AttentionSpec(
             mode="prefill", use_l2=kc.use_l2, use_average=kc.use_average,
-            use_maxpool=kc.use_maxpool, record_metrics=not kc.random_eviction,
+            use_maxpool=kc.use_maxpool,
+            record_metrics=kc.enabled and not kc.random_eviction,
             metric_window=kc.prefill_metric_collection_window_size,
             metric_block=kc.prefill_metric_collection_block_size,
             impl=attn_impl)
         self.decode_spec = AttentionSpec(
             mode="decode", use_l2=kc.use_l2, use_average=kc.use_average,
-            record_metrics=kc.record_decoding_metrics
+            record_metrics=kc.enabled and kc.record_decoding_metrics
             and not kc.random_eviction,
             impl=attn_impl)
         self._prefill_fns: Dict[Any, Any] = {}
@@ -678,7 +679,8 @@ class EnginePrograms:
             num_sinks=kc.num_attention_sinks, use_average=kc.use_average,
             bias=bias, position_bins=position_bins,
             bias_weight=kc.kv_head_bias_weight,
-            even_layer_evict=kc.even_layer_evict)
+            even_layer_evict=kc.even_layer_evict,
+            random_eviction=kc.random_eviction)
 
         def compress_fn(state, slots, last_pos, protected, evict_blocks):
             state, blk_count, new_ctx_w = fn(

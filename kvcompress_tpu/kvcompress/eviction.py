@@ -317,6 +317,7 @@ def run_compression(
     position_bins: Optional[jax.Array] = None,  # [bins]
     bias_weight: float = 1.0,
     even_layer_evict: bool = False,
+    random_eviction: bool = False,
 ) -> Tuple[CacheState, jax.Array, jax.Array]:
     """One full compression round on device: gather -> bias -> schedule ->
     compact -> free blocks. Returns (new_state, evicted_block_count [B,L,H],
@@ -328,6 +329,18 @@ def run_compression(
     block_size = state.block_size
     bt_w, ctx_w, metrics_w, positions_w = gather_workspace(state, slots, nb)
 
+    if random_eviction:
+        # random-eviction baseline (reference metrics.py:232-234, 391-393):
+        # replace metrics with a stateless hash of (layer, head, position)
+        # so eviction order is uniform-pseudorandom, not oldest-first
+        B, L, H, n = metrics_w.shape
+        salt = (jnp.arange(L, dtype=jnp.uint32)[None, :, None, None]
+                * jnp.uint32(131071)
+                + jnp.arange(H, dtype=jnp.uint32)[None, None, :, None]
+                * jnp.uint32(8191))
+        h = (positions_w.astype(jnp.uint32) ^ salt) * jnp.uint32(2654435761)
+        h = (h >> 13) ^ h
+        metrics_w = (h & jnp.uint32(0xFFFF)).astype(jnp.float32)
     if use_average:
         # Normalise by the number of queries that attended to each KV
         # (reference metrics.py:495-501).

@@ -744,6 +744,26 @@ def paged_decode_attention_tail(
     qpk = Hq // Hkv
     KT = tail_k.shape[2]
 
+    # The block tables ride in SMEM via scalar prefetch; at wide tables and
+    # large batches [S, H, nb] i32 overflows the ~1 MB SMEM budget. Chunk
+    # the sequence axis into separate kernel calls (semantics-preserving:
+    # sequences are independent) sized to stay under half the budget.
+    smem_budget = 448 * 1024
+    if S * Hkv * nb * 4 > smem_budget:
+        chunk = max(1, smem_budget // (Hkv * nb * 4))
+        while S % chunk:
+            chunk -= 1
+        outs = []
+        for i in range(0, S, chunk):
+            sl = slice(i, i + chunk)
+            outs.append(paged_decode_attention_tail(
+                query[sl], tail_k[sl], tail_v[sl], tail_len[sl],
+                k_cache, v_cache, block_tables_l[sl], context_lens_l[sl],
+                scale, use_l2=use_l2, record_metrics=record_metrics,
+                interpret=interpret, logit_cap=logit_cap))
+        return tuple(jnp.concatenate([o[j] for o in outs], axis=0)
+                     for j in range(3))
+
     # pad table width so n is a multiple of 128 lanes
     if nb * bs > 128:
         C = max(1, 128 // bs)
