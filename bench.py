@@ -114,7 +114,9 @@ def build_engine(compress: bool, quick: bool):
         num_blocks = None  # PROFILED sizing (AOT memory analysis)
         max_seqs = 64
         params = init_q8_params(model, seed=0)
-        cache_dtype = "bfloat16"
+        # BENCH_KV_DTYPE=int8 runs the per-KV-scale quantized cache
+        # (~1.9x block count in the same HBM)
+        cache_dtype = os.environ.get("BENCH_KV_DTYPE", "bfloat16")
         buckets = (6144,)
         kvc = KVCompressConfig(
             enabled=compress, compression_interval=16,

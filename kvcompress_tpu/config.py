@@ -114,9 +114,15 @@ class CacheConfig:
     block_size: int = 16
     num_blocks: int = 0  # 0 -> derived from memory utilisation at init
     gpu_memory_utilization: float = 0.9
+    # "bfloat16" | "float32" | "int8" (per-KV-scale quantized cache, the
+    # reference's --kv-cache-dtype fp8 counterpart; ~1.9x the block count
+    # in the same HBM)
     cache_dtype: str = "bfloat16"
 
     def block_bytes(self, head_size: int) -> int:
+        if self.cache_dtype == "int8":
+            # k + v int8 + two f32 scales + metric(f32) + position(i32)
+            return self.block_size * (2 * head_size + 8 + 4 + 4)
         itemsize = 2 if self.cache_dtype in ("bfloat16", "float16") else 4
         # k + v + metric(f32) + position(i32)
         return self.block_size * (2 * head_size * itemsize + 4 + 4)

@@ -53,6 +53,12 @@ class CacheState:
     # free block ids of partition g (see module docstring).
     free_stack: jax.Array    # [G, num_blocks // G] i32
     free_top: jax.Array      # [G] i32
+    # Quantized-cache (int8) per-KV dequantization scales; None for
+    # bf16/f32 caches. Doubles the block count the same HBM holds
+    # (reference --kv-cache-dtype fp8, csrc/cache_kernels.cu convert_fp8;
+    # here int8 with per-KV scales so compaction moves stay exact).
+    k_scale: "jax.Array | None" = None  # [num_blocks, block_size] f32
+    v_scale: "jax.Array | None" = None
 
     @property
     def block_size(self) -> int:
@@ -61,6 +67,10 @@ class CacheState:
     @property
     def num_blocks(self) -> int:
         return self.k_cache.shape[0]
+
+    @property
+    def quantized(self) -> bool:
+        return self.k_scale is not None
 
 
 def init_cache_state(
@@ -87,6 +97,7 @@ def init_cache_state(
         stacks[g, :len(ids)] = ids
         tops[g] = len(ids)
     free_stack = jnp.asarray(stacks)
+    quantized = cache_dtype == jnp.int8
     return CacheState(
         k_cache=jnp.zeros((num_blocks, block_size, head_size), dtype=cache_dtype),
         v_cache=jnp.zeros((num_blocks, block_size, head_size), dtype=cache_dtype),
@@ -101,6 +112,10 @@ def init_cache_state(
         ),
         free_stack=free_stack,
         free_top=jnp.asarray(tops),
+        k_scale=(jnp.zeros((num_blocks, block_size), jnp.float32)
+                 if quantized else None),
+        v_scale=(jnp.zeros((num_blocks, block_size), jnp.float32)
+                 if quantized else None),
     )
 
 

@@ -121,13 +121,14 @@ class LLMEngine:
         G = max(cfg.parallel.tensor_parallel_size, 1)
         num_blocks -= num_blocks % G
         self.num_blocks = num_blocks
+        cache_jdtype = {"bfloat16": jnp.bfloat16, "float16": jnp.bfloat16,
+                        "int8": jnp.int8}.get(cc.cache_dtype, jnp.float32)
         self.state = init_cache_state(
             num_blocks=num_blocks, block_size=cc.block_size,
             head_size=mc.head_size, num_layers=mc.num_layers,
             max_num_seqs=sc.max_num_seqs, num_kv_heads=mc.num_kv_heads,
             max_blocks_per_head=cfg.max_blocks_per_head,
-            cache_dtype=jnp.bfloat16 if cc.cache_dtype == "bfloat16"
-            else jnp.float32,
+            cache_dtype=cache_jdtype,
             num_block_partitions=G,
         )
         if mesh is not None:
@@ -255,8 +256,8 @@ class LLMEngine:
             num_blocks=64 * G, block_size=bs, head_size=mc.head_size,
             num_layers=L, max_num_seqs=S, num_kv_heads=H,
             max_blocks_per_head=cfg.max_blocks_per_head,
-            cache_dtype=jnp.bfloat16 if cc.cache_dtype == "bfloat16"
-            else jnp.float32,
+            cache_dtype={"bfloat16": jnp.bfloat16, "float16": jnp.bfloat16,
+                         "int8": jnp.int8}.get(cc.cache_dtype, jnp.float32),
             num_block_partitions=G)
         progs = EnginePrograms(cfg, params, attn_impl=self.attn_impl,
                                mesh=self.mesh)

@@ -54,7 +54,7 @@ class DecodeOutput(NamedTuple):
 
 def _cache_of(state: CacheState) -> KVCache:
     return KVCache(state.k_cache, state.v_cache, state.kv_metrics,
-                   state.kv_positions)
+                   state.kv_positions, state.k_scale, state.v_scale)
 
 
 def _with_cache(state: CacheState, cache: KVCache, **kw) -> CacheState:
@@ -65,6 +65,7 @@ def _with_cache(state: CacheState, cache: KVCache, **kw) -> CacheState:
         context_lens=kw.get("context_lens", state.context_lens),
         free_stack=kw.get("free_stack", state.free_stack),
         free_top=kw.get("free_top", state.free_top),
+        k_scale=cache.k_scale, v_scale=cache.v_scale,
     )
 
 
@@ -244,7 +245,11 @@ class EnginePrograms:
                       if tail_mode and record else None)
             tail0 = None
             if tail_mode:
+                # int8 caches keep the burst tail UNQUANTIZED (bf16): fresh
+                # KVs are quantized once, at the flush epilogue
                 cdtype = state.k_cache.dtype
+                if cdtype == jnp.int8:
+                    cdtype = jnp.bfloat16
                 tail0 = (jnp.zeros((L, S, H, KT, d), cdtype),
                          jnp.zeros((L, S, H, KT, d), cdtype),
                          jnp.full((S, KT), -1, jnp.int32),  # positions
@@ -345,12 +350,21 @@ class EnginePrograms:
             flat = slots.reshape(-1)
             p = tail_pos  # [S, KT] logical token positions (-1 empty)
 
+            k_scale, v_scale = state.k_scale, state.v_scale
+            if k_scale is not None:
+                from kvcompress_tpu.ops.kv_quant import quantize_kv
+                tail_k, k_sc = quantize_kv(tail_k)
+                tail_v, v_sc = quantize_kv(tail_v)
+                k_scale = k_scale.reshape(-1).at[flat].set(
+                    k_sc.reshape(-1), mode="drop").reshape(k_scale.shape)
+                v_scale = v_scale.reshape(-1).at[flat].set(
+                    v_sc.reshape(-1), mode="drop").reshape(v_scale.shape)
             k_cache = state.k_cache.reshape(-1, d).at[flat].set(
-                tail_k.reshape(-1, d), mode="drop").reshape(
-                state.k_cache.shape)
+                tail_k.reshape(-1, d).astype(state.k_cache.dtype),
+                mode="drop").reshape(state.k_cache.shape)
             v_cache = state.v_cache.reshape(-1, d).at[flat].set(
-                tail_v.reshape(-1, d), mode="drop").reshape(
-                state.v_cache.shape)
+                tail_v.reshape(-1, d).astype(state.v_cache.dtype),
+                mode="drop").reshape(state.v_cache.shape)
             pos_vals = jnp.broadcast_to(p[None, :, None, :],
                                         (L, S, H, KT)).reshape(-1)
             kv_positions = state.kv_positions.reshape(-1).at[flat].set(
@@ -374,7 +388,8 @@ class EnginePrograms:
                 kv_positions=kv_positions,
                 block_tables=state.block_tables,
                 context_lens=state.context_lens,
-                free_stack=state.free_stack, free_top=state.free_top)
+                free_stack=state.free_stack, free_top=state.free_top,
+                k_scale=k_scale, v_scale=v_scale)
 
         def decode_step(state: CacheState, params, tokens, positions, active,
                         buffer_lens, st: SamplingTensors, rng, acc,
@@ -641,7 +656,8 @@ class EnginePrograms:
                 k_cache=cache.k, v_cache=cache.v, kv_metrics=cache.metrics,
                 kv_positions=cache.positions, block_tables=block_tables,
                 context_lens=new_ctx, free_stack=free_stack,
-                free_top=free_top)
+                free_top=free_top,
+                k_scale=cache.k_scale, v_scale=cache.v_scale)
 
             nb_alloc = (new_ctx + bs - 1) // bs
             seq_blocks = jnp.sum(nb_alloc, axis=(0, 2)).astype(jnp.int32)
@@ -739,7 +755,9 @@ class EnginePrograms:
                 k_cache=state.k_cache, v_cache=state.v_cache,
                 kv_metrics=state.kv_metrics, kv_positions=state.kv_positions,
                 block_tables=state.block_tables, context_lens=context_lens,
-                free_stack=stack, free_top=top), effective_free_blocks(top)
+                free_stack=stack, free_top=top,
+                k_scale=state.k_scale,
+                v_scale=state.v_scale), effective_free_blocks(top)
 
         return jax.jit(free_fn, donate_argnums=(0,))
 

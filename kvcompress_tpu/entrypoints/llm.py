@@ -25,6 +25,7 @@ def build_engine_config(
     max_num_seqs: int = 64,
     max_model_len: Optional[int] = None,
     gpu_memory_utilization: float = 0.9,
+    kv_cache_dtype: str = "auto",
     enable_kvcompress: bool = True,
     compression_interval: int = 16,
     max_kv_per_compression: int = 5_000_000,
@@ -51,10 +52,14 @@ def build_engine_config(
     use_average = "average" in metric_aggregation
     use_maxpool = "maxpool" in metric_aggregation
     max_model_len = max_model_len or model_cfg.max_model_len
+    if kv_cache_dtype == "auto":
+        kv_cache_dtype = ("bfloat16" if model_cfg.dtype == "bfloat16"
+                          else "float32")
     return EngineConfig(
         model=model_cfg,
         cache=CacheConfig(block_size=block_size,
-                          gpu_memory_utilization=gpu_memory_utilization),
+                          gpu_memory_utilization=gpu_memory_utilization,
+                          cache_dtype=kv_cache_dtype),
         kvcompress=KVCompressConfig(
             enabled=enable_kvcompress,
             compression_interval=compression_interval,

@@ -366,6 +366,17 @@ def run_compression(
         state.k_cache, state.v_cache, state.kv_metrics, state.kv_positions,
         moves,
     )
+    k_scale, v_scale = state.k_scale, state.v_scale
+    if k_scale is not None:
+        # int8 cache: per-KV scales ride along with the moved values
+        # (reference execute_cache_moves carries kv_metrics + positions the
+        # same way, csrc/kvcompress_eviction_kernels.cu:358-435)
+        src = jnp.where(moves.valid, moves.src, 0)
+        dst = jnp.where(moves.valid, moves.dst, 0)
+        ksf = k_scale.reshape(-1)
+        vsf = v_scale.reshape(-1)
+        k_scale = ksf.at[dst].set(ksf[src]).reshape(k_scale.shape)
+        v_scale = vsf.at[dst].set(vsf[src]).reshape(v_scale.shape)
 
     # --- free trailing blocks and shrink context lens (reference
     # kvcompress/block_manager.py:466-530 free_compressed_blocks +
@@ -397,5 +408,7 @@ def run_compression(
         context_lens=context_lens,
         free_stack=free_stack,
         free_top=free_top,
+        k_scale=k_scale,
+        v_scale=v_scale,
     )
     return new_state, sched.evicted_block_count, new_ctx_w

@@ -40,6 +40,9 @@ class KVCache(NamedTuple):
     v: jax.Array
     metrics: jax.Array     # [num_blocks, block_size] f32
     positions: jax.Array   # [num_blocks, block_size] i32
+    # int8 cache mode: per-KV dequant scales (see ops/kv_quant.py)
+    k_scale: Optional[jax.Array] = None  # [num_blocks, block_size] f32
+    v_scale: Optional[jax.Array] = None
 
 
 @dataclasses.dataclass(frozen=True)
@@ -645,6 +648,15 @@ def prefill(
     # positive out-of-range sentinel: negative indices wrap in jnp scatters
     flat = jnp.where(slot_mappings >= 0, slot_mappings,
                      n_slots).reshape(-1)
+    ksc = vsc = None
+    if cache.k_scale is not None:
+        from kvcompress_tpu.ops.kv_quant import quantize_kv
+        ks, k_sc = quantize_kv(ks)
+        vs, v_sc = quantize_kv(vs)
+        ksc = cache.k_scale.reshape(-1).at[flat].set(
+            k_sc.reshape(-1), mode="drop").reshape(cache.k_scale.shape)
+        vsc = cache.v_scale.reshape(-1).at[flat].set(
+            v_sc.reshape(-1), mode="drop").reshape(cache.v_scale.shape)
     kc = cache.k.reshape(-1, d).at[flat].set(
         ks.reshape(-1, d).astype(cache.k.dtype), mode="drop").reshape(
         cache.k.shape)
@@ -659,7 +671,7 @@ def prefill(
     if spec.record_metrics:
         mc = mc.at[flat].add(pfs.reshape(-1), mode="drop")
     mc = mc.reshape(cache.metrics.shape)
-    cache = KVCache(kc, vc, mc, pc)
+    cache = KVCache(kc, vc, mc, pc, ksc, vsc)
     last = jnp.take(hidden, jnp.clip(seq_len - 1, 0), axis=0)
     return last, cache
 
@@ -684,8 +696,10 @@ def decode(
     scale = attn_scale(cfg)
     al = (jnp.asarray(alibi_slopes(cfg.num_heads)) if cfg.alibi else None)
     win = window_array(cfg)
+    quantized = cache.k_scale is not None
 
-    if spec.impl == "pallas" and not cfg.alibi and win is None:
+    if (spec.impl == "pallas" and not cfg.alibi and win is None
+            and not quantized):
         from kvcompress_tpu.ops.pallas import paged_attention as ppa
         decode_attn = ppa.paged_decode_attention
         extra_kw = {}
@@ -700,17 +714,25 @@ def decode(
         else:
             slot_mapping_l, bt_l, ctx_l, w_l = lxs
             w_kw = {"window": w_l}
-        kc, vc, mc, pc = att.write_to_cache(
+        wrote = att.write_to_cache(
             cache.k, cache.v, cache.metrics, cache.positions,
             k, v,
             jnp.where(active[:, None], slot_mapping_l, -1),
-            jnp.where(active, positions, -1))
+            jnp.where(active, positions, -1),
+            k_scale=cache.k_scale, v_scale=cache.v_scale)
+        if quantized:
+            kc, vc, mc, pc, ks, vs = wrote
+            q_kw = {"k_scale": ks, "v_scale": vs}
+        else:
+            kc, vc, mc, pc = wrote
+            ks = vs = None
+            q_kw = {}
         out, mc = decode_attn(
             q, kc, vc, mc, pc, bt_l, ctx_l, positions, buffer_lens, scale,
             active=active, use_l2=spec.use_l2,
             record_metrics=spec.record_metrics,
-            logit_cap=cfg.attn_logit_softcap, **extra_kw, **w_kw)
-        return out, KVCache(kc, vc, mc, pc)
+            logit_cap=cfg.attn_logit_softcap, **extra_kw, **w_kw, **q_kw)
+        return out, KVCache(kc, vc, mc, pc, ks, vs)
 
     layer_xs = (slot_mappings, block_tables, context_lens)
     if win is not None:
@@ -772,14 +794,16 @@ def decode_tail(
                 ctx_l, scale, use_l2=spec.use_l2,
                 record_metrics=spec.record_metrics,
                 logit_cap=cfg.attn_logit_softcap,
-                interpret=spec.impl == "interpret")
+                interpret=spec.impl == "interpret",
+                k_scale=cache_.k_scale, v_scale=cache_.v_scale)
         else:
             out, m_cached, m_tail = ppa.paged_decode_attention_tail(
                 q, tk_l, tv_l, tail_len, cache_.k, cache_.v, bt_l, ctx_l,
                 scale, use_l2=spec.use_l2,
                 record_metrics=spec.record_metrics,
                 logit_cap=cfg.attn_logit_softcap,
-                interpret=spec.impl == "interpret")
+                interpret=spec.impl == "interpret",
+                k_scale=cache_.k_scale, v_scale=cache_.v_scale)
         return out, cache_, (tk_l, tv_l, m_cached, m_tail)
 
     hidden, cache, (tk, tv, m_cached, m_tail) = forward_collect(
@@ -862,20 +886,30 @@ def decode_multi(
     positions = (positions0[:, None]
                  + jnp.arange(Q, dtype=jnp.int32)[None, :]).reshape(-1)
 
+    quantized = cache.k_scale is not None
+
     def attn_fn(lxs, q, k, v, cache):
         sm_l, bt_l, ctx_l = lxs  # sm_l: [S, Q, H]
-        kc, vc, mc, pc = att.write_to_cache(
+        wrote = att.write_to_cache(
             cache.k, cache.v, cache.metrics, cache.positions,
             k, v,
             jnp.where(active[:, None, None], sm_l, -1).reshape(S * Q, -1),
             jnp.where(active[:, None], positions.reshape(S, Q),
-                      -1).reshape(-1))
+                      -1).reshape(-1),
+            k_scale=cache.k_scale, v_scale=cache.v_scale)
+        if quantized:
+            kc, vc, mc, pc, ks, vs = wrote
+            q_kw = {"k_scale": ks, "v_scale": vs}
+        else:
+            kc, vc, mc, pc = wrote
+            ks = vs = None
+            q_kw = {}
         out = att.paged_decode_attention_multi(
             q.reshape(S, Q, cfg.num_heads, cfg.head_size), kc, vc,
             bt_l, ctx_l, scale, active=active,
-            logit_cap=cfg.attn_logit_softcap)
+            logit_cap=cfg.attn_logit_softcap, **q_kw)
         return out.reshape(S * Q, cfg.num_heads, cfg.head_size), KVCache(
-            kc, vc, mc, pc)
+            kc, vc, mc, pc, ks, vs)
 
     hidden, cache = forward(
         params, cfg, flat_tokens, positions, cache, attn_fn,

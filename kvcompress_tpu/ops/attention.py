@@ -40,13 +40,25 @@ def write_to_cache(
     value: jax.Array,        # [T, H_kv, head_size]
     slot_mapping: jax.Array,  # [T, H_kv] i32 physical slots (<0 -> drop)
     positions: jax.Array,    # [T] i32 token positions (-1 for padding)
-) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    k_scale: Optional[jax.Array] = None,  # int8 cache: [blocks, bs] f32
+    v_scale: Optional[jax.Array] = None,
+):
     num_blocks, block_size, head_size = k_cache.shape
     T, H = slot_mapping.shape
     flat_slots = jnp.where(slot_mapping < 0, 0, slot_mapping).reshape(-1)
     valid = (slot_mapping >= 0).reshape(-1)
     # invalid writes land on the trash block (block 0)
     flat_slots = jnp.where(valid, flat_slots, 0)
+
+    if k_scale is not None:
+        from kvcompress_tpu.ops.kv_quant import quantize_kv
+        kq, ks = quantize_kv(key)
+        vq, vs = quantize_kv(value)
+        key, value = kq, vq
+        k_scale = k_scale.reshape(-1).at[flat_slots].set(
+            ks.reshape(-1)).reshape(k_scale.shape)
+        v_scale = v_scale.reshape(-1).at[flat_slots].set(
+            vs.reshape(-1)).reshape(v_scale.shape)
 
     kf = k_cache.reshape(-1, head_size).at[flat_slots].set(
         key.reshape(-1, head_size).astype(k_cache.dtype))
@@ -57,10 +69,13 @@ def write_to_cache(
     pos = jnp.broadcast_to(positions[:, None], (T, H)).reshape(-1)
     pf = kv_positions.reshape(-1).at[flat_slots].set(
         jnp.where(valid, pos, -1))
-    return (
+    out = (
         kf.reshape(k_cache.shape), vf.reshape(v_cache.shape),
         mf.reshape(kv_metrics.shape), pf.reshape(kv_positions.shape),
     )
+    if k_scale is not None:
+        return out + (k_scale, v_scale)
+    return out
 
 
 def _maxpool1d_k7(x: jax.Array) -> jax.Array:
@@ -218,6 +233,8 @@ def paged_decode_attention(
     logit_cap: Optional[float] = None,
     alibi: Optional[jax.Array] = None,   # [H_q] slopes (bloom/mpt)
     window: Optional[jax.Array] = None,  # [] i32 sliding window (<0 = off)
+    k_scale: Optional[jax.Array] = None,  # int8 cache: [blocks, bs] f32
+    v_scale: Optional[jax.Array] = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """One decode step of paged attention over per-head block tables, fused
     with metric recording: each attended KV accumulates
@@ -248,6 +265,9 @@ def paged_decode_attention(
     ).reshape(S, Hkv, n)
     kg = k_cache.reshape(-1, d)[phys].astype(jnp.float32)   # [S, Hkv, n, d]
     vg = v_cache.reshape(-1, d)[phys].astype(jnp.float32)
+    if k_scale is not None:
+        kg = kg * k_scale.reshape(-1)[phys][..., None]
+        vg = vg * v_scale.reshape(-1)[phys][..., None]
 
     q = query.reshape(S, Hkv, qpk, d).astype(jnp.float32)
     logits = jnp.einsum("shqd,shnd->shqn", q, kg) * scale
@@ -298,6 +318,8 @@ def paged_decode_attention_multi(
     *,
     active: Optional[jax.Array] = None,  # [S] bool
     logit_cap: Optional[float] = None,
+    k_scale: Optional[jax.Array] = None,  # int8 cache: [blocks, bs] f32
+    v_scale: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Multi-query decode attention for speculative verification: the Q new
     tokens' KVs are already written to the cache; query i attends everything
@@ -320,6 +342,9 @@ def paged_decode_attention_multi(
     ).reshape(S, Hkv, n)
     kg = k_cache.reshape(-1, d)[phys].astype(jnp.float32)
     vg = v_cache.reshape(-1, d)[phys].astype(jnp.float32)
+    if k_scale is not None:
+        kg = kg * k_scale.reshape(-1)[phys][..., None]
+        vg = vg * v_scale.reshape(-1)[phys][..., None]
 
     q = query.reshape(S, Q, Hkv, qpk, d).astype(jnp.float32)
     logits = jnp.einsum("sqhpd,shnd->shpqn", q, kg) * scale

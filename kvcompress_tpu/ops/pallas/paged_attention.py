@@ -578,21 +578,9 @@ def _tail_kernel(
     ctx_ref,        # [S, H] i32 total context INCLUDING tail (0 = inactive)
     tlen_ref,       # [S] i32 tail length (active steps so far this burst)
     bt_ref,         # [S, H, nb] i32
-    # inputs
-    q_ref,          # [1, HG, QP, d] VMEM (this step's head group)
-    tailk_ref,      # [1, HG, KT, d] VMEM
-    tailv_ref,      # [1, HG, KT, d] VMEM
-    k_hbm,          # [num_blocks, bs, d] ANY (read-only)
-    v_hbm,          # ANY (read-only)
-    # outputs
-    o_ref,          # [1, HG, QP, d] VMEM
-    mo_ref,         # [1, HG, 1, n] f32 VMEM (cached-part metric rows)
-    mt_ref,         # [1, HG, 1, KT] f32 VMEM (tail metric rows)
-    # scratch
-    kbuf,           # [HG, nb, bs, d] whole-context K stage
-    vbuf,           # [HG, nb, bs, d]
-    ksem, vsem,
-    *,
+    # inputs / outputs / scratch, parsed by `quantized` (int8 cache mode
+    # adds scale-plane operands + stages)
+    *refs,
     scale: float,
     block_size: int,
     head_group: int,
@@ -600,11 +588,25 @@ def _tail_kernel(
     record_metrics: bool,
     qpk_real: int,
     logit_cap: float = 0.0,
+    quantized: bool = False,
 ):
     """One grid step = one (sequence, head group): per-grid-step fixed
     overhead dominates this kernel (measured context-independent ~4us), so
     HG heads amortise it. All HG heads' block copies are issued upfront,
-    then each head computes its exact softmax + metric rows."""
+    then each head computes its exact softmax + metric rows.
+
+    int8 cache mode: K/V blocks arrive as int8 (HALF the decode HBM
+    traffic); per-KV scales come PRE-GATHERED to lane-aligned [1,HG,1,n]
+    VMEM rows (a [nb,bs]-tiled scale stage cannot relayout to an n-lane
+    vector on Mosaic) and are folded into the logit columns / probability
+    rows, so dequantized K/V never materialize (see ops/kv_quant.py)."""
+    if quantized:
+        (q_ref, tailk_ref, tailv_ref, ksr_ref, vsr_ref, k_hbm, v_hbm,
+         o_ref, mo_ref, mt_ref, kbuf, vbuf, ksem, vsem) = refs
+    else:
+        (q_ref, tailk_ref, tailv_ref, k_hbm, v_hbm,
+         o_ref, mo_ref, mt_ref, kbuf, vbuf, ksem, vsem) = refs
+        ksr_ref = vsr_ref = None
     sidx = pl.program_id(0)
     g = pl.program_id(1)
     HG = head_group
@@ -663,9 +665,15 @@ def _tail_kernel(
 
         q = q_ref[0, hh]                          # [QP, d] native dtype
         kall = kbuf[hh].reshape(n, d)
+        if quantized:
+            kall = kall.astype(q.dtype)  # int8 -> compute dtype (exact)
         lg_c = jax.lax.dot_general(
             q, kall, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32) * scale      # [QP, n]
+        if quantized:
+            # fold per-KV k scales into the logit columns (stale columns
+            # are masked to NEG_INF below, so garbage scales are inert)
+            lg_c = lg_c * ksr_ref[0, hh]          # [QP, n] * [1, n]
         tk = tailk_ref[0, hh]                                # [KT, d]
         lg_t = jax.lax.dot_general(
             q, tk, (((1,), (1,)), ((), ())),
@@ -703,6 +711,14 @@ def _tail_kernel(
         # (uninitialised VMEM) would still poison the matmul accumulator
         vrow = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)
         vall = jnp.where(vrow < cached, vbuf[hh].reshape(n, d), 0)
+        if quantized:
+            vall = vall.astype(q.dtype)
+            # fold per-KV v scales into the probability row (zero the
+            # columns beyond the cached context)
+            vsflat = jnp.where(
+                jax.lax.broadcasted_iota(jnp.int32, (1, n), 1) < cached,
+                vsr_ref[0, hh], 0.0)
+            p_c = p_c * vsflat
         pc = p_c.astype(vall.dtype)
         acc = jax.lax.dot_general(pc, vall, (((1,), (0,)), ((), ())),
                                   preferred_element_type=jnp.float32)
@@ -732,6 +748,8 @@ def paged_decode_attention_tail(
     record_metrics: bool = True,
     interpret: bool = False,
     logit_cap: Optional[float] = None,
+    k_scale: Optional[jax.Array] = None,  # int8 cache: [blocks, bs] f32
+    v_scale: Optional[jax.Array] = None,
 ):
     """Decode attention over [paged cache (read-only)] + [dense burst tail].
 
@@ -743,6 +761,7 @@ def paged_decode_attention_tail(
     num_blocks, bs, _ = k_cache.shape
     qpk = Hq // Hkv
     KT = tail_k.shape[2]
+    quantized = k_scale is not None
 
     # The block tables ride in SMEM via scalar prefetch; at wide tables and
     # large batches [S, H, nb] i32 overflows the ~1 MB SMEM budget. Chunk
@@ -760,7 +779,8 @@ def paged_decode_attention_tail(
                 query[sl], tail_k[sl], tail_v[sl], tail_len[sl],
                 k_cache, v_cache, block_tables_l[sl], context_lens_l[sl],
                 scale, use_l2=use_l2, record_metrics=record_metrics,
-                interpret=interpret, logit_cap=logit_cap))
+                interpret=interpret, logit_cap=logit_cap,
+                k_scale=k_scale, v_scale=v_scale))
         return tuple(jnp.concatenate([o[j] for o in outs], axis=0)
                      for j in range(3))
 
@@ -781,27 +801,56 @@ def paged_decode_attention_tail(
 
     # head group size: as many heads as fit the VMEM stage budget
     # (per-grid-step fixed overhead dominates, so bigger groups win)
-    itemsize = 2 if k_cache.dtype in (jnp.bfloat16, jnp.float16) else 4
+    itemsize = (1 if k_cache.dtype == jnp.int8
+                else 2 if k_cache.dtype in (jnp.bfloat16, jnp.float16)
+                else 4)
     per_head = nb * bs * d * itemsize * 2  # K + V stage
+    if quantized:
+        per_head += nb * bs * 8            # + f32 scale stages
     budget = 10 * 1024 * 1024
     HG = max(1, min(Hkv, budget // max(per_head, 1)))
     while Hkv % HG != 0:
         HG -= 1
     n_groups = Hkv // HG
 
+    in_specs = [
+        pl.BlockSpec((1, HG, QP, d), lambda s, g, *_: (s, g, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, HG, KT, d), lambda s, g, *_: (s, g, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, HG, KT, d), lambda s, g, *_: (s, g, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    operands = [context_lens_l, tail_len, block_tables_l, q, tail_k, tail_v]
+    if quantized:
+        # pre-gather scale rows to lane-aligned [S, Hkv, 1, n] (a tiny
+        # fraction of the int8 K/V bytes; a [nb, bs]-tiled stage cannot
+        # relayout to n lanes inside the kernel)
+        phys = (block_tables_l[..., None] * bs
+                + jnp.arange(bs, dtype=jnp.int32)).reshape(S, Hkv, 1, n)
+        ks_rows = k_scale.reshape(-1)[phys]
+        vs_rows = v_scale.reshape(-1)[phys]
+        in_specs += [
+            pl.BlockSpec((1, HG, 1, n), lambda s, g, *_: (s, g, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, HG, 1, n), lambda s, g, *_: (s, g, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        operands += [ks_rows, vs_rows]
+    in_specs += [pl.BlockSpec(memory_space=pl.ANY),
+                 pl.BlockSpec(memory_space=pl.ANY)]
+    operands += [k_cache, v_cache]
+    scratch = [
+        pltpu.VMEM((HG, nb, bs, d), k_cache.dtype),
+        pltpu.VMEM((HG, nb, bs, d), v_cache.dtype),
+        pltpu.SemaphoreType.DMA,
+        pltpu.SemaphoreType.DMA,
+    ]
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(S, n_groups),
-        in_specs=[
-            pl.BlockSpec((1, HG, QP, d), lambda s, g, *_: (s, g, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, HG, KT, d), lambda s, g, *_: (s, g, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, HG, KT, d), lambda s, g, *_: (s, g, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ],
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((1, HG, QP, d), lambda s, g, *_: (s, g, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -810,17 +859,12 @@ def paged_decode_attention_tail(
             pl.BlockSpec((1, HG, 1, KT), lambda s, g, *_: (s, g, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        scratch_shapes=[
-            pltpu.VMEM((HG, nb, bs, d), k_cache.dtype),
-            pltpu.VMEM((HG, nb, bs, d), v_cache.dtype),
-            pltpu.SemaphoreType.DMA,
-            pltpu.SemaphoreType.DMA,
-        ],
+        scratch_shapes=scratch,
     )
     kernel = functools.partial(
         _tail_kernel, scale=scale, block_size=bs, head_group=HG,
         use_l2=use_l2, record_metrics=record_metrics, qpk_real=qpk,
-        logit_cap=logit_cap or 0.0)
+        logit_cap=logit_cap or 0.0, quantized=quantized)
     out, m_cached, m_tail = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -830,8 +874,7 @@ def paged_decode_attention_tail(
             jax.ShapeDtypeStruct((S, Hkv, 1, KT), jnp.float32),
         ],
         interpret=interpret,
-    )(context_lens_l, tail_len, block_tables_l, q, tail_k, tail_v,
-      k_cache, v_cache)
+    )(*operands)
 
     out = out[:, :, :qpk, :].reshape(S, Hq, d)
     return out, m_cached[:, :, 0, :], m_tail[:, :, 0, :]

@@ -94,7 +94,7 @@ def param_specs(params: Dict[str, Any]) -> Dict[str, Any]:
     return specs
 
 
-def state_specs() -> CacheState:
+def state_specs(quantized: bool = False) -> CacheState:
     """PartitionSpec pytree for CacheState: block pool partitioned across
     model shards; tables/context sharded on the kv-head axis."""
     m = MODEL_AXIS
@@ -109,6 +109,9 @@ def state_specs() -> CacheState:
         # tops shard with their pool partition
         free_stack=P(m, None),
         free_top=P(m),
+        # int8 cache: scale planes shard with their pool partition
+        k_scale=P(m, None) if quantized else None,
+        v_scale=P(m, None) if quantized else None,
     )
 
 
@@ -121,7 +124,7 @@ def shard_params(params: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
 
 
 def shard_state(state: CacheState, mesh: Mesh) -> CacheState:
-    specs = state_specs()
+    specs = state_specs(quantized=state.quantized)
     return jax.tree.map(
         lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
         state, specs)

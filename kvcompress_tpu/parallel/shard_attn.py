@@ -45,6 +45,8 @@ def paged_decode_attention_tail_sharded(
     record_metrics: bool = True,
     interpret: bool = False,
     logit_cap: Optional[float] = None,
+    k_scale=None,   # int8 cache: [num_blocks, bs] f32 (pool-sharded)
+    v_scale=None,
 ):
     """Per-shard tail decode attention. Outputs match the unsharded kernel;
     m_cached comes back in logical per-head space (sharded on the head
@@ -55,29 +57,37 @@ def paged_decode_attention_tail_sharded(
     num_blocks = k_cache.shape[0]
     cap = num_blocks // tp
     m = MODEL_AXIS
+    quantized = k_scale is not None
 
-    def local(q, tk, tv, tlen, kc, vc, bt, ctx):
+    def local(q, tk, tv, tlen, kc, vc, bt, ctx, *scales):
         g = jax.lax.axis_index(m)
         bt_local = jnp.maximum(bt - g * cap, 0)  # rebase to the local pool
+        ks, vs = scales if quantized else (None, None)
         return ppa.paged_decode_attention_tail(
             q, tk, tv, tlen, kc, vc, bt_local, ctx, scale,
             use_l2=use_l2, record_metrics=record_metrics,
-            interpret=interpret, logit_cap=logit_cap)
+            interpret=interpret, logit_cap=logit_cap,
+            k_scale=ks, v_scale=vs)
 
+    in_specs = (P(None, m, None), P(None, m, None, None),
+                P(None, m, None, None), P(None),
+                P(m, None, None), P(m, None, None),
+                P(None, m, None), P(None, m))
+    args = (query, tail_k, tail_v, tail_len, k_cache, v_cache,
+            block_tables_l, context_lens_l)
+    if quantized:
+        in_specs = in_specs + (P(m, None), P(m, None))
+        args = args + (k_scale, v_scale)
     kw = dict(
         mesh=mesh,
-        in_specs=(P(None, m, None), P(None, m, None, None),
-                  P(None, m, None, None), P(None),
-                  P(m, None, None), P(m, None, None),
-                  P(None, m, None), P(None, m)),
+        in_specs=in_specs,
         out_specs=(P(None, m, None), P(None, m, None), P(None, m, None)),
     )
     try:  # pallas_call out_shapes carry no vma/replication info
         fn = shard_map(local, check_vma=False, **kw)
     except TypeError:  # older jax spells it check_rep
         fn = shard_map(local, check_rep=False, **kw)
-    return fn(query, tail_k, tail_v, tail_len, k_cache, v_cache,
-              block_tables_l, context_lens_l)
+    return fn(*args)
 
 
 def prefill_attention_sharded(

@@ -21,6 +21,10 @@ def add_engine_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--max-num-seqs", type=int, default=64)
     p.add_argument("--max-model-len", type=int, default=None)
     p.add_argument("--gpu-memory-utilization", type=float, default=0.9)
+    p.add_argument("--kv-cache-dtype", default="auto",
+                   choices=("auto", "bfloat16", "float32", "int8"),
+                   help="int8 = per-KV-scale quantized cache (the "
+                        "reference's --kv-cache-dtype fp8 counterpart)")
     p.add_argument("--num-blocks", type=int, default=None,
                    help="override profiled cache size (blocks)")
     p.add_argument("--tensor-parallel-size", "-tp", type=int, default=1)
@@ -62,6 +66,7 @@ def build_llm(args):
         max_num_seqs=args.max_num_seqs,
         max_model_len=args.max_model_len,
         gpu_memory_utilization=args.gpu_memory_utilization,
+        kv_cache_dtype=args.kv_cache_dtype,
         enable_kvcompress=args.enable_kvc,
         compression_interval=args.compression_interval,
         max_kv_per_compression=args.max_kv_per_compression,
