@@ -83,7 +83,9 @@ class ModelConfig:
     attn_logit_softcap: Optional[float] = None  # gemma2
     logits_scaling: float = 1.0         # granite: logits /= logits_scaling
     rope_interleaved: bool = False      # gpt-j / cohere rotate-every-two
-    qk_norm: bool = False               # persimmon/cohere per-head q/k LN
+    qk_norm: bool = False               # persimmon/qwen3 per-head q/k norm
+    qk_norm_full: bool = False          # olmo2/olmoe: norm over Hq*d
+    no_pre_norm: bool = False           # olmo2: norm sublayer OUTPUTS only
     embed_norm: bool = False            # bloom word_embeddings_layernorm
     alibi: bool = False                 # bloom / mpt attention bias
     # MoE (mixtral / qwen2-moe / dbrx families)
@@ -92,6 +94,24 @@ class ModelConfig:
     moe_intermediate_size: Optional[int] = None
     moe_norm_topk_prob: bool = True
     moe_shared_expert_size: int = 0     # qwen2-moe shared expert
+    # "softmax_topk" | "sparsemixer" (phimoe) | "sigmoid_noaux" (dsv3)
+    moe_routing: str = "softmax_topk"
+    moe_routed_scaling: float = 1.0     # deepseek routed_scaling_factor
+    moe_n_group: int = 1                # deepseek group-limited routing
+    moe_topk_group: int = 1
+    # --- Multi-head Latent Attention (deepseek v2/v3) ---
+    # The cache stores ONE vector per (layer, token): the normalized
+    # compressed latent (kv_lora_rank) concatenated with the roped shared
+    # k_pe (qk_rope_head_dim) - so head_size = kv_lora_rank +
+    # qk_rope_head_dim and num_kv_heads = 1. Attention runs in ABSORBED
+    # form: q_abs[h] = q_nope[h] @ W_kc[h] lives in latent space, so the
+    # paged/pallas kernels run UNCHANGED as MQA over the latent cache;
+    # the per-head value projection W_vc applies after attention.
+    kv_lora_rank: Optional[int] = None
+    q_lora_rank: Optional[int] = None
+    qk_nope_head_dim: int = 0
+    qk_rope_head_dim: int = 0
+    v_head_dim: int = 0
 
     @property
     def num_queries_per_kv(self) -> int:

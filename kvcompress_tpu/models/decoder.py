@@ -87,7 +87,10 @@ def precompute_rope(cfg: ModelConfig, positions: jax.Array
     """RoPE cos/sin for given positions over the rotary sub-dimension.
     Supports llama3-style rope scaling (HF `rope_type: llama3`) and partial
     rotary (gpt-neox `rotary_pct`, phi/stablelm `partial_rotary_factor`)."""
-    rot = int(cfg.head_size * cfg.partial_rotary_factor)
+    if cfg.kv_lora_rank:  # MLA: rope covers only the shared k_pe slice
+        rot = cfg.qk_rope_head_dim
+    else:
+        rot = int(cfg.head_size * cfg.partial_rotary_factor)
     inv_freq = 1.0 / (cfg.rope_theta ** (np.arange(0, rot, 2) / rot))
     rs = cfg.rope_scaling or {}
     kind = rs.get("rope_type", rs.get("type"))
@@ -144,7 +147,10 @@ def _norm(x: jax.Array, w: jax.Array, b: Optional[jax.Array],
         mu = jnp.mean(xf, axis=-1, keepdims=True)
         var = jnp.var(xf, axis=-1, keepdims=True)
         y = (xf - mu) * jax.lax.rsqrt(var + cfg.rms_norm_eps)
-        y = y * w.astype(jnp.float32)
+        wf = w.astype(jnp.float32)
+        if cfg.rmsnorm_offset:  # nemotron layernorm1p: y * (1 + w)
+            wf = wf + 1.0
+        y = y * wf
         if b is not None:
             y = y + b.astype(jnp.float32)
         return y.astype(x.dtype)
@@ -194,6 +200,30 @@ def _dense_mlp(x: jax.Array, lw: Dict[str, jax.Array],
     return out
 
 
+def _sparsemixer_route(scores: jax.Array, eps: float = 0.01) -> jax.Array:
+    """PhiMoE sparsemixer top-2 routing, inference path (HF
+    modeling_phimoe.sparsemixer with training=False): each of the two
+    selected experts gets its weight from its OWN threshold-masked softmax
+    rather than a joint renormalisation."""
+    T, E = scores.shape
+    rows = jnp.arange(T)
+
+    def pick(sc, abs_ref):
+        m = jnp.max(sc, axis=-1, keepdims=True)
+        factor = jnp.maximum(jnp.abs(abs_ref), m)
+        mask = (m - sc) / factor > 2 * eps
+        g = jax.nn.softmax(jnp.where(mask, -jnp.inf, sc), axis=-1)
+        e = jnp.argmax(sc, axis=-1)
+        w = g[rows, e]
+        return e, w
+
+    e1, w1 = pick(scores, scores)
+    scores2 = scores.at[rows, e1].set(-jnp.inf)
+    e2, w2 = pick(scores2, scores)
+    return (jnp.zeros((T, E), jnp.float32)
+            .at[rows, e1].set(w1).at[rows, e2].set(w2))
+
+
 def _moe_mlp(x: jax.Array, lw: Dict[str, jax.Array],
              cfg: ModelConfig) -> jax.Array:
     """Mixture-of-experts MLP (mixtral / qwen2-moe semantics: full softmax
@@ -204,12 +234,37 @@ def _moe_mlp(x: jax.Array, lw: Dict[str, jax.Array],
     T = x.shape[0]
     E, k = cfg.num_experts, cfg.num_experts_per_tok
     logits = (x.astype(jnp.float32) @ lw["router"].astype(jnp.float32))
-    probs = jax.nn.softmax(logits, axis=-1)                      # [T, E]
-    topv, topi = jax.lax.top_k(probs, k)                          # [T, k]
-    if cfg.moe_norm_topk_prob:
-        topv = topv / (jnp.sum(topv, axis=-1, keepdims=True) + 1e-9)
-    weights = jnp.zeros((T, E), jnp.float32).at[
-        jnp.arange(T)[:, None], topi].set(topv)                   # [T, E]
+    if cfg.moe_routing == "sparsemixer":
+        weights = _sparsemixer_route(logits)                      # [T, E]
+    elif cfg.moe_routing == "sigmoid_noaux":
+        # deepseek-v3 noaux_tc gate: sigmoid scores, selection by
+        # bias-corrected scores with group-limited greedy, weights from
+        # the UNCORRECTED scores (normalized), times routed scaling
+        rows = jnp.arange(T)
+        scores = jax.nn.sigmoid(logits)
+        choice = scores + lw["router_bias"].astype(jnp.float32)
+        if cfg.moe_n_group > 1:
+            g = cfg.moe_n_group
+            cg = choice.reshape(T, g, E // g)
+            gscore = jnp.sum(jax.lax.top_k(cg, 2)[0], axis=-1)   # [T, g]
+            gi = jax.lax.top_k(gscore, cfg.moe_topk_group)[1]
+            gmask = jnp.zeros((T, g), bool).at[
+                rows[:, None], gi].set(True)
+            choice = jnp.where(gmask[..., None], cg,
+                               -jnp.inf).reshape(T, E)
+        _, topi = jax.lax.top_k(choice, k)
+        topv = scores[rows[:, None], topi]
+        if cfg.moe_norm_topk_prob:
+            topv = topv / (jnp.sum(topv, axis=-1, keepdims=True) + 1e-20)
+        weights = jnp.zeros((T, E), jnp.float32).at[
+            rows[:, None], topi].set(topv)
+    else:
+        probs = jax.nn.softmax(logits, axis=-1)                  # [T, E]
+        topv, topi = jax.lax.top_k(probs, k)                      # [T, k]
+        if cfg.moe_norm_topk_prob:
+            topv = topv / (jnp.sum(topv, axis=-1, keepdims=True) + 1e-9)
+        weights = jnp.zeros((T, E), jnp.float32).at[
+            jnp.arange(T)[:, None], topi].set(topv)               # [T, E]
 
     def emm(inp, name, pat):
         q = lw.get(f"{name}_q8")
@@ -223,6 +278,8 @@ def _moe_mlp(x: jax.Array, lw: Dict[str, jax.Array],
     h = _act(gate, cfg.hidden_act).astype(x.dtype) * up
     y = emm(h, "experts_down", "tei,eid->ted")
     out = jnp.einsum("ted,te->td", y.astype(jnp.float32), weights)
+    if cfg.moe_routed_scaling != 1.0:
+        out = out * cfg.moe_routed_scaling
     out = out.astype(x.dtype)
 
     if cfg.moe_shared_expert_size:
@@ -265,19 +322,38 @@ def init_params(cfg: ModelConfig, seed: int = 0,
         return (jax.random.normal(next(keys), shape, jnp.float32)
                 * scale).astype(dtype)
 
-    layers: Dict[str, Any] = {
-        "input_norm": jnp.ones((L, D), dtype),
-        "wq": w(L, D, Hq * d),
-        "wk": w(L, D, Hkv * d),
-        "wv": w(L, D, Hkv * d),
-        "wo": w(L, Hq * d, D),
-    }
-    if not cfg.shared_input_norm:
-        layers["post_attn_norm"] = jnp.ones((L, D), dtype)
+    if cfg.kv_lora_rank:
+        rank, rope_d = cfg.kv_lora_rank, cfg.qk_rope_head_dim
+        nope_d, v_d = cfg.qk_nope_head_dim, cfg.v_head_dim
+        layers: Dict[str, Any] = {
+            "mla_kv_a": w(L, D, rank + rope_d),
+            "mla_kv_a_norm": jnp.ones((L, rank), dtype),
+            "mla_w_kc": w(L, Hq, nope_d, rank, scale=nope_d ** -0.5),
+            "mla_w_vc": w(L, Hq, rank, v_d, scale=rank ** -0.5),
+            "wo": w(L, Hq * v_d, D),
+        }
+        if cfg.q_lora_rank:
+            layers["mla_q_a"] = w(L, D, cfg.q_lora_rank)
+            layers["mla_q_a_norm"] = jnp.ones((L, cfg.q_lora_rank), dtype)
+            layers["mla_q_b"] = w(L, cfg.q_lora_rank,
+                                  Hq * (nope_d + rope_d))
+        else:
+            layers["mla_wq"] = w(L, D, Hq * (nope_d + rope_d))
+    else:
+        layers = {
+            "wq": w(L, D, Hq * d),
+            "wk": w(L, D, Hkv * d),
+            "wv": w(L, D, Hkv * d),
+            "wo": w(L, Hq * d, D),
+        }
+    if not cfg.no_pre_norm:
+        layers["input_norm"] = jnp.ones((L, D), dtype)
+        if not cfg.shared_input_norm:
+            layers["post_attn_norm"] = jnp.ones((L, D), dtype)
     if cfg.use_post_norms:
         layers["post_attn_out_norm"] = jnp.ones((L, D), dtype)
         layers["post_mlp_norm"] = jnp.ones((L, D), dtype)
-    if cfg.norm_bias:
+    if cfg.norm_bias and "input_norm" in layers:
         layers["input_norm_b"] = jnp.zeros((L, D), dtype)
         if "post_attn_norm" in layers:
             layers["post_attn_norm_b"] = jnp.zeros((L, D), dtype)
@@ -320,6 +396,9 @@ def init_params(cfg: ModelConfig, seed: int = 0,
         if cfg.norm_bias:
             layers["q_norm_b"] = jnp.zeros((L, d), dtype)
             layers["k_norm_b"] = jnp.zeros((L, d), dtype)
+    elif cfg.qk_norm_full:
+        layers["q_norm"] = jnp.ones((L, Hq * d), dtype)
+        layers["k_norm"] = jnp.ones((L, Hkv * d), dtype)
 
     params: Dict[str, Any] = {
         "embed": w(V, D, scale=0.02),
@@ -405,29 +484,76 @@ def _layer_step_fn(cfg: ModelConfig, T: int, cos, sin, attn_fn,
             def proj(h, w_name):
                 return _mm(h, lw, w_name)
 
-        h = _norm(x, lw["input_norm"], lw.get("input_norm_b"), cfg)
-        q = proj(h, "wq")
-        k = proj(h, "wk")
-        v = proj(h, "wv")
-        if "bq" in lw:
-            q, k, v = q + lw["bq"], k + lw["bk"], v + lw["bv"]
-        q = q.reshape(T, Hq, d)
-        k = k.reshape(T, Hkv, d)
-        v = v.reshape(T, Hkv, d)
-        if cfg.qk_norm:
-            q = _norm(q, lw["q_norm"], lw.get("q_norm_b"), cfg)
-            k = _norm(k, lw["k_norm"], lw.get("k_norm_b"), cfg)
-        if cfg.pos_embedding == "rope":
-            q = apply_rope(q, cos, sin, cfg.rope_interleaved)
-            k = apply_rope(k, cos, sin, cfg.rope_interleaved)
-        res = attn_fn(lxs, q, k, v, cache)
-        if collect:
-            attn_out, cache, extra = res
+        h = x if cfg.no_pre_norm else _norm(
+            x, lw["input_norm"], lw.get("input_norm_b"), cfg)
+        if cfg.kv_lora_rank:
+            # Multi-head Latent Attention (deepseek v2/v3), absorbed form:
+            # the cache holds [latent | k_pe] per token (MQA over latent
+            # space); q_abs = q_nope @ W_kc queries it directly; W_vc
+            # projects the attended latent back per head
+            # (reference deepseek_v2.py; HF DeepseekV2Attention is the
+            # decompressed oracle the zoo test compares against)
+            rank, rope_d = cfg.kv_lora_rank, cfg.qk_rope_head_dim
+            nope_d, v_d = cfg.qk_nope_head_dim, cfg.v_head_dim
+            if "mla_q_a" in lw:
+                qa = _norm(_mm(h, lw, "mla_q_a"), lw["mla_q_a_norm"],
+                           None, cfg)
+                q = _mm(qa, lw, "mla_q_b")
+            else:
+                q = _mm(h, lw, "mla_wq")
+            q = q.reshape(T, Hq, nope_d + rope_d)
+            q_nope, q_pe = q[..., :nope_d], q[..., nope_d:]
+            kv_a = _mm(h, lw, "mla_kv_a")          # [T, rank + rope_d]
+            latent = _norm(kv_a[:, :rank], lw["mla_kv_a_norm"], None, cfg)
+            k_pe = kv_a[:, None, rank:]            # [T, 1, rope_d]
+            q_pe = apply_rope(q_pe, cos, sin, interleaved=True)
+            k_pe = apply_rope(k_pe, cos, sin, interleaved=True)
+            q_abs = jnp.einsum("thn,hnr->thr", q_nope.astype(jnp.float32),
+                               lw["mla_w_kc"].astype(jnp.float32)
+                               ).astype(h.dtype)
+            q_eff = jnp.concatenate([q_abs, q_pe], axis=-1)   # [T, Hq, d]
+            k_eff = jnp.concatenate([latent[:, None, :], k_pe], axis=-1)
+            v_eff = jnp.concatenate(
+                [latent[:, None, :],
+                 jnp.zeros((T, 1, rope_d), latent.dtype)], axis=-1)
+            res = attn_fn(lxs, q_eff, k_eff.astype(q_eff.dtype),
+                          v_eff.astype(q_eff.dtype), cache)
+            if collect:
+                attn_out, cache, extra = res
+            else:
+                attn_out, cache = res
+                extra = None
+            out_lat = attn_out[..., :rank]
+            av = jnp.einsum("thr,hrv->thv", out_lat.astype(jnp.float32),
+                            lw["mla_w_vc"].astype(jnp.float32)
+                            ).astype(h.dtype)
+            a = proj(av.reshape(T, Hq * v_d), "wo")
         else:
-            attn_out, cache = res
-            extra = None
-        ao = attn_out.reshape(T, Hq * d)
-        a = proj(ao, "wo")
+            q = proj(h, "wq")
+            k = proj(h, "wk")
+            v = proj(h, "wv")
+            if "bq" in lw:
+                q, k, v = q + lw["bq"], k + lw["bk"], v + lw["bv"]
+            if cfg.qk_norm_full:  # olmo2/olmoe: norm over WHOLE projection
+                q = _norm(q, lw["q_norm"], lw.get("q_norm_b"), cfg)
+                k = _norm(k, lw["k_norm"], lw.get("k_norm_b"), cfg)
+            q = q.reshape(T, Hq, d)
+            k = k.reshape(T, Hkv, d)
+            v = v.reshape(T, Hkv, d)
+            if cfg.qk_norm:
+                q = _norm(q, lw["q_norm"], lw.get("q_norm_b"), cfg)
+                k = _norm(k, lw["k_norm"], lw.get("k_norm_b"), cfg)
+            if cfg.pos_embedding == "rope":
+                q = apply_rope(q, cos, sin, cfg.rope_interleaved)
+                k = apply_rope(k, cos, sin, cfg.rope_interleaved)
+            res = attn_fn(lxs, q, k, v, cache)
+            if collect:
+                attn_out, cache, extra = res
+            else:
+                attn_out, cache = res
+                extra = None
+            ao = attn_out.reshape(T, Hq * d)
+            a = proj(ao, "wo")
         if "bo" in lw:
             a = a + lw["bo"]
         if cfg.use_post_norms:
@@ -452,8 +578,8 @@ def _layer_step_fn(cfg: ModelConfig, T: int, cos, sin, attn_fn,
             x = x + (a + m) * rm if rm != 1.0 else x + a + m
         else:
             x = x + a * rm if rm != 1.0 else x + a
-            h2 = _norm(x, lw["post_attn_norm"], lw.get("post_attn_norm_b"),
-                       cfg)
+            h2 = x if cfg.no_pre_norm else _norm(
+                x, lw["post_attn_norm"], lw.get("post_attn_norm_b"), cfg)
             m = mlp_fn(h2)
             if cfg.use_post_norms:
                 m = _norm(m, lw["post_mlp_norm"], None, cfg)

@@ -7,10 +7,12 @@ each supported family is a ModelConfig recipe for the generic decoder
 stacked-[L] parameter pytree. All loaders are torch-free (numpy safetensors).
 
 Families covered: Llama 2/3/3.1 (incl. TinyLlama), Mistral, Qwen2(.5),
-Gemma, Gemma2, Phi (phi-1.5/2), Phi-3, GPT-2, GPT-J, GPT-NeoX (pythia),
-OPT, Bloom, MPT, Falcon, Cohere (Command-R), Persimmon, StableLM,
-Starcoder2, GPT-BigCode, InternLM2, Mixtral, Qwen2-MoE, Granite, OLMo,
-Baichuan-7B.
+Qwen3, Qwen3-MoE, Gemma, Gemma2, Phi (phi-1.5/2), Phi-3, PhiMoE, GPT-2,
+GPT-J, GPT-NeoX (pythia), OPT, Bloom, MPT, Falcon, Cohere (Command-R),
+Persimmon, StableLM, Starcoder2, GPT-BigCode, InternLM2, Mixtral,
+Qwen2-MoE, Granite, GraniteMoE, OLMo, OLMo2, OLMoE, Baichuan-7B,
+GLM/GLM-4 (chatglm lineage), Nemotron, DBRX, DeepSeek-V2/V3 (MLA),
+MiniCPM, Orion, Xverse, EXAONE.
 """
 
 from __future__ import annotations
@@ -975,6 +977,571 @@ def _gptbigcode():
         ld.put("pos_embed", pre + "wpe.weight")
         ld.put("final_norm", pre + "ln_f.weight")
         ld.put("final_norm_b", pre + "ln_f.bias")
+        return ld.params()
+
+    return cfg_fn, load_fn
+
+
+
+# ---------------------------------------------------------------------------
+# Round-2 tranche: qwen3(-moe), olmo2, olmoe, glm4, nemotron, dbrx,
+# granitemoe, phimoe (HF-parity-tested) + minicpm, orion, xverse, exaone
+# (reference-cited recipes; HF impls need remote code)
+# ---------------------------------------------------------------------------
+
+@_register("Qwen3ForCausalLM")
+def _qwen3():
+    # reference-era qwen2.py lineage + per-head q/k RMS norm (no qkv bias)
+    def cfg_fn(hf, name):
+        return _base_cfg(hf, "Qwen3ForCausalLM", name, qk_norm=True,
+                         sliding_window=hf.get("sliding_window")
+                         if hf.get("use_sliding_window") else None)
+
+    def load_fn(t, cfg, dtype):
+        params = _load_llama_style(t, cfg, dtype)
+        ld = _Loader(t, cfg, dtype)
+        ld.stack("q_norm", "model.layers.{}.self_attn.q_norm.weight")
+        ld.stack("k_norm", "model.layers.{}.self_attn.k_norm.weight")
+        params["layers"].update(ld.layers)
+        return params
+
+    return cfg_fn, load_fn
+
+
+def _experts_loader(ld, t, cfg, fmt_gate, fmt_up, fmt_down):
+    E = cfg.num_experts
+    for name, fmt in (("experts_gate", fmt_gate), ("experts_up", fmt_up),
+                      ("experts_down", fmt_down)):
+        ld.stack_fn(name, lambda i, fmt=fmt: np.stack(
+            [t[fmt.format(i, e)].T for e in range(E)]))
+
+
+@_register("Qwen3MoeForCausalLM")
+def _qwen3moe():
+    def cfg_fn(hf, name):
+        return _base_cfg(
+            hf, "Qwen3MoeForCausalLM", name, qk_norm=True,
+            num_experts=hf["num_experts"],
+            num_experts_per_tok=hf["num_experts_per_tok"],
+            moe_intermediate_size=hf["moe_intermediate_size"],
+            moe_norm_topk_prob=hf.get("norm_topk_prob", True))
+
+    def load_fn(t, cfg, dtype):
+        ld = _Loader(t, cfg, dtype)
+        p = "model.layers.{}."
+        ld.stack("input_norm", p + "input_layernorm.weight")
+        ld.stack("post_attn_norm", p + "post_attention_layernorm.weight")
+        for name, proj in (("wq", "self_attn.q_proj"),
+                           ("wk", "self_attn.k_proj"),
+                           ("wv", "self_attn.v_proj"),
+                           ("wo", "self_attn.o_proj")):
+            ld.stack(name, p + proj + ".weight", transpose=True)
+        ld.stack("q_norm", p + "self_attn.q_norm.weight")
+        ld.stack("k_norm", p + "self_attn.k_norm.weight")
+        ld.stack("router", p + "mlp.gate.weight", transpose=True)
+        _experts_loader(
+            ld, t, cfg,
+            "model.layers.{}.mlp.experts.{}.gate_proj.weight",
+            "model.layers.{}.mlp.experts.{}.up_proj.weight",
+            "model.layers.{}.mlp.experts.{}.down_proj.weight")
+        ld.put("embed", "model.embed_tokens.weight")
+        ld.put("final_norm", "model.norm.weight")
+        if not cfg.tie_word_embeddings:
+            ld.put("lm_head", "lm_head.weight")
+        return ld.params()
+
+    return cfg_fn, load_fn
+
+
+@_register("Olmo2ForCausalLM")
+def _olmo2():
+    # norm-after-sublayer ordering + full-projection q/k RMS norm
+    def cfg_fn(hf, name):
+        return _base_cfg(hf, "Olmo2ForCausalLM", name,
+                         no_pre_norm=True, use_post_norms=True,
+                         qk_norm_full=True)
+
+    def load_fn(t, cfg, dtype):
+        ld = _Loader(t, cfg, dtype)
+        p = "model.layers.{}."
+        for name, proj in (("wq", "self_attn.q_proj"),
+                           ("wk", "self_attn.k_proj"),
+                           ("wv", "self_attn.v_proj"),
+                           ("wo", "self_attn.o_proj"),
+                           ("w_gate", "mlp.gate_proj"),
+                           ("w_up", "mlp.up_proj"),
+                           ("w_down", "mlp.down_proj")):
+            ld.stack(name, p + proj + ".weight", transpose=True)
+        ld.stack("q_norm", p + "self_attn.q_norm.weight")
+        ld.stack("k_norm", p + "self_attn.k_norm.weight")
+        ld.stack("post_attn_out_norm",
+                 p + "post_attention_layernorm.weight")
+        ld.stack("post_mlp_norm", p + "post_feedforward_layernorm.weight")
+        ld.put("embed", "model.embed_tokens.weight")
+        ld.put("final_norm", "model.norm.weight")
+        if not cfg.tie_word_embeddings:
+            ld.put("lm_head", "lm_head.weight")
+        return ld.params()
+
+    return cfg_fn, load_fn
+
+
+@_register("OlmoeForCausalLM")
+def _olmoe():
+    def cfg_fn(hf, name):
+        return _base_cfg(
+            hf, "OlmoeForCausalLM", name, qk_norm_full=True,
+            num_experts=hf["num_experts"],
+            num_experts_per_tok=hf["num_experts_per_tok"],
+            moe_norm_topk_prob=hf.get("norm_topk_prob", False))
+
+    def load_fn(t, cfg, dtype):
+        ld = _Loader(t, cfg, dtype)
+        p = "model.layers.{}."
+        ld.stack("input_norm", p + "input_layernorm.weight")
+        ld.stack("post_attn_norm", p + "post_attention_layernorm.weight")
+        for name, proj in (("wq", "self_attn.q_proj"),
+                           ("wk", "self_attn.k_proj"),
+                           ("wv", "self_attn.v_proj"),
+                           ("wo", "self_attn.o_proj")):
+            ld.stack(name, p + proj + ".weight", transpose=True)
+        ld.stack("q_norm", p + "self_attn.q_norm.weight")
+        ld.stack("k_norm", p + "self_attn.k_norm.weight")
+        ld.stack("router", p + "mlp.gate.weight", transpose=True)
+        _experts_loader(
+            ld, t, cfg,
+            "model.layers.{}.mlp.experts.{}.gate_proj.weight",
+            "model.layers.{}.mlp.experts.{}.up_proj.weight",
+            "model.layers.{}.mlp.experts.{}.down_proj.weight")
+        ld.put("embed", "model.embed_tokens.weight")
+        ld.put("final_norm", "model.norm.weight")
+        if not cfg.tie_word_embeddings:
+            ld.put("lm_head", "lm_head.weight")
+        return ld.params()
+
+    return cfg_fn, load_fn
+
+
+@_register("GlmForCausalLM", "Glm4ForCausalLM", "ChatGLMModel",
+           "ChatGLMForConditionalGeneration")
+def _glm4():
+    # modern GLM/ChatGLM lineage: partial interleaved rotary, qkv bias,
+    # fused gate_up, glm4 adds gemma2-style sandwich norms
+    def cfg_fn(hf, name):
+        arch = (hf.get("architectures") or ["GlmForCausalLM"])[0]
+        return _base_cfg(
+            hf, arch, name,
+            partial_rotary_factor=hf.get("partial_rotary_factor", 0.5),
+            rope_interleaved=True,
+            qkv_bias=hf.get("attention_bias", True),
+            use_post_norms=arch == "Glm4ForCausalLM")
+
+    def load_fn(t, cfg, dtype):
+        ld = _Loader(t, cfg, dtype)
+        p = "model.layers.{}."
+        ld.stack("input_norm", p + "input_layernorm.weight")
+        ld.stack("post_attn_norm", p + "post_attention_layernorm.weight")
+        for name, proj in (("wq", "self_attn.q_proj"),
+                           ("wk", "self_attn.k_proj"),
+                           ("wv", "self_attn.v_proj"),
+                           ("wo", "self_attn.o_proj")):
+            ld.stack(name, p + proj + ".weight", transpose=True)
+        for name, proj in (("bq", "self_attn.q_proj"),
+                           ("bk", "self_attn.k_proj"),
+                           ("bv", "self_attn.v_proj")):
+            ld.stack_opt(name, p + proj + ".bias")
+        I = cfg.intermediate_size
+        ld.stack_fn("w_gate", lambda i: t[
+            f"model.layers.{i}.mlp.gate_up_proj.weight"][:I].T)
+        ld.stack_fn("w_up", lambda i: t[
+            f"model.layers.{i}.mlp.gate_up_proj.weight"][I:].T)
+        ld.stack("w_down", p + "mlp.down_proj.weight", transpose=True)
+        if cfg.use_post_norms:
+            ld.stack("post_attn_out_norm",
+                     p + "post_self_attn_layernorm.weight")
+            ld.stack("post_mlp_norm", p + "post_mlp_layernorm.weight")
+        ld.put("embed", "model.embed_tokens.weight")
+        ld.put("final_norm", "model.norm.weight")
+        if not cfg.tie_word_embeddings:
+            ld.put("lm_head", "lm_head.weight")
+        return ld.params()
+
+    return cfg_fn, load_fn
+
+
+@_register("NemotronForCausalLM")
+def _nemotron():
+    # layernorm1p (+1 offset, biased), relu2 plain MLP, partial rotary
+    def cfg_fn(hf, name):
+        return _base_cfg(
+            hf, "NemotronForCausalLM", name,
+            norm_type="layernorm", norm_bias=True, rmsnorm_offset=True,
+            mlp_type="plain", hidden_act=hf.get("hidden_act", "relu2"),
+            partial_rotary_factor=hf.get(
+                "partial_rotary_factor", hf.get("rope_percent", 0.5)),
+            rms_norm_eps=hf.get("norm_eps", 1e-5))
+
+    def load_fn(t, cfg, dtype):
+        return _load_llama_style(
+            t, cfg, dtype,
+            gate="mlp.up_proj", down="mlp.down_proj")
+
+    return cfg_fn, load_fn
+
+
+@_register("DbrxForCausalLM")
+def _dbrx():
+    def cfg_fn(hf, name):
+        attn = hf.get("attn_config") or {}
+        ffn = hf.get("ffn_config") or {}
+        return _base_cfg(
+            hf, "DbrxForCausalLM", name,
+            num_kv_heads=attn.get("kv_n_heads", hf.get("n_heads")),
+            intermediate_size=ffn.get("ffn_hidden_size", 4 * hf["d_model"]),
+            num_experts=ffn.get("moe_num_experts", 4),
+            num_experts_per_tok=ffn.get("moe_top_k", 1),
+            moe_intermediate_size=ffn.get("ffn_hidden_size"),
+            moe_norm_topk_prob=True,
+            norm_type="layernorm", tie_word_embeddings=False,
+            rope_theta=attn.get("rope_theta", 10000.0),
+            max_model_len=hf.get("max_seq_len", 8192))
+
+    def load_fn(t, cfg, dtype):
+        D = cfg.hidden_size
+        Hq, Hkv, d = cfg.num_heads, cfg.num_kv_heads, cfg.head_size
+        E, I = cfg.num_experts, cfg.moe_intermediate_size
+        ld = _Loader(t, cfg, dtype)
+        p = "transformer.blocks.{}."
+        ld.stack("input_norm", p + "norm_attn_norm.norm_1.weight")
+        ld.stack("post_attn_norm", p + "norm_attn_norm.norm_2.weight")
+        qe = Hq * d
+        ke = qe + Hkv * d
+        ld.stack_fn("wq", lambda i: t[
+            f"transformer.blocks.{i}.norm_attn_norm.attn.Wqkv.weight"
+        ][:qe].T)
+        ld.stack_fn("wk", lambda i: t[
+            f"transformer.blocks.{i}.norm_attn_norm.attn.Wqkv.weight"
+        ][qe:ke].T)
+        ld.stack_fn("wv", lambda i: t[
+            f"transformer.blocks.{i}.norm_attn_norm.attn.Wqkv.weight"
+        ][ke:].T)
+        ld.stack("wo", p + "norm_attn_norm.attn.out_proj.weight",
+                 transpose=True)
+        ld.stack("router", p + "ffn.router.layer.weight", transpose=True)
+        # fused expert tensors: w1/v1 are [E*I, D] flat, w2 is [E*I, D]
+        # with the CONTRACTION on I (w2 rows are input features)
+        ld.stack_fn("experts_gate", lambda i: t[
+            f"transformer.blocks.{i}.ffn.experts.mlp.w1"
+        ].reshape(E, I, D).transpose(0, 2, 1))
+        ld.stack_fn("experts_up", lambda i: t[
+            f"transformer.blocks.{i}.ffn.experts.mlp.v1"
+        ].reshape(E, I, D).transpose(0, 2, 1))
+        ld.stack_fn("experts_down", lambda i: t[
+            f"transformer.blocks.{i}.ffn.experts.mlp.w2"
+        ].reshape(E, I, D))
+        ld.put("embed", "transformer.wte.weight")
+        ld.put("final_norm", "transformer.norm_f.weight")
+        ld.put("lm_head", "lm_head.weight")
+        return ld.params()
+
+    return cfg_fn, load_fn
+
+
+@_register("GraniteMoeForCausalLM")
+def _granitemoe():
+    def cfg_fn(hf, name):
+        return _base_cfg(
+            hf, "GraniteMoeForCausalLM", name,
+            num_experts=hf["num_local_experts"],
+            num_experts_per_tok=hf["num_experts_per_tok"],
+            moe_intermediate_size=hf.get("intermediate_size"),
+            moe_norm_topk_prob=True,
+            embedding_multiplier=hf.get("embedding_multiplier", 1.0),
+            residual_multiplier=hf.get("residual_multiplier", 1.0),
+            attention_scale=hf.get("attention_multiplier"),
+            logits_scaling=hf.get("logits_scaling", 1.0))
+
+    def load_fn(t, cfg, dtype):
+        E = cfg.num_experts
+        I = cfg.moe_intermediate_size
+        ld = _Loader(t, cfg, dtype)
+        p = "model.layers.{}."
+        ld.stack("input_norm", p + "input_layernorm.weight")
+        ld.stack("post_attn_norm", p + "post_attention_layernorm.weight")
+        for name, proj in (("wq", "self_attn.q_proj"),
+                           ("wk", "self_attn.k_proj"),
+                           ("wv", "self_attn.v_proj"),
+                           ("wo", "self_attn.o_proj")):
+            ld.stack(name, p + proj + ".weight", transpose=True)
+        ld.stack("router", p + "block_sparse_moe.router.layer.weight",
+                 transpose=True)
+        # input_linear [E, 2I, D] fused gate|up; output_linear [E, D, I]
+        ld.stack_fn("experts_gate", lambda i: t[
+            f"model.layers.{i}.block_sparse_moe.input_linear.weight"
+        ][:, :I, :].transpose(0, 2, 1))
+        ld.stack_fn("experts_up", lambda i: t[
+            f"model.layers.{i}.block_sparse_moe.input_linear.weight"
+        ][:, I:, :].transpose(0, 2, 1))
+        ld.stack_fn("experts_down", lambda i: t[
+            f"model.layers.{i}.block_sparse_moe.output_linear.weight"
+        ].transpose(0, 2, 1))
+        ld.put("embed", "model.embed_tokens.weight")
+        ld.put("final_norm", "model.norm.weight")
+        if not cfg.tie_word_embeddings:
+            ld.put("lm_head", "lm_head.weight")
+        return ld.params()
+
+    return cfg_fn, load_fn
+
+
+@_register("PhimoeForCausalLM")
+def _phimoe():
+    def cfg_fn(hf, name):
+        return _base_cfg(
+            hf, "PhimoeForCausalLM", name,
+            norm_type="layernorm", norm_bias=True,
+            num_experts=hf["num_local_experts"],
+            num_experts_per_tok=hf["num_experts_per_tok"],
+            moe_norm_topk_prob=False, moe_routing="sparsemixer",
+            qkv_bias=hf.get("attention_bias", False),
+            lm_head_bias=hf.get("lm_head_bias", False))
+
+    def load_fn(t, cfg, dtype):
+        E = cfg.num_experts
+        ld = _Loader(t, cfg, dtype)
+        p = "model.layers.{}."
+        ld.stack("input_norm", p + "input_layernorm.weight")
+        ld.stack("input_norm_b", p + "input_layernorm.bias")
+        ld.stack("post_attn_norm", p + "post_attention_layernorm.weight")
+        ld.stack("post_attn_norm_b", p + "post_attention_layernorm.bias")
+        for name, proj in (("wq", "self_attn.q_proj"),
+                           ("wk", "self_attn.k_proj"),
+                           ("wv", "self_attn.v_proj"),
+                           ("wo", "self_attn.o_proj")):
+            ld.stack(name, p + proj + ".weight", transpose=True)
+            ld.stack_opt("b" + name[1:] if name != "wo" else "bo",
+                         p + proj + ".bias")
+        ld.stack("router", p + "block_sparse_moe.gate.weight",
+                 transpose=True)
+        _experts_loader(
+            ld, t, cfg,
+            "model.layers.{}.block_sparse_moe.experts.{}.w1.weight",
+            "model.layers.{}.block_sparse_moe.experts.{}.w3.weight",
+            "model.layers.{}.block_sparse_moe.experts.{}.w2.weight")
+        ld.put("embed", "model.embed_tokens.weight")
+        ld.put("final_norm", "model.norm.weight")
+        ld.put_opt("final_norm_b", "model.norm.bias")
+        ld.put("lm_head", "lm_head.weight")
+        if cfg.lm_head_bias:
+            ld.put_opt("lm_head_b", "lm_head.bias")
+        return ld.params()
+
+    return cfg_fn, load_fn
+
+
+@_register("MiniCPMForCausalLM")
+def _minicpm():
+    # llama naming + muP-style multipliers
+    # (reference minicpm.py:324-331, 365, 455)
+    def cfg_fn(hf, name):
+        import math
+        L = _g(hf, "num_hidden_layers")
+        return _base_cfg(
+            hf, "MiniCPMForCausalLM", name,
+            embedding_multiplier=hf.get("scale_emb", 1.0),
+            residual_multiplier=hf.get("scale_depth", 1.0) / math.sqrt(L),
+            logits_scaling=hf["hidden_size"] / hf.get(
+                "dim_model_base", hf["hidden_size"]),
+            tie_word_embeddings=hf.get("tie_word_embeddings", True))
+    return cfg_fn, _load_llama_style
+
+
+@_register("OrionForCausalLM")
+def _orion():
+    # llama naming with biased LayerNorm norms (reference orion.py:142-226)
+    def cfg_fn(hf, name):
+        return _base_cfg(hf, "OrionForCausalLM", name,
+                         norm_type="layernorm", norm_bias=True)
+    return cfg_fn, _load_llama_style
+
+
+@_register("XverseForCausalLM")
+def _xverse():
+    # pure llama layout (reference xverse.py:274-288)
+    def cfg_fn(hf, name):
+        return _base_cfg(hf, "XverseForCausalLM", name)
+    return cfg_fn, _load_llama_style
+
+
+@_register("ExaoneForCausalLM")
+def _exaone():
+    # llama semantics, transformer.h naming
+    # (reference exaone.py:139-189, 284-285, 330-352, 402-409)
+    def cfg_fn(hf, name):
+        return _base_cfg(hf, "ExaoneForCausalLM", name)
+
+    def load_fn(t, cfg, dtype):
+        return _load_llama_style(
+            t, cfg, dtype, p="transformer.h.{}.",
+            embed="transformer.wte.weight",
+            final_norm="transformer.ln_f.weight",
+            input_norm="ln_1.weight", post_attn_norm="ln_2.weight",
+            q="attn.attention.q_proj", k="attn.attention.k_proj",
+            v="attn.attention.v_proj", o="attn.attention.out_proj",
+            gate="mlp.c_fc_0", up="mlp.c_fc_1", down="mlp.c_proj")
+
+    return cfg_fn, load_fn
+
+
+
+@_register("DeepseekV2ForCausalLM", "DeepseekV3ForCausalLM")
+def _deepseek_mla():
+    """Deepseek v2/v3 Multi-head Latent Attention + fine-grained MoE.
+
+    MLA design note (the reference deepseek_v2.py decompresses per head;
+    vllm caches full K/V): here the paged cache stores ONE vector per
+    (layer, token) - normalized latent (kv_lora_rank) | roped shared k_pe
+    (qk_rope_head_dim) - i.e. head_size = rank + rope_dim, num_kv_heads=1.
+    Attention runs ABSORBED (q_nope @ W_kc queries latent space) so the
+    existing paged/pallas kernels serve MLA unchanged as MQA, and the KVC
+    eviction pipeline compresses the latent per (layer, token) directly.
+
+    MoE: dense layers (first_k_dense_replace) ride in the shared-expert
+    slots with their expert/router tensors zeroed, so the scan over layers
+    stays homogeneous; routed output is scaled by routed_scaling_factor,
+    v3 selects via the sigmoid noaux_tc gate with group-limited greedy.
+    """
+    def cfg_fn(hf, name):
+        arch = (hf.get("architectures") or ["DeepseekV2ForCausalLM"])[0]
+        rank = hf["kv_lora_rank"]
+        rope_d = hf["qk_rope_head_dim"]
+        nope_d = hf["qk_nope_head_dim"]
+        is_v3 = "V3" in arch
+        kw = dict(
+            head_size=rank + rope_d,
+            num_kv_heads=1,
+            attention_scale=(nope_d + rope_d) ** -0.5,
+            kv_lora_rank=rank,
+            q_lora_rank=hf.get("q_lora_rank"),
+            qk_nope_head_dim=nope_d,
+            qk_rope_head_dim=rope_d,
+            v_head_dim=hf["v_head_dim"],
+        )
+        if hf.get("n_routed_experts"):
+            I_dense = hf.get("intermediate_size", 4 * hf["hidden_size"])
+            I_sh = (hf.get("n_shared_experts", 0)
+                    * hf["moe_intermediate_size"])
+            kw.update(
+                num_experts=hf["n_routed_experts"],
+                num_experts_per_tok=hf["num_experts_per_tok"],
+                moe_intermediate_size=hf["moe_intermediate_size"],
+                moe_norm_topk_prob=hf.get("norm_topk_prob", False),
+                moe_routed_scaling=hf.get("routed_scaling_factor", 1.0),
+                moe_shared_expert_size=max(I_dense, I_sh),
+                moe_n_group=hf.get("n_group", 1) or 1,
+                moe_topk_group=hf.get("topk_group", 1) or 1,
+                moe_routing="sigmoid_noaux" if is_v3 else "softmax_topk",
+            )
+        return _base_cfg(hf, arch, name, **kw)
+
+    def load_fn(t, cfg, dtype):
+        L, D = cfg.num_layers, cfg.hidden_size
+        Hq = cfg.num_heads
+        rank, rope_d = cfg.kv_lora_rank, cfg.qk_rope_head_dim
+        nope_d, v_d = cfg.qk_nope_head_dim, cfg.v_head_dim
+        ld = _Loader(t, cfg, dtype)
+        p = "model.layers.{}."
+        ld.stack("input_norm", p + "input_layernorm.weight")
+        ld.stack("post_attn_norm", p + "post_attention_layernorm.weight")
+        ld.stack("wo", p + "self_attn.o_proj.weight", transpose=True)
+        ld.stack("mla_kv_a", p + "self_attn.kv_a_proj_with_mqa.weight",
+                 transpose=True)
+        ld.stack("mla_kv_a_norm", p + "self_attn.kv_a_layernorm.weight")
+        if cfg.q_lora_rank:
+            ld.stack("mla_q_a", p + "self_attn.q_a_proj.weight",
+                     transpose=True)
+            ld.stack("mla_q_a_norm", p + "self_attn.q_a_layernorm.weight")
+            ld.stack("mla_q_b", p + "self_attn.q_b_proj.weight",
+                     transpose=True)
+        else:
+            ld.stack("mla_wq", p + "self_attn.q_proj.weight",
+                     transpose=True)
+
+        def kc(i):
+            w = t[f"model.layers.{i}.self_attn.kv_b_proj.weight"]
+            w = w.reshape(Hq, nope_d + v_d, rank)
+            return w[:, :nope_d, :]                    # [Hq, nope, rank]
+
+        def vc(i):
+            w = t[f"model.layers.{i}.self_attn.kv_b_proj.weight"]
+            w = w.reshape(Hq, nope_d + v_d, rank)
+            return w[:, nope_d:, :].transpose(0, 2, 1)  # [Hq, rank, v]
+
+        ld.stack_fn("mla_w_kc", kc)
+        ld.stack_fn("mla_w_vc", vc)
+
+        if cfg.num_experts:
+            E, I_sh = cfg.num_experts, cfg.moe_shared_expert_size
+            Im = cfg.moe_intermediate_size
+
+            def moe_layer(i):
+                return f"model.layers.{i}.mlp.gate.weight" in t
+
+            def shared(i, which, transpose_in):
+                # dense layers occupy the shared slots; pad out-dim to the
+                # common width with zeros (zero rows/cols are inert)
+                if moe_layer(i):
+                    w = t[f"model.layers.{i}.mlp.shared_experts."
+                          f"{which}.weight"]
+                else:
+                    w = t[f"model.layers.{i}.mlp.{which}.weight"]
+                w = w.T  # [in, out] for gate/up; [I, D] -> [I, D] for down
+                if which == "down_proj":
+                    out = np.zeros((I_sh, D), w.dtype)
+                    out[:w.shape[0]] = w
+                else:
+                    out = np.zeros((D, I_sh), w.dtype)
+                    out[:, :w.shape[1]] = w
+                return out
+
+            for nm, which in (("shared_gate", "gate_proj"),
+                              ("shared_up", "up_proj"),
+                              ("shared_down", "down_proj")):
+                ld.stack_fn(nm, lambda i, which=which: shared(i, which,
+                                                             True))
+
+            def router(i):
+                if moe_layer(i):
+                    return t[f"model.layers.{i}.mlp.gate.weight"].T
+                return np.zeros((D, E), np.float32)
+
+            ld.stack_fn("router", router)
+            if cfg.moe_routing == "sigmoid_noaux":
+                ld.stack_fn("router_bias", lambda i: (
+                    t[f"model.layers.{i}.mlp.gate.e_score_correction_bias"]
+                    if moe_layer(i) else np.zeros((E,), np.float32)))
+
+            def experts(i, which, down=False):
+                if not moe_layer(i):
+                    return (np.zeros((E, Im, D), np.float32) if down
+                            else np.zeros((E, D, Im), np.float32))
+                return np.stack([
+                    t[f"model.layers.{i}.mlp.experts.{e}."
+                      f"{which}.weight"].T for e in range(E)])
+
+            ld.stack_fn("experts_gate", lambda i: experts(i, "gate_proj"))
+            ld.stack_fn("experts_up", lambda i: experts(i, "up_proj"))
+            ld.stack_fn("experts_down",
+                        lambda i: experts(i, "down_proj", down=True))
+        else:
+            ld.stack("w_gate", p + "mlp.gate_proj.weight", transpose=True)
+            ld.stack("w_up", p + "mlp.up_proj.weight", transpose=True)
+            ld.stack("w_down", p + "mlp.down_proj.weight", transpose=True)
+
+        ld.put("embed", "model.embed_tokens.weight")
+        ld.put("final_norm", "model.norm.weight")
+        if not cfg.tie_word_embeddings:
+            ld.put("lm_head", "lm_head.weight")
         return ld.params()
 
     return cfg_fn, load_fn

@@ -110,11 +110,71 @@ FAMILIES = {
         num_key_value_heads=2, num_experts=4, num_experts_per_tok=2,
         moe_intermediate_size=32, shared_expert_intermediate_size=64,
         decoder_sparse_step=1, mlp_only_layers=[], norm_topk_prob=False),
+    "qwen3": lambda: _mk(
+        transformers.Qwen3Config, "Qwen3ForCausalLM",
+        num_key_value_heads=2, head_dim=16),
+    "qwen3_moe": lambda: _mk(
+        transformers.Qwen3MoeConfig, "Qwen3MoeForCausalLM",
+        num_key_value_heads=2, head_dim=16, num_experts=4,
+        num_experts_per_tok=2, moe_intermediate_size=32,
+        decoder_sparse_step=1, mlp_only_layers=[], norm_topk_prob=True),
+    "olmo2": lambda: _mk(
+        transformers.Olmo2Config, "Olmo2ForCausalLM",
+        num_key_value_heads=2),
+    "olmoe": lambda: _mk(
+        transformers.OlmoeConfig, "OlmoeForCausalLM",
+        num_key_value_heads=2, num_experts=4, num_experts_per_tok=2,
+        norm_topk_prob=False),
+    "glm4": lambda: _mk(
+        transformers.Glm4Config, "Glm4ForCausalLM",
+        num_key_value_heads=2, head_dim=16, attention_bias=True),
+    "nemotron": lambda: _mk(
+        transformers.NemotronConfig, "NemotronForCausalLM",
+        num_key_value_heads=2, hidden_act="relu2",
+        partial_rotary_factor=0.5, norm_eps=1e-5),
+    "dbrx": lambda: transformers.DbrxConfig(
+        architectures=["DbrxForCausalLM"], vocab_size=256, d_model=64,
+        n_heads=4, n_layers=2, max_seq_len=128, pad_token_id=0,
+        attn_config={"kv_n_heads": 2, "rope_theta": 10000.0},
+        ffn_config={"ffn_hidden_size": 64, "moe_num_experts": 4,
+                    "moe_top_k": 2}),
+    "granitemoe": lambda: _mk(
+        transformers.GraniteMoeConfig, "GraniteMoeForCausalLM",
+        num_key_value_heads=2, num_local_experts=4, num_experts_per_tok=2,
+        embedding_multiplier=2.0, residual_multiplier=0.5,
+        attention_multiplier=0.25, logits_scaling=2.0),
+    "phimoe": lambda: _mk(
+        transformers.PhimoeConfig, "PhimoeForCausalLM",
+        num_key_value_heads=2, num_local_experts=4, num_experts_per_tok=2,
+        intermediate_size=64),
+    # MLA families: HF decompresses per head; ours runs absorbed over the
+    # latent cache - logit parity proves the two formulations agree
+    "deepseek_v2": lambda: transformers.DeepseekV2Config(
+        architectures=["DeepseekV2ForCausalLM"], vocab_size=256,
+        hidden_size=64, intermediate_size=96, moe_intermediate_size=32,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=4,
+        n_routed_experts=4, n_shared_experts=1, num_experts_per_tok=2,
+        first_k_dense_replace=1, kv_lora_rank=16, q_lora_rank=None,
+        qk_nope_head_dim=16, qk_rope_head_dim=8, v_head_dim=16,
+        n_group=1, topk_group=1, topk_method="greedy",
+        norm_topk_prob=False, routed_scaling_factor=1.0,
+        max_position_embeddings=128, pad_token_id=0),
+    "deepseek_v3": lambda: transformers.DeepseekV3Config(
+        architectures=["DeepseekV3ForCausalLM"], vocab_size=256,
+        hidden_size=64, intermediate_size=96, moe_intermediate_size=32,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=4,
+        n_routed_experts=4, n_shared_experts=1, num_experts_per_tok=2,
+        first_k_dense_replace=1, kv_lora_rank=16, q_lora_rank=24,
+        qk_nope_head_dim=16, qk_rope_head_dim=8, v_head_dim=16,
+        n_group=2, topk_group=1, norm_topk_prob=True,
+        routed_scaling_factor=2.5,
+        max_position_embeddings=128, pad_token_id=0),
 }
 
 # families whose decode path adds coverage beyond llama's
 # (learned positions / sandwich norms+softcaps / MoE routing)
-DECODE_FAMILIES = {"gpt2", "gemma2", "mixtral", "bloom", "mistral_swa"}
+DECODE_FAMILIES = {"gpt2", "gemma2", "mixtral", "bloom", "mistral_swa",
+                   "deepseek_v2", "olmo2", "dbrx", "phimoe"}
 
 
 def _build(family):
@@ -179,6 +239,141 @@ def test_prefill_parity(family):
                                    atol=3e-3)
 
 
+def test_mla_engine_with_compression():
+    """MLA end to end through the serving engine: the latent cache
+    (num_kv_heads=1, head_size=rank+rope) prefills, decodes and COMPRESSES
+    like any other family - KVC evicts whole latent tokens per layer."""
+    from kvcompress_tpu.config import (CacheConfig, EngineConfig,
+                                       KVCompressConfig, ParallelConfig,
+                                       SchedulerConfig)
+    from kvcompress_tpu.engine.llm_engine import LLMEngine
+    from kvcompress_tpu.sampling_params import SamplingParams
+
+    hf_model, cfg, params = _build("deepseek_v2")
+    ecfg = EngineConfig(
+        model=cfg,
+        cache=CacheConfig(block_size=4, cache_dtype="float32"),
+        kvcompress=KVCompressConfig(compression_interval=4,
+                                    max_kv_per_compression=1 << 16,
+                                    max_cache_moves_per_compression=4096),
+        scheduler=SchedulerConfig(max_num_seqs=2, max_model_len=64,
+                                  prefill_buckets=(16, 32)),
+        parallel=ParallelConfig(),
+    )
+    eng = LLMEngine(ecfg, params, num_blocks=256, attn_impl="xla")
+    rng = np.random.default_rng(0)
+    prompt = rng.integers(0, cfg.vocab_size, size=20).tolist()
+
+    # greedy reference from HF (decompressed MLA)
+    seq = list(prompt)
+    for _ in range(6):
+        with torch.no_grad():
+            nxt = int(hf_model(torch.tensor([seq])).logits[0, -1].argmax())
+        seq.append(nxt)
+
+    rid = eng.add_request(None, prompt_token_ids=prompt,
+                          sampling_params=SamplingParams(
+                              temperature=0.0, max_tokens=6,
+                              ignore_eos=True))
+    outs = {}
+    while eng.has_unfinished_requests():
+        for o in eng.step():
+            if o.finished:
+                outs[o.request_id] = o
+    assert outs[rid].outputs[0].token_ids == seq[len(prompt):]
+
+    # and with compression: bounded divergence but must run + evict
+    eng2 = LLMEngine(ecfg, params, num_blocks=256, attn_impl="xla")
+    rid = eng2.add_request(None, prompt_token_ids=prompt,
+                           sampling_params=SamplingParams(
+                               temperature=0.0, max_tokens=6,
+                               ignore_eos=True, max_cache_tokens=8,
+                               protected_window_size=4))
+    while eng2.has_unfinished_requests():
+        eng2.step()
+    assert eng2.scheduler.total_evicted_kvs > 0
+
+
+def _llama_state(vocab=256, D=64, L=2, Hq=4, Hkv=2, I=128):
+    torch.manual_seed(1)
+    cfg = transformers.LlamaConfig(
+        vocab_size=vocab, hidden_size=D, intermediate_size=I,
+        num_hidden_layers=L, num_attention_heads=Hq,
+        num_key_value_heads=Hkv, max_position_embeddings=128)
+    m = transformers.LlamaForCausalLM(cfg).eval()
+    return {k: v.detach().numpy() for k, v in m.state_dict().items()}, m
+
+
+def test_registry_only_families_load_and_forward():
+    """Families whose HF implementations need remote code (minicpm, orion,
+    xverse, exaone): recipes are cited against the reference model files;
+    this test checks config mapping + weight loading + a forward pass.
+    Xverse is bit-identical llama, so it gets full HF logit parity via a
+    llama checkpoint."""
+    state, hf_model = _llama_state()
+    base_hf = dict(vocab_size=256, hidden_size=64, intermediate_size=128,
+                   num_hidden_layers=2, num_attention_heads=4,
+                   num_key_value_heads=2, max_position_embeddings=128,
+                   rms_norm_eps=1e-6)
+    prompt = list(range(3, 14))
+    with torch.no_grad():
+        hf_logits = hf_model(torch.tensor([prompt])).logits[0, -1].float()
+
+    def run(cfg, params):
+        cache, bt, bs = build_cache_and_tables(cfg, 16)
+        tokens = np.zeros(16, np.int32)
+        tokens[:len(prompt)] = prompt
+        sm = make_prefill_slot_map(bt[:, 0], len(prompt), 16, bs)
+        hidden, _ = D.prefill(params, cfg, jnp.asarray(tokens),
+                              jnp.asarray(len(prompt)), jnp.asarray(sm),
+                              cache, jnp.asarray(0),
+                              AttentionSpec(mode="prefill"))
+        return np.asarray(D.compute_logits(params, cfg, hidden))
+
+    # xverse == llama semantics: exact parity
+    cfg = config_from_hf(dict(base_hf, architectures=["XverseForCausalLM"]))
+    params = params_from_hf_state(state, cfg, dtype=jnp.float32)
+    np.testing.assert_allclose(run(cfg, params), hf_logits.numpy(),
+                               rtol=3e-3, atol=3e-3)
+
+    # minicpm: llama weights + muP multipliers change logits determinately
+    cfg = config_from_hf(dict(base_hf, architectures=["MiniCPMForCausalLM"],
+                              scale_emb=2.0, scale_depth=1.4,
+                              dim_model_base=32,
+                              tie_word_embeddings=False))
+    assert cfg.embedding_multiplier == 2.0 and cfg.logits_scaling == 2.0
+    out = run(cfg, params_from_hf_state(state, cfg, dtype=jnp.float32))
+    assert np.isfinite(out).all()
+
+    # orion: llama naming with layernorm
+    cfg = config_from_hf(dict(base_hf, architectures=["OrionForCausalLM"]))
+    assert cfg.norm_type == "layernorm"
+    out = run(cfg, params_from_hf_state(state, cfg, dtype=jnp.float32))
+    assert np.isfinite(out).all()
+
+    # exaone: llama semantics under transformer.h naming -> rename the
+    # llama tensors and require exact llama parity
+    ren = {}
+    for k, v in state.items():
+        k2 = (k.replace("model.layers.", "transformer.h.")
+               .replace("model.embed_tokens.weight", "transformer.wte.weight")
+               .replace("model.norm.weight", "transformer.ln_f.weight")
+               .replace("input_layernorm", "ln_1")
+               .replace("post_attention_layernorm", "ln_2")
+               .replace("self_attn.q_proj", "attn.attention.q_proj")
+               .replace("self_attn.k_proj", "attn.attention.k_proj")
+               .replace("self_attn.v_proj", "attn.attention.v_proj")
+               .replace("self_attn.o_proj", "attn.attention.out_proj")
+               .replace("mlp.gate_proj", "mlp.c_fc_0")
+               .replace("mlp.up_proj", "mlp.c_fc_1")
+               .replace("mlp.down_proj", "mlp.c_proj"))
+        ren[k2] = v
+    cfg = config_from_hf(dict(base_hf, architectures=["ExaoneForCausalLM"]))
+    params = params_from_hf_state(ren, cfg, dtype=jnp.float32)
+    np.testing.assert_allclose(run(cfg, params), hf_logits.numpy(),
+                               rtol=3e-3, atol=3e-3)
+
+
 def test_registry_surface():
     archs = supported_architectures()
     for a in ("GPTBigCodeForCausalLM",
@@ -191,5 +386,13 @@ def test_registry_surface():
               "Starcoder2ForCausalLM", "InternLM2ForCausalLM",
               "MixtralForCausalLM", "Qwen2MoeForCausalLM",
               "GraniteForCausalLM", "OlmoForCausalLM",
-              "BaichuanForCausalLM"):
+              "BaichuanForCausalLM",
+              "Qwen3ForCausalLM", "Qwen3MoeForCausalLM",
+              "Olmo2ForCausalLM", "OlmoeForCausalLM",
+              "GlmForCausalLM", "Glm4ForCausalLM", "ChatGLMModel",
+              "NemotronForCausalLM", "DbrxForCausalLM",
+              "GraniteMoeForCausalLM", "PhimoeForCausalLM",
+              "MiniCPMForCausalLM", "OrionForCausalLM",
+              "XverseForCausalLM", "ExaoneForCausalLM"):
         assert a in archs, a
+    assert len(archs) >= 40, len(archs)
