@@ -47,7 +47,7 @@ def model_config():
         tie_word_embeddings=True, dtype="float32")
 
 
-def train_copy_model(steps: int, seed: int = 0):
+def train_copy_model(steps: int, seed: int = 0, cfg=None):
     """Train the generic decoder on the digit-copy task (full causal
     attention, next-token loss on the repeated segment)."""
     import jax
@@ -55,7 +55,7 @@ def train_copy_model(steps: int, seed: int = 0):
     import optax
     from kvcompress_tpu.models import decoder as D
 
-    cfg = model_config()
+    cfg = cfg or model_config()
     params = D.init_params(cfg, seed=seed, dtype=jnp.float32)
 
     def causal_attn(_, q, k, v, cache):

@@ -211,12 +211,21 @@ class SchedulerConfig:
 
 @dataclasses.dataclass
 class SpeculativeConfig:
-    """N-gram speculative decoding (reference vllm/spec_decode/:
-    ngram_worker + batch-expansion scoring). Greedy-only here; the
-    reference does not support spec decode with KVC at all."""
+    """Speculative decoding (reference vllm/spec_decode/). Greedy-only
+    here; the reference does not support spec decode with KVC at all.
+
+    method "ngram": host-side n-gram proposal (reference ngram_worker).
+    method "draft": a small draft model proposes gamma tokens in ONE
+    fused device program - the draft recomputes a bounded recent window
+    (draft_window tokens) instead of keeping its own paged cache, trading
+    tiny-model FLOPs for zero draft state management (vs the reference's
+    multi_step_worker + draft KV cache)."""
     num_speculative_tokens: int = 0  # 0 = disabled
+    method: str = "ngram"            # "ngram" | "draft"
     ngram_prompt_lookup_min: int = 1
     ngram_prompt_lookup_max: int = 4
+    draft_model: Optional[str] = None  # HF dir for the draft (LLM surface)
+    draft_window: int = 64           # context window the draft recomputes
 
 
 @dataclasses.dataclass

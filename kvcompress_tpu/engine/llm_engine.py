@@ -55,6 +55,7 @@ class LLMEngine:
         attn_impl: str = "auto",
         tokenizer=None,
         mesh=None,
+        draft=None,  # (ModelConfig, params) for draft-model spec decode
     ):
         self.cfg = cfg
         self.tokenizer = tokenizer
@@ -159,7 +160,7 @@ class LLMEngine:
             params["layers"] = dict(params["layers"])
             params["layers"].update(self.lora_bank.layer_banks())
         self.programs = EnginePrograms(cfg, params, attn_impl=attn_impl,
-                                       mesh=mesh)
+                                       mesh=mesh, draft=draft)
         self.scheduler = Scheduler(cfg, num_blocks)
         self.stats = EngineStats()
         self._seqs: Dict[str, Sequence] = {}
@@ -174,6 +175,7 @@ class LLMEngine:
         # results are fetched, hiding the host round-trip (the remote
         # tunnel measures ~25 ms per dispatch+fetch)
         self.pipeline_decode = on_tpu
+        self._draft_ring = None  # draft-model spec decode KV ring
         self._pending = None  # (out, meta) of the in-flight burst
         self._pending_compress = None  # (packed, batch) of in-flight round
         self._pending_prefill = None   # dict of the in-flight prefill
@@ -866,18 +868,73 @@ class LLMEngine:
         positions0 = np.zeros((S,), np.int32)
         active = np.zeros((S,), bool)
         n_proposed = 0
-        for seq in running:
-            sl = seq.slot
-            active[sl] = True
-            tokens[sl, 0] = seq.last_token_id
-            positions0[sl] = seq.get_len() - 1
-            hist = seq.prompt_token_ids + seq.output_token_ids
-            props = host_ops.ngram_propose(
-                hist, sc.ngram_prompt_lookup_min,
-                sc.ngram_prompt_lookup_max, Q - 1)
-            if props:
-                tokens[sl, 1:1 + len(props)] = props
-                n_proposed += len(props)
+        use_draft = (sc.method == "draft"
+                     and self.programs.draft is not None)
+        if use_draft:
+            # draft-model proposal over the draft's ring KV cache: warm
+            # stale rings with one windowed forward, then ONE fused
+            # program ingests the tokens accepted since last round
+            # (overwriting any stale proposal K/V at the same ring slots)
+            # and keeps stepping to emit gamma proposals
+            W = sc.draft_window
+            if self._draft_ring is None:
+                self._draft_ring = self.programs.draft_ring_init(W)
+            stale = []
+            for seq in running:
+                dp = getattr(seq, "draft_pos", None)
+                if dp is None or not (1 <= seq.get_len() - 1 - dp <= Q):
+                    stale.append(seq)
+            if stale:
+                windows = np.zeros((S, W), np.int32)
+                pos0w = np.zeros((S,), np.int32)
+                wlens = np.zeros((S,), np.int32)
+                act_w = np.zeros((S,), bool)
+                for seq in stale:
+                    sl = seq.slot
+                    hist = (seq.prompt_token_ids
+                            + seq.output_token_ids)[:-1]
+                    wl = min(len(hist), W)
+                    windows[sl, W - wl:] = hist[-wl:]
+                    wlens[sl] = wl
+                    pos0w[sl] = len(hist) - W
+                    act_w[sl] = True
+                    seq.draft_pos = len(hist) - 1
+                self._draft_ring = self.programs.draft_warm(
+                    self._draft_ring, windows, pos0w, wlens, act_w)
+            # one packed host array per round: ingest | n_in | pos0 |
+            # active (every small transfer is a tunnel RPC)
+            packed_in = np.zeros((S, Q + 3), np.int32)
+            for seq in running:
+                sl = seq.slot
+                active[sl] = True
+                hist = seq.prompt_token_ids + seq.output_token_ids
+                new = hist[seq.draft_pos + 1:]
+                assert 1 <= len(new) <= Q, (len(new), Q)
+                packed_in[sl, :len(new)] = new
+                packed_in[sl, Q] = len(new)
+                packed_in[sl, Q + 1] = seq.draft_pos + 1
+                packed_in[sl, Q + 2] = 1
+                seq.draft_pos = len(hist) - 1
+            # the draft round returns verify's full inputs on DEVICE -
+            # zero host/glue dispatches between propose and verify
+            (self._draft_ring, tokens, positions0,
+             active_dev) = self.programs.draft_round(
+                self._draft_ring, packed_in, Q - 1)
+            active = active_dev
+            n_proposed += (Q - 1) * len(running)
+        else:
+            for seq in running:
+                sl = seq.slot
+                active[sl] = True
+                tokens[sl, 0] = seq.last_token_id
+                positions0[sl] = seq.get_len() - 1
+                hist = seq.prompt_token_ids + seq.output_token_ids
+                props = host_ops.ngram_propose(
+                    hist, sc.ngram_prompt_lookup_min,
+                    sc.ngram_prompt_lookup_max, Q - 1)
+                if props:
+                    tokens[sl, 1:1 + len(props)] = props
+                    n_proposed += len(props)
 
         self.state, packed = self.programs.verify(
             self.state, tokens, positions0, active, Q)

@@ -71,10 +71,13 @@ def _with_cache(state: CacheState, cache: KVCache, **kw) -> CacheState:
 
 class EnginePrograms:
     def __init__(self, cfg: EngineConfig, params: Dict[str, Any],
-                 attn_impl: str = "xla", mesh=None):
+                 attn_impl: str = "xla", mesh=None, draft=None):
         self.cfg = cfg
         self.params = params
         self.mesh = mesh
+        # draft-model speculative decoding: (ModelConfig, params) of the
+        # proposer (reference vllm/spec_decode/multi_step_worker.py)
+        self.draft = draft
         kc = cfg.kvcompress
         self.prefill_spec = AttentionSpec(
             mode="prefill", use_l2=kc.use_l2, use_average=kc.use_average,
@@ -580,6 +583,193 @@ class EnginePrograms:
                                       jnp.asarray(seq_len, jnp.int32))
 
     # ------------------------------------------------------------- speculate
+    def draft_ring_init(self, W: int):
+        """Draft KV ring buffers: a DENSE rolling window of the draft's
+        last-W K/V per slot - no paging, no rollback machinery (rejected
+        proposals are simply overwritten when the corrected tokens are
+        re-ingested at the same ring positions next round). The TPU-first
+        re-design of the reference's draft KV cache + recompute rollback
+        (vllm/spec_decode/multi_step_worker.py + draft_model_runner.py)."""
+        dcfg = self.draft[0]
+        S = self.cfg.scheduler.max_num_seqs
+        L, H, d = dcfg.num_layers, dcfg.num_kv_heads, dcfg.head_size
+        dt = jnp.float32 if dcfg.dtype == "float32" else jnp.bfloat16
+        return {
+            "k": jnp.zeros((L, S, W, H, d), dt),
+            "v": jnp.zeros((L, S, W, H, d), dt),
+            "pos": jnp.full((S, W), -1, jnp.int32),  # abs position per slot
+        }
+
+    def _draft_attn_ring(self, dcfg, scale, positions, ring_pos):
+        """Single-token batched attention over the ring (window-masked):
+        the new token attends the valid ring entries plus itself."""
+
+        def attn_fn(lxs, q, k, v, cache):
+            ring_k_l, ring_v_l = lxs            # [S, W, Hkv, d] each
+            S, Wn = ring_pos.shape
+            qpk = dcfg.num_heads // dcfg.num_kv_heads
+            qf = q.astype(jnp.float32)          # [S, Hq, d]
+            krq = jnp.repeat(ring_k_l.astype(jnp.float32), qpk, axis=2)
+            lg = jnp.einsum("shd,swhd->shw", qf, krq) * scale
+            valid = ((ring_pos >= 0)
+                     & (ring_pos < positions[:, None])
+                     & (ring_pos >= positions[:, None] - Wn))
+            lg = jnp.where(valid[:, None, :], lg, -1e30)
+            kq_self = jnp.repeat(k.astype(jnp.float32), qpk, axis=1)
+            lg_self = jnp.einsum("shd,shd->sh", qf, kq_self) * scale
+            m = jnp.maximum(jnp.max(lg, axis=-1), lg_self)
+            e = jnp.where(valid[:, None, :],
+                          jnp.exp(lg - m[..., None]), 0.0)
+            e_self = jnp.exp(lg_self - m)
+            denom = e.sum(-1) + e_self
+            vr = jnp.repeat(ring_v_l.astype(jnp.float32), qpk, axis=2)
+            vq_self = jnp.repeat(v.astype(jnp.float32), qpk, axis=1)
+            out = (jnp.einsum("shw,swhd->shd", e, vr)
+                   + e_self[..., None] * vq_self) / denom[..., None]
+            return out.astype(q.dtype), cache, (k, v)
+
+        return attn_fn
+
+    def _build_draft_round(self, W: int, Q_in: int, gamma: int):
+        """One fused speculation round for the draft: ingest up to Q_in
+        corrected/accepted tokens (teacher-forced; their K/V overwrite any
+        stale proposal K/V at the same ring positions), then keep stepping
+        to emit proposals - (Q_in + gamma) single-token batched steps in
+        ONE dispatch, each appending to the ring."""
+        dcfg, _ = self.draft
+        scale = llama.attn_scale(dcfg)
+        S = self.cfg.scheduler.max_num_seqs
+        steps = Q_in + gamma
+
+        def step(dparams, ring, tokens, positions, active):
+            # one batched single-token draft step; returns next-token argmax
+            attn = self._draft_attn_ring(dcfg, scale, positions,
+                                         ring["pos"])
+            hidden, _, kv = llama.forward_collect(
+                dparams, dcfg, tokens, positions, None, attn,
+                (ring["k"], ring["v"]))
+            ks, vs = kv  # [L, S, Hkv, d] new K/V per layer
+            slot = positions % W
+            si = jnp.arange(S)
+            wslot = jnp.where(active, slot, W)  # drop inactive writes
+            rk = ring["k"].at[:, si, wslot].set(ks, mode="drop")
+            rv = ring["v"].at[:, si, wslot].set(vs, mode="drop")
+            rpos = ring["pos"].at[si, wslot].set(positions, mode="drop")
+            logits = llama.compute_logits(dparams, dcfg, hidden)
+            nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            return {"k": rk, "v": rv, "pos": rpos}, nxt
+
+        def round_fn(dparams, ring, packed):
+            # packed [S, Q_in + 3] i32: ingest | n_in | pos0 | active -
+            # ONE host->device transfer per speculation round (every
+            # additional small transfer is a full tunnel RPC)
+            ingest = packed[:, :Q_in]
+            n_in = packed[:, Q_in]
+            pos0 = packed[:, Q_in + 1]
+            active = packed[:, Q_in + 2] > 0
+
+            # step i uses ingest[:, i] while i < n_in
+            # else the previously generated token; all steps emitted
+            def one(carry, i):
+                ring, prev_tok = carry
+                tok = jnp.where(i < n_in,
+                                ingest[:, jnp.minimum(i, Q_in - 1)],
+                                prev_tok)
+                pos = pos0 + i
+                ring, nxt = step(dparams, ring, tok, pos, active)
+                return (ring, nxt), nxt
+
+            (ring, _), toks = jax.lax.scan(
+                one, (ring, jnp.zeros((S,), jnp.int32)),
+                jnp.arange(steps, dtype=jnp.int32))
+            # assemble the VERIFY token matrix in-program (no host or glue
+            # dispatches between propose and verify): row = [current token
+            # | gamma proposals], where seq s's proposals start at scan
+            # step n_in[s]-1
+            si = jnp.arange(S)
+            k0 = jnp.maximum(n_in - 1, 0)
+            cur = ingest[si, k0]
+            idx = k0[:, None] + jnp.arange(gamma, dtype=jnp.int32)[None, :]
+            props = toks[idx, si[:, None]]                # [S, gamma]
+            vt = jnp.concatenate([cur[:, None], props], axis=1)
+            vt = jnp.where(active[:, None], vt, -1)
+            # verify's inputs come back on device too (no further
+            # transfers): current position = pos0 + n_in - 1
+            positions0 = pos0 + jnp.maximum(n_in - 1, 0)
+            return ring, vt, positions0, active
+
+        return jax.jit(round_fn, donate_argnums=(1,))
+
+    def draft_round(self, ring, packed_np, gamma: int):
+        W = ring["pos"].shape[1]
+        Q_in = packed_np.shape[1] - 3
+        key = ("draft_round", W, Q_in, gamma)
+        if key not in self._decode_fns:
+            self._decode_fns[key] = self._build_draft_round(W, Q_in, gamma)
+        return self._decode_fns[key](
+            self.draft[1], ring, jnp.asarray(packed_np))
+
+    def _build_draft_warm(self, W: int):
+        """Ring warm-up: one batched forward over each sequence's last-W
+        window writes the whole ring (after prefill / preemption)."""
+        dcfg, _ = self.draft
+        scale = llama.attn_scale(dcfg)
+
+        def warm_one(dparams, tokens, pos0, wlen):
+            positions = pos0 + jnp.arange(W, dtype=jnp.int32)
+
+            def attn_fn(_, q, k, v, cache):
+                T = q.shape[0]
+                qpk = dcfg.num_heads // dcfg.num_kv_heads
+                kt = jnp.repeat(k.astype(jnp.float32), qpk, axis=1)
+                vt = jnp.repeat(v.astype(jnp.float32), qpk, axis=1)
+                lg = jnp.einsum("qhd,khd->hqk", q.astype(jnp.float32),
+                                kt) * scale
+                qpos = jnp.arange(T)[None, :, None]
+                kpos = jnp.arange(T)[None, None, :]
+                mask = (kpos <= qpos) & (kpos >= W - wlen)
+                lg = jnp.where(mask, lg, -1e30)
+                p = jax.nn.softmax(lg, axis=-1)
+                out = jnp.einsum("hqk,khd->qhd", p, vt)
+                return out.astype(q.dtype), cache, (k, v)
+
+            xs = jnp.zeros((dcfg.num_layers, 1), jnp.int32)
+            _, _, kv = llama.forward_collect(dparams, dcfg, tokens,
+                                             positions, None, attn_fn, xs)
+            return kv  # (k [L, W, H, d], v)
+
+        def warm_fn(dparams, ring, windows, pos0, wlens, active):
+            ks, vs = jax.vmap(
+                lambda t, p, l: warm_one(dparams, t, p, l),
+                out_axes=1)(windows, pos0, wlens)  # [L, S, W, H, d]
+            # ring slot of window index j (position pos0 + j) = pos % W;
+            # warmed rows are fully reset first (the batch slot may have
+            # been reused by a different request)
+            S = windows.shape[0]
+            rpos = jnp.where(active[:, None], -1, ring["pos"])
+            positions = pos0[:, None] + jnp.arange(W)[None, :]  # [S, W]
+            valid = ((jnp.arange(W)[None, :] >= W - wlens[:, None])
+                     & active[:, None])
+            slot = jnp.where(valid, positions % W, W)
+            si = jnp.arange(S)[:, None]
+            rk = ring["k"].at[:, si, slot].set(ks, mode="drop")
+            rv = ring["v"].at[:, si, slot].set(vs, mode="drop")
+            rpos = rpos.at[si, slot].set(
+                jnp.where(valid, positions, -1), mode="drop")
+            return {"k": rk, "v": rv, "pos": rpos}
+
+        return jax.jit(warm_fn, donate_argnums=(1,))
+
+    def draft_warm(self, ring, windows_np, pos0_np, wlens_np, active_np):
+        W = ring["pos"].shape[1]
+        key = ("draft_warm", W)
+        if key not in self._decode_fns:
+            self._decode_fns[key] = self._build_draft_warm(W)
+        return self._decode_fns[key](
+            self.draft[1], ring, jnp.asarray(windows_np),
+            jnp.asarray(pos0_np), jnp.asarray(wlens_np),
+            jnp.asarray(active_np))
+
     def _build_verify(self, Q: int):
         """Speculative verification program (reference vllm/spec_decode/:
         proposal scoring via batch expansion + greedy acceptance): process

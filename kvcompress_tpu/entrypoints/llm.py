@@ -40,6 +40,9 @@ def build_engine_config(
     max_loras: int = 4,
     max_lora_rank: int = 16,
     num_speculative_tokens: int = 0,
+    speculative_method: str = "ngram",
+    speculative_draft_model: Optional[str] = None,
+    speculative_draft_window: int = 64,
     ngram_prompt_lookup_min: int = 1,
     ngram_prompt_lookup_max: int = 4,
     num_scheduler_steps: int = 0,
@@ -81,6 +84,9 @@ def build_engine_config(
                         max_lora_rank=max_lora_rank),
         speculative=SpeculativeConfig(
             num_speculative_tokens=num_speculative_tokens,
+            method=speculative_method,
+            draft_model=speculative_draft_model,
+            draft_window=speculative_draft_window,
             ngram_prompt_lookup_min=ngram_prompt_lookup_min,
             ngram_prompt_lookup_max=ngram_prompt_lookup_max),
         seed=seed,
@@ -110,10 +116,14 @@ class LLM:
             raise ValueError(f"unsupported quantization {quantization}")
         cfg = build_engine_config(model_cfg, **engine_kw)
 
+        draft = None
+        if cfg.speculative.draft_model:
+            draft = load_model(cfg.speculative.draft_model, dtype=jdtype)
+
         from transformers import AutoTokenizer
         tok = AutoTokenizer.from_pretrained(tokenizer or model)
         self.llm_engine = LLMEngine(cfg, params, num_blocks=num_blocks,
-                                    tokenizer=tok)
+                                    tokenizer=tok, draft=draft)
 
     def generate(
         self,

@@ -41,12 +41,18 @@ def init_distributed(
     multiproc = (coordinator_address is not None
                  or num_processes is not None
                  or os.environ.get("JAX_COORDINATOR_ADDRESS"))
-    if multiproc and jax.process_count() == 1:
-        jax.distributed.initialize(
-            coordinator_address=coordinator_address,
-            num_processes=num_processes,
-            process_id=process_id,
-        )
+    if multiproc:
+        # must run before ANY backend query (jax.process_count() would
+        # initialize the local backend and make this call illegal)
+        try:
+            jax.distributed.initialize(
+                coordinator_address=coordinator_address,
+                num_processes=num_processes,
+                process_id=process_id,
+            )
+        except RuntimeError:
+            pass  # already initialized by the caller
+
     devices = jax.devices()
     if tp_size is None:
         tp_size = max(len(devices) // max(dp_size, 1), 1)

@@ -2,6 +2,8 @@
 steps on repetitive prompts (the reference's ngram_worker + batch-expansion
 scoring contract, vllm/spec_decode/)."""
 
+import os
+
 import numpy as np
 import jax.numpy as jnp
 import pytest
@@ -100,3 +102,146 @@ def test_spec_with_compression_smoke(params):
     toks_spec, eng = run_c(3)
     assert len(toks_spec) == 12
     assert eng.scheduler.total_evicted_kvs > 0
+
+
+# --------------------------------------------------------------- draft model
+def _run_draft(params, draft, spec_tokens, prompt, max_tokens=24,
+               compression=False):
+    import time
+    cfg = tiny_cfg()
+    cfg.speculative = SpeculativeConfig(
+        num_speculative_tokens=spec_tokens,
+        method="draft" if draft is not None else "ngram",
+        draft_window=64)
+    if not compression:
+        cfg.kvcompress.enabled = False
+    eng = LLMEngine(cfg, params, num_blocks=512, attn_impl="xla",
+                    draft=draft)
+    eng.multi_step = 1
+    rid = eng.add_request(None, prompt_token_ids=prompt,
+                          sampling_params=SamplingParams(
+                              temperature=0.0, max_tokens=max_tokens,
+                              ignore_eos=True))
+    steps = 0
+    outs = {}
+    t0 = time.monotonic()
+    while eng.has_unfinished_requests():
+        for out in eng.step():
+            if out.finished:
+                outs[out.request_id] = out
+        steps += 1
+    dt = time.monotonic() - t0
+    return outs[rid].outputs[0].token_ids, steps, dt, eng
+
+
+def test_draft_model_spec_exact_and_fewer_steps(params):
+    """ALIGNED draft (same weights as the target): proposals are the
+    target's own greedy continuations, so acceptance is ~100%, outputs are
+    identical to non-speculative greedy, and the engine takes at most half
+    the steps - the dispatch-count win that dominates on TPU serving
+    (~25 ms per round-trip)."""
+    rng = np.random.default_rng(5)
+    prompt = rng.integers(0, VOCAB, size=24).tolist()
+    draft = (tiny_cfg().model, params)
+
+    base_tokens, base_steps, _, _ = _run_draft(params, None, 0, prompt)
+    spec_tokens_out, spec_steps, _, eng = _run_draft(params, draft, 3,
+                                                     prompt)
+    assert spec_tokens_out == base_tokens
+    assert spec_steps <= -(-base_steps // 2), (spec_steps, base_steps)
+    acc = eng.stats.counters.get("spec_accepted_tokens", 0)
+    prop = eng.stats.counters.get("spec_proposed_tokens", 1)
+    assert acc / prop > 0.9, (acc, prop)
+
+
+@pytest.mark.skipif(os.environ.get("KVC_SLOW_TESTS") != "1",
+                    reason="trains two models (~minutes); run with "
+                           "KVC_SLOW_TESTS=1, see recorded result in "
+                           "experiments/results_spec_decode.json")
+def test_draft_model_spec_wall_speedup_small_draft():
+    """A SMALLER trained draft proposing for a larger trained target
+    (both near-perfect on the symbol-copy task, so acceptance stays high).
+    On the REAL chip this measures 2.38x wall speedup (recorded in
+    experiments/results_spec_decode.json; run
+    experiments/run_spec_decode_bench.py to reproduce). On the CPU test
+    backend tiny-model cost is OP-COUNT-bound, and a 2-layer draft
+    executes as many ops per step as the 2-layer target, so CPU wall time
+    only breaks even - assert no pathological regression here and leave
+    the speedup claim to the on-chip run."""
+    import os
+    import sys
+    import time
+    sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__))), "experiments"))
+    import run_digit_cr_sweep as sweep
+    from kvcompress_tpu.config import ModelConfig
+
+    tgt_cfg, tgt_params = sweep.train_copy_model(1500)
+    draft_cfg = ModelConfig(
+        num_layers=2, num_heads=2, num_kv_heads=2, head_size=32,
+        hidden_size=64, intermediate_size=128, vocab_size=sweep.VOCAB,
+        max_model_len=tgt_cfg.max_model_len, rope_theta=10000.0,
+        tie_word_embeddings=True, dtype="float32")
+    draft_cfg2, draft_params = sweep.train_copy_model(1500, cfg=draft_cfg)
+
+    n = sweep.N_DIGITS
+    rng = np.random.default_rng(7)
+    prompts = [([sweep.BOS]
+                + (rng.choice(sweep.VOCAB - 12, size=n,
+                              replace=False) + 12).tolist()
+                + [sweep.SEP]) for _ in range(2)]
+
+    def run(spec_tokens, draft):
+        cfg = sweep.model_config()
+        from kvcompress_tpu.config import (CacheConfig, EngineConfig,
+                                           KVCompressConfig,
+                                           ParallelConfig, SchedulerConfig)
+        ecfg = EngineConfig(
+            model=cfg,
+            cache=CacheConfig(block_size=16, cache_dtype="float32"),
+            kvcompress=KVCompressConfig(enabled=False),
+            scheduler=SchedulerConfig(max_num_seqs=2,
+                                      max_model_len=cfg.max_model_len,
+                                      prefill_buckets=(128,)),
+            parallel=ParallelConfig(),
+        )
+        ecfg.speculative = SpeculativeConfig(
+            num_speculative_tokens=spec_tokens,
+            method="draft" if draft else "ngram", draft_window=192)
+        eng = LLMEngine(ecfg, tgt_params, num_blocks=2048,
+                        attn_impl="xla", draft=draft)
+        eng.multi_step = 1
+        rids = [eng.add_request(None, prompt_token_ids=p,
+                                sampling_params=SamplingParams(
+                                    temperature=0.0, max_tokens=n,
+                                    ignore_eos=True)) for p in prompts]
+        t0 = time.monotonic()
+        outs = {}
+        while eng.has_unfinished_requests():
+            for o in eng.step():
+                if o.finished:
+                    outs[o.request_id] = o
+        return ([outs[r].outputs[0].token_ids for r in rids],
+                time.monotonic() - t0, eng)
+
+    base_out, _, _ = run(0, None)           # compile warm
+    spec_out, _, eng = run(4, (draft_cfg2, draft_params))
+    acc = eng.stats.counters.get("spec_accepted_tokens", 0)
+    prop = eng.stats.counters.get("spec_proposed_tokens", 1)
+    assert acc / prop > 0.7, (acc, prop)
+
+    t_base = min(run(0, None)[1] for _ in range(3))
+    t_spec = min(run(4, (draft_cfg2, draft_params))[1] for _ in range(3))
+    assert t_base / t_spec >= 0.8, (t_base, t_spec)
+
+
+def test_draft_model_spec_with_compression(params):
+    """Draft-model speculation composes with KV compression (the reference
+    forbids the combination outright)."""
+    rng = np.random.default_rng(6)
+    prompt = rng.integers(0, VOCAB, size=32).tolist()
+    draft = (tiny_cfg().model, params)
+    toks, _, _, eng = _run_draft(params, draft, 3, prompt,
+                                 compression=True)
+    assert len(toks) == 24
+    assert eng.stats.counters.get("spec_accepted_tokens", 0) > 0
