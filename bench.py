@@ -186,8 +186,13 @@ def run_phase(compress: bool) -> float:
     warm_tokens = 40  # enough decode steps to hit compression cadence twice
     eng = build_engine(compress=compress, quick=quick)
     run(eng, prompts[:warm_n], warm_tokens, max_cache_tokens)
-    return max(run(eng, prompts, output_len, max_cache_tokens)
+    tput = max(run(eng, prompts, output_len, max_cache_tokens)
                for _ in range(1 if quick else 2))
+    if os.environ.get("BENCH_PROFILE") == "1":
+        import sys
+        from kvcompress_tpu.utils.profiler import BENCHMARKER
+        print(BENCHMARKER.summarize(), file=sys.stderr)
+    return tput
 
 
 def main():

@@ -178,7 +178,7 @@ class LLMEngine:
         self._draft_ring = None  # draft-model spec decode KV ring
         self._pending = None  # (out, meta) of the in-flight burst
         self._pending_compress = None  # (packed, batch) of in-flight round
-        self._pending_prefill = None   # dict of the in-flight prefill
+        self._pending_prefill = []     # in-flight prefills (depth <= 2)
         # free-block mirror versioning: snapshots from out-of-order
         # collects must never make the mirror read HIGHER than reality
         self._dispatch_seq = 0
@@ -196,9 +196,9 @@ class LLMEngine:
         if snap_id < self._free_snap_id:
             return
         adj = 0
-        if (self._pending_prefill is not None
-                and self._pending_prefill["id"] > snap_id):
-            adj += self._pending_prefill["blocks"]
+        for pp in self._pending_prefill:
+            if pp["id"] > snap_id:
+                adj += pp["blocks"]
         if self._pending is not None and self._pending[1]["id"] > snap_id:
             adj += self.scheduler.blocks_needed_next_decode(
                 self._pending[1]["k"])
@@ -510,11 +510,23 @@ class LLMEngine:
         return outputs
 
     # ------------------------------------------------------------- prefill
-    def _collect_prefill(self) -> List[RequestOutput]:
-        if self._pending_prefill is None:
+    def _collect_prefill(self, drain: bool = True) -> List[RequestOutput]:
+        """Collect the oldest in-flight prefill (drain=True: all of
+        them). Prefills are pipelined two deep: dispatch N+1 goes out
+        before N's sampled token is fetched, hiding the ~2 round-trips of
+        host turnaround between consecutive prompts
+        (reference batches prefills instead, core/scheduler.py:1060-1180;
+        on TPU the device serializes programs anyway, so depth-2 dispatch
+        pipelining recovers the same device utilization)."""
+        if not self._pending_prefill:
             return []
-        pp = self._pending_prefill
-        self._pending_prefill = None
+        outs = self._collect_one_prefill()
+        while drain and self._pending_prefill:
+            outs += self._collect_one_prefill()
+        return outs
+
+    def _collect_one_prefill(self) -> List[RequestOutput]:
+        pp = self._pending_prefill.pop(0)
         seq = pp["seq"]
         packed = np.asarray(pp["packed"])  # [token, free_top]
         self._apply_free_snapshot(pp["id"], int(packed[1]))
@@ -537,7 +549,9 @@ class LLMEngine:
     def _do_prefill(self, seq: Sequence) -> List[RequestOutput]:
         assert self._pending is None, \
             "prefill dispatched with a decode burst in flight"
-        outputs = self._collect_prefill()
+        outputs = []
+        while len(self._pending_prefill) >= 2:
+            outputs += self._collect_one_prefill()
         sp = seq.sampling_params
         st = SamplingTensors.from_params([sp], pad_to=1,
                                          vocab_size=self.cfg.model.vocab_size)
@@ -559,11 +573,11 @@ class LLMEngine:
             sp.metric_collection_buffer_size, st, key,
             use_seeds=sp.seed is not None, logprobs_n=lp_n, **lora_kw)
         self._carry = None  # batch composition changed
-        self._pending_prefill = {
+        self._pending_prefill.append({
             "seq": seq, "packed": packed, "lp": lp, "lp_n": lp_n,
             "id": self._note_dispatch(),
             "blocks": self.scheduler.blocks_needed_for_prefill(seq),
-        }
+        })
         self.stats.counter("prompt_tokens", seq.num_prompt_tokens)
         self.stats.counter("generation_tokens")
         # force compression after prefill for sequences with compression
@@ -578,7 +592,7 @@ class LLMEngine:
 
     # -------------------------------------------------------------- decode
     def _build_carry(self, running: List[Sequence]) -> dict:
-        assert self._pending_prefill is None, \
+        assert not self._pending_prefill, \
             "decode carry built with a prefill in flight"
         """Device-resident decode inputs, rebuilt only when the batch
         composition changes; between rebuilds the step feeds its own device
@@ -1001,7 +1015,7 @@ class LLMEngine:
         self._collect_compress()
         kc = self.cfg.kvcompress
         sc = self.scheduler
-        if self._pending_prefill is not None and kc.enabled:
+        if self._pending_prefill and kc.enabled:
             n_iters = self.multi_step if sc.running else 1
             will_compress = (
                 self._force_compress
