@@ -121,7 +121,10 @@ def build_engine(compress: bool, quick: bool):
         kvc = KVCompressConfig(
             enabled=compress, compression_interval=16,
             max_kv_per_compression=5_000_000,        # reference default
-            max_cache_moves_per_compression=1 << 21)
+            # bounds ACTUAL compaction moves (<= surviving KVs), which
+            # sizes the gather/scatter workspace: 2 fresh 6000->128
+            # compressions need ~64k moves
+            max_cache_moves_per_compression=1 << 17)
 
     cfg = EngineConfig(
         model=model,

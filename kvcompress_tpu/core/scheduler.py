@@ -190,11 +190,17 @@ class Scheduler:
             if ((len(batch) + 1) * L * H * new_nb * bs
                     > kc.max_kv_per_compression):
                 break
-            if (total_evicted_kv + eb * bs
+            # moves needed <= min(evicted, surviving): compaction only
+            # fills eviction holes below the new context length
+            # (kvcompress/eviction.py plan_cache_moves), so a 6000->128
+            # token compression schedules at most ~128 moves per head,
+            # not 5900
+            moves = min(eb * bs, max(seq.kv_count - eb * bs, 0))
+            if (total_evicted_kv + moves
                     > kc.max_cache_moves_per_compression):
                 break
             nb_max = new_nb
-            total_evicted_kv += eb * bs
+            total_evicted_kv += moves
             batch.append((seq, eb))
 
         if not batch:

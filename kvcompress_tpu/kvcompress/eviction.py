@@ -180,13 +180,17 @@ def schedule_evictions(
 
     # --- 4. evicted KV counts and masks: freeing k blocks evicts the
     # (k-1)*block_size + hanging lowest-metric KVs
-    # (reference metrics.py:788-792, _custom_ops.py:1045-1052) ---
+    # (reference metrics.py:788-792, _custom_ops.py:1045-1052).
+    # The logical-order mask needs each slot's rank in the sorted order -
+    # computed by a second SORT (inverse permutation), not a scatter:
+    # 8M-element scalar scatters are ~5x slower than sorts on TPU ---
     c = jnp.where(e > 0, (e - 1) * block_size + hanging, 0)  # [B, L, H]
     c_g = c.reshape(G)
-    ev_sorted = jnp.arange(n, dtype=jnp.int32)[None, :] < c_g[:, None]
-    evicted = jnp.zeros((G, n), dtype=bool).at[
-        jnp.arange(G)[:, None], sorted_logical
-    ].set(ev_sorted, unique_indices=True)
+    rank_iota = jnp.broadcast_to(
+        jnp.arange(n, dtype=jnp.int32)[None, :], (G, n))
+    _, rank_of_logical = jax.lax.sort(
+        (sorted_logical, rank_iota), dimension=-1, num_keys=1)
+    evicted = rank_of_logical < c_g[:, None]
 
     return EvictionSchedule(
         evicted_mask=evicted.reshape(B, L, H, n),
@@ -223,13 +227,14 @@ def plan_cache_moves(
                            dtype=jnp.int32)[:, ::-1] - 1
     n_moves = jnp.sum(holes, axis=-1, dtype=jnp.int32)  # [G]
 
-    rows = jnp.arange(G, dtype=jnp.int32)[:, None]
-    dst_by_rank = jnp.full((G, n), -1, jnp.int32).at[
-        rows, jnp.where(holes, hole_rank, n)
-    ].set(jnp.broadcast_to(idx, (G, n)), mode="drop")
-    src_by_rank = jnp.full((G, n), -1, jnp.int32).at[
-        rows, jnp.where(survivors, surv_rank, n)
-    ].set(jnp.broadcast_to(idx, (G, n)), mode="drop")
+    # rank -> logical maps via SORT (value permuted by masked-rank key)
+    # instead of 2D scalar scatters: sorts are ~5x faster at this size
+    idx_b = jnp.broadcast_to(idx, (G, n))
+    _, dst_by_rank = jax.lax.sort(
+        (jnp.where(holes, hole_rank, n), idx_b), dimension=-1, num_keys=1)
+    _, src_by_rank = jax.lax.sort(
+        (jnp.where(survivors, surv_rank, n), idx_b), dimension=-1,
+        num_keys=1)
 
     # logical -> physical slot via block tables
     bt = block_tables_w.reshape(G, -1)
@@ -242,16 +247,21 @@ def plan_cache_moves(
     dst_phys = phys(dst_by_rank)
     src_phys = phys(src_by_rank)
 
-    # flat-pack per-head move lists at cumulative offsets
-    offsets = jnp.cumsum(n_moves) - n_moves  # exclusive prefix sum [G]
+    # flat-pack per-head move lists at cumulative offsets: one global sort
+    # by (validity, group, rank) packs all valid moves into the prefix
     rank = jnp.arange(n, dtype=jnp.int32)[None, :]
     move_valid = rank < n_moves[:, None]
-    flat_pos = jnp.where(move_valid, offsets[:, None] + rank, moves_cap)
-
-    dst = jnp.zeros((moves_cap,), jnp.int32).at[flat_pos.reshape(-1)].set(
-        dst_phys.reshape(-1), mode="drop")
-    src = jnp.zeros((moves_cap,), jnp.int32).at[flat_pos.reshape(-1)].set(
-        src_phys.reshape(-1), mode="drop")
+    rows = jnp.arange(G, dtype=jnp.int32)[:, None]
+    okey = jnp.where(move_valid, rows * n + rank, G * n).reshape(-1)
+    _, dst_p, src_p = jax.lax.sort(
+        (okey, dst_phys.reshape(-1), src_phys.reshape(-1)), dimension=-1,
+        num_keys=1)
+    if G * n < moves_cap:
+        pad = moves_cap - G * n
+        dst_p = jnp.pad(dst_p, (0, pad))
+        src_p = jnp.pad(src_p, (0, pad))
+    dst = dst_p[:moves_cap]
+    src = src_p[:moves_cap]
     total = jnp.sum(n_moves)
     valid = jnp.arange(moves_cap, dtype=jnp.int32) < total
     return CacheMoves(dst=dst, src=src, valid=valid)
@@ -293,12 +303,12 @@ def gather_workspace(
     bt = state.block_tables[:, safe, :, :nb]          # [L, B, H, nb]
     bt_w = jnp.transpose(bt, (1, 0, 2, 3))            # [B, L, H, nb]
     ctx_w = jnp.transpose(state.context_lens[:, safe, :], (1, 0, 2))
-    offs = jnp.arange(block_size, dtype=jnp.int32)
-    phys = (bt_w[..., None] * block_size + offs).reshape(
-        *bt_w.shape[:3], nb * block_size
-    )
-    metrics_w = state.kv_metrics.reshape(-1)[phys]
-    positions_w = state.kv_positions.reshape(-1)[phys]
+    # gather whole block ROWS (sublane-contiguous) instead of per-slot
+    # flat indices: ~10x faster on TPU for the same bytes
+    B, L, H, _ = bt_w.shape
+    n = nb * block_size
+    metrics_w = state.kv_metrics[bt_w].reshape(B, L, H, n)
+    positions_w = state.kv_positions[bt_w].reshape(B, L, H, n)
     return bt_w, ctx_w, metrics_w, positions_w
 
 
