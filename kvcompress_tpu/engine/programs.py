@@ -123,18 +123,48 @@ class EnginePrograms:
                 seq_len.astype(jnp.int32))
 
             t_idx = jnp.arange(T, dtype=jnp.int32)
-            blocks_t = jnp.take(ids, t_idx // bs, axis=2)  # [L, H, T]
-            sm = blocks_t * bs + (t_idx % bs)[None, None, :]
-            sm = jnp.where(t_idx[None, None, :] < seq_len, sm, -1)
-            slot_mappings = jnp.transpose(sm, (0, 2, 1))  # [L, T, H]
 
             lora = (lora_idx, lora_scale) if use_lora else None
-            last_hidden, cache = llama.prefill(
-                params, mcfg, tokens, seq_len, slot_mappings,
+            last_hidden, ks, vs, pfs = llama.prefill(
+                params, mcfg, tokens, seq_len, None,
                 _cache_of(state), buffer_len, spec, lora=lora,
                 prefix_embed=pa_embed if use_pa else None,
                 prefix_len=pa_len if use_pa else None,
-                mesh=self.mesh)
+                mesh=self.mesh, write_cache=False)
+            # Cache-write epilogue as whole-BLOCK-row scatters (the prompt
+            # fills blocks contiguously, so [L,T,H] reshapes straight to
+            # [L,H,nbb,bs]); per-slot flat scatters of the same bytes
+            # measure ~5x slower on TPU. Unneeded blocks carry id 0 and
+            # land on the trash block.
+            assert T == nbb * bs, (T, nbb, bs)
+            d = mcfg.head_size
+            L_, H_ = ids.shape[0], ids.shape[1]
+            k_rows = jnp.transpose(ks, (0, 2, 1, 3)).reshape(
+                L_, H_, nbb, bs, d)
+            v_rows = jnp.transpose(vs, (0, 2, 1, 3)).reshape(
+                L_, H_, nbb, bs, d)
+            if spec.record_metrics:
+                pf_rows = jnp.transpose(pfs, (0, 2, 1)).reshape(
+                    L_, H_, nbb, bs)
+            else:  # XLA prefill_attention computes metrics unconditionally
+                pf_rows = jnp.zeros((L_, H_, nbb, bs), jnp.float32)
+            cache = _cache_of(state)
+            k_scale, v_scale = cache.k_scale, cache.v_scale
+            if k_scale is not None:
+                from kvcompress_tpu.ops.kv_quant import quantize_kv
+                k_rows, k_sc = quantize_kv(k_rows)
+                v_rows, v_sc = quantize_kv(v_rows)
+                k_scale = k_scale.at[ids].set(k_sc)
+                v_scale = v_scale.at[ids].set(v_sc)
+            pos_row = jnp.where(t_idx < seq_len, t_idx, -1).reshape(
+                nbb, bs)[None, None]                     # [1, 1, nbb, bs]
+            cache = KVCache(
+                cache.k.at[ids].set(k_rows.astype(cache.k.dtype)),
+                cache.v.at[ids].set(v_rows.astype(cache.v.dtype)),
+                cache.metrics.at[ids].set(pf_rows),
+                cache.positions.at[ids].set(
+                    jnp.broadcast_to(pos_row, (L_, H_, nbb, bs))),
+                k_scale, v_scale)
             logits = llama.compute_logits(params, mcfg, last_hidden)[None]
             logits = sampler_mod.apply_logit_bias(logits, st)
             if use_guided:

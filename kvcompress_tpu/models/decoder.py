@@ -684,10 +684,14 @@ def prefill(
     prefix_embed=None,         # [max_virtual, D] prompt-adapter soft prompt
     prefix_len=None,           # [] i32 valid virtual tokens
     mesh=None,                 # TP mesh: pallas kernel runs per shard
-) -> Tuple[jax.Array, KVCache]:
+    write_cache: bool = True,  # False: return raw (ks, vs, pfs) instead
+):
     """Prompt pass: writes KVs + positions, collects prefill metrics,
     returns hidden state of the last real token [D] and updated cache
-    (reference flash_attn.py:917-1021 prefill branch)."""
+    (reference flash_attn.py:917-1021 prefill branch). With
+    write_cache=False the caller does the cache writes itself (the engine
+    writes whole block rows, which beats the per-slot scatters here) and
+    gets (last_hidden, ks [L,T,H,d], vs, pfs [L,T,H])."""
     T = token_ids.shape[0]
     positions = jnp.arange(T, dtype=jnp.int32)
     scale = attn_scale(cfg)
@@ -766,6 +770,9 @@ def prefill(
     hidden, cache, (ks, vs, pfs) = forward_collect(
         params, cfg, token_ids, positions, cache, attn_fn, layer_xs,
         lora=lora, embed_override=embed_override)
+    if not write_cache:
+        last = jnp.take(hidden, jnp.clip(seq_len - 1, 0), axis=0)
+        return last, ks, vs, pfs
     # Single cache-write epilogue across all layers (instead of 5 scatters
     # per layer): K, V, positions, metric init (+ prefill metric add).
     # ks/vs: [L, T, H, d]; pfs: [L, T, H]; slot_mappings: [L, T, H].
