@@ -20,9 +20,14 @@ import jax.numpy as jnp
 import numpy as np
 
 # Persistent XLA compilation cache: engine programs are fixed-shape and
-# bucketed, so across restarts every program is a cache hit.
-_CACHE_DIR = os.environ.get("KVC_COMPILATION_CACHE",
-                            os.path.expanduser("~/.cache/kvc_xla"))
+# bucketed, so across restarts every program is a cache hit. The directory
+# is keyed by a HOST fingerprint (utils/hostcache.py): XLA:CPU AOT results
+# embed the compile machine's CPU features and loading them on a different
+# machine spams cpu_aot_loader errors (and risks SIGILL), so entries must
+# never be shared across hosts.
+from kvcompress_tpu.utils.hostcache import default_cache_dir
+
+_CACHE_DIR = default_cache_dir()
 try:  # pragma: no cover
     jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
