@@ -47,9 +47,13 @@ def model_config():
         tie_word_embeddings=True, dtype="float32")
 
 
-def train_copy_model(steps: int, seed: int = 0, cfg=None):
+def train_copy_model(steps: int, seed: int = 0, cfg=None, batch_fn=None,
+                     batch_size: int = 64, pad_t: int = PAD_T):
     """Train the generic decoder on the digit-copy task (full causal
-    attention, next-token loss on the repeated segment)."""
+    attention, next-token loss on the repeated segment). `batch_fn(rng, B, T)
+    -> (tokens [B,T] i64, weights [B,T] f32)` overrides the default
+    digit-copy batch (used by tests/test_compression_exactness.py for the
+    filler-redundancy variant)."""
     import jax
     import jax.numpy as jnp
     import optax
@@ -94,9 +98,9 @@ def train_copy_model(steps: int, seed: int = 0, cfg=None):
         return optax.apply_updates(params, updates), opt_state, loss
 
     rng = np.random.default_rng(seed)
-    B, T = 64, PAD_T
+    B, T = batch_size, pad_t
 
-    def batch():
+    def default_batch(rng, B, T):
         toks = np.zeros((B, T), np.int64)
         w = np.zeros((B, T), np.float32)
         for b in range(B):
@@ -107,9 +111,10 @@ def train_copy_model(steps: int, seed: int = 0, cfg=None):
             w[b, n + 2:len(seq)] = 1.0  # loss on the repeated digits only
         return toks, w
 
+    batch_fn = batch_fn or default_batch
     loss = None
     for i in range(steps):
-        toks, w = batch()
+        toks, w = batch_fn(rng, B, T)
         params, opt_state, loss = step(params, opt_state, toks, w)
         if i % 200 == 0:
             print(f"  train step {i}: loss {float(loss):.4f}")
@@ -194,8 +199,14 @@ def derive_head_bias(cfg, params, tmpdir, seed=2):
                         sampling_params=SamplingParams(
                             temperature=0.0, max_tokens=N_DIGITS,
                             ignore_eos=True))
-    while eng.has_unfinished_requests():
+    # Read the state MID-FLIGHT: once a sequence finishes its slot is freed
+    # and context_lens zero out, which would make every `valid` mask False
+    # and the derived bias identically zero (the round-2 sweep's inert-bias
+    # bug). Stop while all four sequences are still decoding.
+    for _ in range(N_DIGITS // 2):
         eng.step()
+    assert eng.has_unfinished_requests()
+    eng._flush_pending()
     # aggregate per-head mean metric through the block tables
     import jax.numpy as jnp
     st = eng.state
