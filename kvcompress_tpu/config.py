@@ -82,6 +82,7 @@ class ModelConfig:
     attention_scale: Optional[float] = None  # default head_size**-0.5
     attn_logit_softcap: Optional[float] = None  # gemma2
     logits_scaling: float = 1.0         # granite: logits /= logits_scaling
+    gegelu_limit: Optional[float] = None  # phi3-small clamped gegelu
     rope_interleaved: bool = False      # gpt-j / cohere rotate-every-two
     qk_norm: bool = False               # persimmon/qwen3 per-head q/k norm
     qk_norm_full: bool = False          # olmo2/olmoe: norm over Hq*d
@@ -99,6 +100,12 @@ class ModelConfig:
     moe_routed_scaling: float = 1.0     # deepseek routed_scaling_factor
     moe_n_group: int = 1                # deepseek group-limited routing
     moe_topk_group: int = 1
+    # Arctic dense+MoE hybrid layers (snowflake): the routed-MoE branch
+    # reads the PRE-attention residual through post_attention_layernorm
+    # while a parallel dense MLP (residual_mlp / per-layer dense FFN) reads
+    # the post-attention stream through its own norm
+    # (reference arctic.py:330-357 ArcticDecoderLayer.forward)
+    arctic_residual: bool = False
     # --- Multi-head Latent Attention (deepseek v2/v3) ---
     # The cache stores ONE vector per (layer, token): the normalized
     # compressed latent (kv_lora_rank) concatenated with the roped shared

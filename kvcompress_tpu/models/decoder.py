@@ -175,6 +175,8 @@ def _act(x: jax.Array, act: str) -> jax.Array:
     if act == "relu2":
         r = jax.nn.relu(xf)
         return r * r
+    if act == "quick_gelu":
+        return xf * jax.nn.sigmoid(1.702 * xf)
     raise ValueError(f"unsupported activation {act}")
 
 
@@ -193,7 +195,19 @@ def _dense_mlp(x: jax.Array, lw: Dict[str, jax.Array],
     up = _mm(x, lw, "w_up")
     if "b_gate" in lw:
         gate, up = gate + lw["b_gate"], up + lw["b_up"]
-    h = (_act(gate, cfg.hidden_act).astype(x.dtype) * up)
+    if cfg.hidden_act == "gegelu":
+        # phi3-small gegelu (reference phi3_small.py:59-70): the gate side
+        # is upper-clamped, the linear side is clamped to +-limit and
+        # offset by 1; the loader deinterleaves up_proj's even/odd columns
+        # into gate/up
+        lim = cfg.gegelu_limit
+        gf, uf = gate.astype(jnp.float32), up.astype(jnp.float32)
+        if lim is not None:
+            gf = jnp.minimum(gf, lim)
+            uf = jnp.clip(uf, -lim, lim)
+        h = (_act(gf, "quick_gelu") * (uf + 1.0)).astype(x.dtype)
+    else:
+        h = (_act(gate, cfg.hidden_act).astype(x.dtype) * up)
     out = _mm(h, lw, "w_down")
     if "b_down" in lw:
         out = out + lw["b_down"]
@@ -571,7 +585,21 @@ def _layer_step_fn(cfg: ModelConfig, T: int, cos, sin, attn_fn,
                 return proj(hh, "w_down")
             return _mlp(hm, lw, cfg)
 
-        if cfg.parallel_residual:
+        if cfg.arctic_residual:
+            # Arctic hybrid (reference arctic.py:330-357): the dense branch
+            # (residual_mlp on MoE layers, the layer's FFN on dense layers)
+            # norms the POST-attention stream; the routed experts norm the
+            # PRE-attention residual; dense layers carry zeroed experts so
+            # their routed term vanishes exactly.
+            x_attn = x + a
+            sh_in = _norm(x_attn, lw["res_norm"], None, cfg)
+            m_sh = _dense_mlp(sh_in, {
+                "w_gate": lw["shared_gate"], "w_up": lw["shared_up"],
+                "w_down": lw["shared_down"]}, cfg)
+            moe_in = _norm(x, lw["post_attn_norm"], None, cfg)
+            m_moe = _moe_mlp(moe_in, lw, cfg)
+            x = x_attn + m_sh + m_moe
+        elif cfg.parallel_residual:
             hm = h if cfg.shared_input_norm else _norm(
                 x, lw["post_attn_norm"], lw.get("post_attn_norm_b"), cfg)
             m = mlp_fn(hm)

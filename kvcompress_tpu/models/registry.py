@@ -123,6 +123,7 @@ def _load_llama_style(
     v: str = "self_attn.v_proj", o: str = "self_attn.o_proj",
     gate: str = "mlp.gate_proj", up: str = "mlp.up_proj",
     down: str = "mlp.down_proj",
+    skip_mlp: bool = False,
 ) -> Dict[str, Any]:
     ld = _Loader(t, cfg, dtype)
     ld.stack("input_norm", p + input_norm)
@@ -137,7 +138,9 @@ def _load_llama_style(
     for name, proj in (("bq", q), ("bk", k), ("bv", v)):
         ld.stack_opt(name, p + proj + ".bias")
     ld.stack_opt("bo", p + o + ".bias")
-    if cfg.mlp_type == "plain":
+    if skip_mlp:
+        pass
+    elif cfg.mlp_type == "plain":
         ld.stack("w_fc1", p + gate + ".weight", transpose=True)
         ld.stack("w_fc2", p + down + ".weight", transpose=True)
         ld.stack_opt("b_fc1", p + gate + ".bias")
@@ -1547,6 +1550,467 @@ def _deepseek_mla():
     return cfg_fn, load_fn
 
 
+@_register("QWenLMHeadModel")
+def _qwen_v1():
+    """Qwen v1 (reference vllm/model_executor/models/qwen.py): llama
+    semantics with RMSNorm ln_1/ln_2, fused biased c_attn, and a gated MLP
+    where w2 is the GATE, w1 the UP projection (qwen.py:306-307) and the
+    effective intermediate size is config.intermediate_size // 2
+    (qwen.py:154)."""
+    def cfg_fn(hf, name):
+        return _base_cfg(
+            hf, "QWenLMHeadModel", name,
+            intermediate_size=hf["intermediate_size"] // 2,
+            max_model_len=_g(hf, "seq_length", "max_position_embeddings",
+                             default=8192),
+            rms_norm_eps=_g(hf, "layer_norm_epsilon", default=1e-6),
+            qkv_bias=True, attention_bias=True,
+            rope_theta=_g(hf, "rotary_emb_base", default=10000.0),
+            tie_word_embeddings=False, hidden_act="silu")
+
+    def load_fn(t, cfg, dtype):
+        D = cfg.hidden_size
+        ld = _Loader(t, cfg, dtype)
+        p = "transformer.h.{}."
+        ld.stack("input_norm", p + "ln_1.weight")
+        ld.stack("post_attn_norm", p + "ln_2.weight")
+        # c_attn: torch Linear [3D, hidden] -> transpose then split
+        ca = lambda i: t[f"transformer.h.{i}.attn.c_attn.weight"].T
+        cb = lambda i: t[f"transformer.h.{i}.attn.c_attn.bias"]
+        ld.stack_fn("wq", lambda i: ca(i)[:, :D])
+        ld.stack_fn("wk", lambda i: ca(i)[:, D:2 * D])
+        ld.stack_fn("wv", lambda i: ca(i)[:, 2 * D:])
+        ld.stack_fn("bq", lambda i: cb(i)[:D])
+        ld.stack_fn("bk", lambda i: cb(i)[D:2 * D])
+        ld.stack_fn("bv", lambda i: cb(i)[2 * D:])
+        ld.stack("wo", p + "attn.c_proj.weight", transpose=True)
+        ld.stack("w_gate", p + "mlp.w2.weight", transpose=True)
+        ld.stack("w_up", p + "mlp.w1.weight", transpose=True)
+        ld.stack("w_down", p + "mlp.c_proj.weight", transpose=True)
+        ld.put("embed", "transformer.wte.weight")
+        ld.put("final_norm", "transformer.ln_f.weight")
+        ld.put("lm_head", "lm_head.weight")
+        return ld.params()
+
+    return cfg_fn, load_fn
+
+
+@_register("DeciLMForCausalLM")
+def _decilm():
+    """DeciLM: llama with VARIABLE GQA per layer
+    (num_key_value_heads_per_layer). Like the reference
+    (vllm/model_executor/models/decilm.py:49-55 _degroup_weight) we
+    normalise at load time to uniform GQA at the max head count by
+    replicating each kv-head group consecutively - attention output is
+    bit-identical because query head i's group index floor(i*h_l/Hq)
+    becomes floor(i*H*/Hq) after replication."""
+    def cfg_fn(hf, name):
+        per_layer = hf.get("num_key_value_heads_per_layer")
+        kv = max(per_layer) if per_layer else _g(
+            hf, "num_key_value_heads", default=hf["num_attention_heads"])
+        cfg = _base_cfg(hf, "DeciLMForCausalLM", name, num_kv_heads=kv)
+        cfg.decilm_kv_heads_per_layer = tuple(per_layer) if per_layer \
+            else None
+        return cfg
+
+    def load_fn(t, cfg, dtype):
+        per_layer = getattr(cfg, "decilm_kv_heads_per_layer", None)
+        if not per_layer:
+            return _load_llama_style(t, cfg, dtype)
+        d, H = cfg.head_size, cfg.num_kv_heads
+
+        # normalise the checkpoint to uniform GQA before the generic load
+        t = dict(t)
+        for i, h_l in enumerate(per_layer):
+            rep = H // h_l
+            if rep == 1:
+                continue
+            for which in ("k", "v"):
+                key = f"model.layers.{i}.self_attn.{which}_proj.weight"
+                w = t[key].reshape(h_l, d, -1)
+                t[key] = np.repeat(w, rep, axis=0).reshape(H * d, -1)
+        return _load_llama_style(t, cfg, dtype)
+
+    return cfg_fn, load_fn
+
+
+@_register("JAISLMHeadModel")
+def _jais():
+    """JAIS (reference vllm/model_executor/models/jais.py): GPT-2 layout
+    (Conv1D [in, out] tensors, fused c_attn) with ALiBi positions, muP
+    scaling (embeddings_scale on the embedding, width_scale on the logits,
+    1/d attention scale when scale_qk_dot_by_d), and a SwiGLU MLP where
+    c_fc2 is the gate (jais.py:49-52,162-168: c_fc(x) * silu(c_fc2(x)))."""
+    def cfg_fn(hf, name):
+        heads = _g(hf, "num_attention_heads", "n_head")
+        hidden = _g(hf, "hidden_size", "n_embd")
+        swiglu = _g(hf, "activation_function") == "swiglu"
+        alibi = _g(hf, "position_embedding_type", default="alibi") == "alibi"
+        scale_by_d = _g(hf, "scale_qk_dot_by_d", "mup_scale_qk_dot_by_d",
+                        default=False)
+        d = hidden // heads
+        emb_scale = _g(hf, "embeddings_scale", "mup_embeddings_scale",
+                       default=1.0)
+        width_scale = _g(hf, "width_scale", default=None)
+        if width_scale is None:
+            width_scale = (_g(hf, "mup_output_alpha", default=1.0)
+                           * _g(hf, "mup_width_scale", default=1.0))
+        return _base_cfg(
+            hf, "JAISLMHeadModel", name,
+            num_layers=_g(hf, "num_hidden_layers", "n_layer"),
+            num_heads=heads, num_kv_heads=heads, hidden_size=hidden,
+            head_size=d,
+            intermediate_size=_g(hf, "n_inner", default=4 * hidden),
+            max_model_len=_g(hf, "n_positions",
+                             "max_position_embeddings", default=2048),
+            norm_type="layernorm", norm_bias=True,
+            pos_embedding="none" if alibi else "learned",
+            alibi=alibi,
+            mlp_type="gated" if swiglu else "plain",
+            attention_bias=True, qkv_bias=True, o_bias=True,
+            mlp_bias=True,
+            tie_word_embeddings=_g(hf, "tie_word_embeddings", default=True),
+            embedding_multiplier=float(emb_scale),
+            # logits_scaling DIVIDES (granite semantics); JAIS multiplies
+            logits_scaling=1.0 / float(width_scale),
+            attention_scale=(1.0 / d) if scale_by_d else None,
+            hidden_act="silu" if swiglu else _g(
+                hf, "activation_function", default="gelu_new"))
+
+    def load_fn(t, cfg, dtype):
+        D = cfg.hidden_size
+        pre = "" if "h.0.ln_1.weight" in t else "transformer."
+        p = pre + "h.{}."
+        ld = _Loader(t, cfg, dtype)
+        ld.stack("input_norm", p + "ln_1.weight")
+        ld.stack("input_norm_b", p + "ln_1.bias")
+        ld.stack("post_attn_norm", p + "ln_2.weight")
+        ld.stack("post_attn_norm_b", p + "ln_2.bias")
+        # Conv1D layout [in, out]: no transpose
+        ca = lambda i: t[f"{pre}h.{i}.attn.c_attn.weight"]
+        cb = lambda i: t[f"{pre}h.{i}.attn.c_attn.bias"]
+        ld.stack_fn("wq", lambda i: ca(i)[:, :D])
+        ld.stack_fn("wk", lambda i: ca(i)[:, D:2 * D])
+        ld.stack_fn("wv", lambda i: ca(i)[:, 2 * D:])
+        ld.stack_fn("bq", lambda i: cb(i)[:D])
+        ld.stack_fn("bk", lambda i: cb(i)[D:2 * D])
+        ld.stack_fn("bv", lambda i: cb(i)[2 * D:])
+        ld.stack("wo", p + "attn.c_proj.weight")
+        ld.stack("bo", p + "attn.c_proj.bias")
+        if cfg.mlp_type == "gated":
+            ld.stack("w_gate", p + "mlp.c_fc2.weight")
+            ld.stack("b_gate", p + "mlp.c_fc2.bias")
+            ld.stack("w_up", p + "mlp.c_fc.weight")
+            ld.stack("b_up", p + "mlp.c_fc.bias")
+            ld.stack("w_down", p + "mlp.c_proj.weight")
+            ld.stack("b_down", p + "mlp.c_proj.bias")
+        else:
+            ld.stack("w_fc1", p + "mlp.c_fc.weight")
+            ld.stack("b_fc1", p + "mlp.c_fc.bias")
+            ld.stack("w_fc2", p + "mlp.c_proj.weight")
+            ld.stack("b_fc2", p + "mlp.c_proj.bias")
+        ld.put("embed", pre + "wte.weight")
+        if cfg.pos_embedding == "learned":
+            ld.put("pos_embed", pre + "wpe.weight")
+        ld.put("final_norm", pre + "ln_f.weight")
+        ld.put("final_norm_b", pre + "ln_f.bias")
+        if not cfg.tie_word_embeddings:
+            ld.put("lm_head", "lm_head.weight")
+        return ld.params()
+
+    return cfg_fn, load_fn
+
+
+@_register("Phi3SmallForCausalLM")
+def _phi3_small():
+    """Phi-3-small (reference vllm/model_executor/models/phi3_small.py):
+    LayerNorm, head-major fused query_key_value, gegelu MLP with
+    interleaved gate/up columns, muP scaling (embedding multiplier, 1/
+    mup_width_multiplier on logits, mup_attn_multiplier/d attention scale),
+    linear rope position scale.
+
+    Blocksparse attention (phi3_small.py:118-127) is NOT implemented; a
+    checkpoint whose non-dense layers would use the blocksparse mask is
+    rejected loudly unless dense_attention_every_n_layers == 1."""
+    def cfg_fn(hf, name):
+        if (hf.get("blocksparse_block_size") is not None
+                and hf.get("dense_attention_every_n_layers", 1) != 1):
+            raise ValueError(
+                "Phi3Small blocksparse attention layers are not supported "
+                "(reference phi3_small.py:118-127 BlocksparseParams); only "
+                "checkpoints with dense_attention_every_n_layers == 1 load")
+        heads = hf["num_attention_heads"]
+        hidden = hf["hidden_size"]
+        d = hidden // heads
+        if hf.get("mup_use_scaling", False):
+            attn_scale = hf["mup_attn_multiplier"] / d
+        else:
+            attn_scale = d ** -0.5
+        scaling = hf.get("rope_scaling")
+        if scaling is None and hf.get("rope_position_scale", 1.0) != 1.0:
+            scaling = {"type": "linear",
+                       "factor": hf["rope_position_scale"]}
+        return _base_cfg(
+            hf, "Phi3SmallForCausalLM", name,
+            norm_type="layernorm", norm_bias=True,
+            rope_theta=_g(hf, "rope_embedding_base", default=10000.0),
+            rope_scaling=scaling,
+            attention_bias=True, qkv_bias=True, o_bias=True, mlp_bias=True,
+            attention_scale=attn_scale,
+            embedding_multiplier=float(
+                hf.get("mup_embedding_multiplier") or 1.0),
+            logits_scaling=float(hf.get("mup_width_multiplier") or 1.0),
+            hidden_act="gegelu",
+            gegelu_limit=hf.get("gegelu_limit"),
+            rms_norm_eps=_g(hf, "layer_norm_epsilon", default=1e-5),
+            tie_word_embeddings=_g(hf, "tie_word_embeddings", default=True))
+
+    def load_fn(t, cfg, dtype):
+        d = cfg.head_size
+        Hq, Hkv = cfg.num_heads, cfg.num_kv_heads
+        qpk = Hq // Hkv
+        p = "model.layers.{}."
+        ld = _Loader(t, cfg, dtype)
+        ld.stack("input_norm", p + "input_layernorm.weight")
+        ld.stack("input_norm_b", p + "input_layernorm.bias")
+        ld.stack("post_attn_norm", p + "post_attention_layernorm.weight")
+        ld.stack("post_attn_norm_b", p + "post_attention_layernorm.bias")
+
+        # head-major fused qkv: per kv group (qpk q-heads, 1 k, 1 v)
+        def qkv(i, which, bias):
+            sfx = "bias" if bias else "weight"
+            w = t[f"model.layers.{i}.self_attn.query_key_value.{sfx}"]
+            g = w.reshape(Hkv, (qpk + 2) * d, *w.shape[1:])
+            if which == "q":
+                part = g[:, :qpk * d]
+            elif which == "k":
+                part = g[:, qpk * d:(qpk + 1) * d]
+            else:
+                part = g[:, (qpk + 1) * d:]
+            part = part.reshape(-1, *w.shape[1:])
+            return part if bias else part.T
+
+        for nm, wh in (("wq", "q"), ("wk", "k"), ("wv", "v")):
+            ld.stack_fn(nm, lambda i, wh=wh: qkv(i, wh, False))
+        for nm, wh in (("bq", "q"), ("bk", "k"), ("bv", "v")):
+            ld.stack_fn(nm, lambda i, wh=wh: qkv(i, wh, True))
+        ld.stack("wo", p + "self_attn.dense.weight", transpose=True)
+        ld.stack("bo", p + "self_attn.dense.bias")
+
+        # gegelu up_proj: even columns = gelu(gate) side, odd = linear(up)
+        def updeint(i, odd, bias):
+            sfx = "bias" if bias else "weight"
+            w = t[f"model.layers.{i}.mlp.up_proj.{sfx}"]
+            part = w[1::2] if odd else w[0::2]
+            return part if bias else part.T
+
+        ld.stack_fn("w_gate", lambda i: updeint(i, False, False))
+        ld.stack_fn("b_gate", lambda i: updeint(i, False, True))
+        ld.stack_fn("w_up", lambda i: updeint(i, True, False))
+        ld.stack_fn("b_up", lambda i: updeint(i, True, True))
+        ld.stack("w_down", p + "mlp.down_proj.weight", transpose=True)
+        ld.stack("b_down", p + "mlp.down_proj.bias")
+        ld.put("embed", "model.embed_tokens.weight")
+        ld.put("final_norm", "model.final_layernorm.weight")
+        ld.put("final_norm_b", "model.final_layernorm.bias")
+        if not cfg.tie_word_embeddings and "lm_head.weight" in t:
+            ld.put("lm_head", "lm_head.weight")
+        return ld.params()
+
+    return cfg_fn, load_fn
+
+
+@_register("DeepseekForCausalLM")
+def _deepseek_v1():
+    """DeepSeek v1 (reference vllm/model_executor/models/deepseek.py):
+    standard llama attention (no MLA) + MoE with shared experts,
+    first_k_dense_replace dense layers and moe_layer_freq; softmax top-k
+    routing with optional renormalisation (deepseek.py:155-165)."""
+    def cfg_fn(hf, name):
+        E = hf.get("n_routed_experts") or 0
+        sh = ((hf.get("n_shared_experts") or 0)
+              * (hf.get("moe_intermediate_size") or 0))
+        return _base_cfg(
+            hf, "DeepseekForCausalLM", name,
+            num_experts=E,
+            num_experts_per_tok=hf.get("num_experts_per_tok", 2),
+            moe_intermediate_size=hf.get("moe_intermediate_size"),
+            moe_norm_topk_prob=hf.get("norm_topk_prob", False),
+            # dense layers ride in the shared-expert slots; pad the slot
+            # width so the wider of (dense I, shared I) fits
+            moe_shared_expert_size=max(sh, hf["intermediate_size"])
+            if E else 0)
+
+    def load_fn(t, cfg, dtype):
+        params = _load_llama_style(t, cfg, dtype,
+                                   skip_mlp=bool(cfg.num_experts))
+        if not cfg.num_experts:
+            return params
+        D = cfg.hidden_size
+        E, Im = cfg.num_experts, cfg.moe_intermediate_size
+        I_sh = cfg.moe_shared_expert_size
+        ld = _Loader(t, cfg, dtype)
+
+        def moe_layer(i):
+            return f"model.layers.{i}.mlp.gate.weight" in t
+
+        def shared(i, which):
+            key = f"model.layers.{i}.mlp.shared_experts.{which}.weight"
+            if moe_layer(i) and key not in t:
+                # n_shared_experts == 0: routed-only MoE layer
+                return (np.zeros((I_sh, D), np.float32)
+                        if which == "down_proj"
+                        else np.zeros((D, I_sh), np.float32))
+            w = (t[key] if moe_layer(i)
+                 else t[f"model.layers.{i}.mlp.{which}.weight"])
+            w = w.T
+            if which == "down_proj":
+                out = np.zeros((I_sh, D), w.dtype)
+                out[:w.shape[0]] = w
+            else:
+                out = np.zeros((D, I_sh), w.dtype)
+                out[:, :w.shape[1]] = w
+            return out
+
+        for nm, which in (("shared_gate", "gate_proj"),
+                          ("shared_up", "up_proj"),
+                          ("shared_down", "down_proj")):
+            ld.stack_fn(nm, lambda i, which=which: shared(i, which))
+        ld.stack_fn("router", lambda i: (
+            t[f"model.layers.{i}.mlp.gate.weight"].T if moe_layer(i)
+            else np.zeros((D, E), np.float32)))
+
+        def experts(i, which, down=False):
+            if not moe_layer(i):
+                return (np.zeros((E, Im, D), np.float32) if down
+                        else np.zeros((E, D, Im), np.float32))
+            return np.stack([
+                t[f"model.layers.{i}.mlp.experts.{e}.{which}.weight"].T
+                for e in range(E)])
+
+        ld.stack_fn("experts_gate", lambda i: experts(i, "gate_proj"))
+        ld.stack_fn("experts_up", lambda i: experts(i, "up_proj"))
+        ld.stack_fn("experts_down",
+                    lambda i: experts(i, "down_proj", down=True))
+        params["layers"].update(ld.layers)
+        return params
+
+    return cfg_fn, load_fn
+
+
+@_register("ArcticForCausalLM")
+def _arctic():
+    """Snowflake Arctic (reference vllm/model_executor/models/arctic.py):
+    llama attention + dense/MoE hybrid layers. MoE layers (every
+    moe_layer_frequency-th) run routed experts on the PRE-attention
+    residual plus a parallel residual_mlp (ffn=hidden) on the
+    post-attention stream (arctic.py:330-357); other layers are plain
+    dense FFN. Routing is softmax top-k with renormalisation when k > 1
+    (arctic.py:170-174)."""
+    def cfg_fn(hf, name):
+        if not hf.get("use_residual", True):
+            raise ValueError(
+                "ArcticForCausalLM with use_residual=False is not "
+                "supported (the hybrid-residual dataflow assumes the "
+                "published snowflake config, arctic.py:304-309)")
+        E = hf.get("num_local_experts") or 0
+        k = hf.get("num_experts_per_tok", 1)
+        return _base_cfg(
+            hf, "ArcticForCausalLM", name,
+            num_experts=E, num_experts_per_tok=k,
+            moe_intermediate_size=hf["intermediate_size"],
+            moe_norm_topk_prob=k > 1,
+            arctic_residual=True)
+
+    def load_fn(t, cfg, dtype):
+        D = cfg.hidden_size
+        E, Im = cfg.num_experts, cfg.moe_intermediate_size
+        # dense branch width: residual_mlp uses hidden, dense FFN uses
+        # intermediate - pad the shared slot to the max
+        I_sh = max(D, cfg.intermediate_size)
+        params = _load_llama_style(t, cfg, dtype, skip_mlp=True)
+        ld = _Loader(t, cfg, dtype)
+
+        def moe_layer(i):
+            return (f"model.layers.{i}.block_sparse_moe.gate.weight" in t)
+
+        # w1 = gate, w3 = up, w2 = down (SiluAndMul convention)
+        def shared(i, which):
+            if moe_layer(i):
+                w = t[f"model.layers.{i}.residual_mlp.{which}.weight"]
+            else:
+                w = t[f"model.layers.{i}.block_sparse_moe.mlp."
+                      f"{which}.weight"]
+            w = w.T
+            if which == "w2":
+                out = np.zeros((I_sh, D), w.dtype)
+                out[:w.shape[0]] = w
+            else:
+                out = np.zeros((D, I_sh), w.dtype)
+                out[:, :w.shape[1]] = w
+            return out
+
+        for nm, which in (("shared_gate", "w1"), ("shared_up", "w3"),
+                          ("shared_down", "w2")):
+            ld.stack_fn(nm, lambda i, which=which: shared(i, which))
+
+        def res_norm(i):
+            key = f"model.layers.{i}.residual_layernorm.weight"
+            if key in t:
+                return t[key]
+            return t[f"model.layers.{i}.post_attention_layernorm.weight"]
+
+        ld.stack_fn("res_norm", res_norm)
+        ld.stack_fn("router", lambda i: (
+            t[f"model.layers.{i}.block_sparse_moe.gate.weight"].T
+            if moe_layer(i) else np.zeros((D, E), np.float32)))
+
+        def experts(i, which, down=False):
+            if not moe_layer(i):
+                return (np.zeros((E, Im, D), np.float32) if down
+                        else np.zeros((E, D, Im), np.float32))
+            return np.stack([
+                t[f"model.layers.{i}.block_sparse_moe.experts.{e}."
+                  f"{which}.weight"].T for e in range(E)])
+
+        ld.stack_fn("experts_gate", lambda i: experts(i, "w1"))
+        ld.stack_fn("experts_up", lambda i: experts(i, "w3"))
+        ld.stack_fn("experts_down", lambda i: experts(i, "w2", down=True))
+        params["layers"].update(ld.layers)
+        return params
+
+    return cfg_fn, load_fn
+
+
+# Reference architectures that are intentionally NOT implemented, with the
+# reason - so an unsupported checkpoint fails LOUDLY and specifically
+# instead of key-erroring mid-load (reference model zoo:
+# vllm/model_executor/models/). Speculative heads (medusa / mlp_speculator
+# / eagle) are draft models consumed through SpeculativeConfig, not
+# servable architectures.
+_KNOWN_UNSUPPORTED: Dict[str, str] = {
+    "BartForConditionalGeneration": "encoder-decoder (no KVC semantics for "
+    "cross-attention caches in the reference either)",
+    "JambaForCausalLM": "mamba mixer layers have no per-token KV cache to "
+    "compress; out of scope",
+    "Blip2ForConditionalGeneration": "multimodal",
+    "ChameleonForConditionalGeneration": "multimodal",
+    "FuyuForCausalLM": "multimodal",
+    "InternVLChatModel": "multimodal",
+    "LlavaForConditionalGeneration": "multimodal",
+    "LlavaNextForConditionalGeneration": "multimodal",
+    "MiniCPMV": "multimodal",
+    "PaliGemmaForConditionalGeneration": "multimodal",
+    "Phi3VForCausalLM": "multimodal",
+    "QWenLMHeadModel-VL": "multimodal (text QWenLMHeadModel is supported)",
+    "UltravoxModel": "audio multimodal",
+    "EAGLEModel": "speculative proposer; use speculative.method instead",
+    "MedusaModel": "speculative proposer; use speculative.method='medusa'",
+    "MLPSpeculatorPreTrainedModel":
+        "speculative proposer; use speculative.method='mlp_speculator'",
+}
+
+
 # ---------------------------------------------------------------------------
 # Public API
 # ---------------------------------------------------------------------------
@@ -1558,6 +2022,10 @@ def supported_architectures():
 def config_from_hf(hf_cfg: dict, model_name: str = "") -> ModelConfig:
     arch = (hf_cfg.get("architectures") or ["LlamaForCausalLM"])[0]
     if arch not in _REGISTRY:
+        if arch in _KNOWN_UNSUPPORTED:
+            raise ValueError(
+                f"architecture {arch} is intentionally unsupported: "
+                f"{_KNOWN_UNSUPPORTED[arch]}")
         raise ValueError(
             f"unsupported architecture {arch}; supported: "
             f"{supported_architectures()}")

@@ -393,6 +393,410 @@ def test_registry_surface():
               "NemotronForCausalLM", "DbrxForCausalLM",
               "GraniteMoeForCausalLM", "PhimoeForCausalLM",
               "MiniCPMForCausalLM", "OrionForCausalLM",
-              "XverseForCausalLM", "ExaoneForCausalLM"):
+              "XverseForCausalLM", "ExaoneForCausalLM",
+              "QWenLMHeadModel", "DeciLMForCausalLM", "JAISLMHeadModel",
+              "Phi3SmallForCausalLM", "DeepseekForCausalLM",
+              "ArcticForCausalLM"):
         assert a in archs, a
-    assert len(archs) >= 40, len(archs)
+    assert len(archs) >= 46, len(archs)
+
+
+# ---------------------------------------------------------------------------
+# Round-3 tranche: qwen-v1, decilm, jais, phi3-small, deepseek-v1, arctic
+# ---------------------------------------------------------------------------
+
+def _run_prefill(cfg, params, prompt, T_pad=16):
+    cache, bt, bs = build_cache_and_tables(cfg, T_pad)
+    tokens = np.zeros(T_pad, np.int32)
+    tokens[:len(prompt)] = prompt
+    sm = make_prefill_slot_map(bt[:, 0], len(prompt), T_pad, bs)
+    hidden, _ = D.prefill(params, cfg, jnp.asarray(tokens),
+                          jnp.asarray(len(prompt)), jnp.asarray(sm),
+                          cache, jnp.asarray(0),
+                          AttentionSpec(mode="prefill"))
+    return np.asarray(D.compute_logits(params, cfg, hidden))
+
+
+def test_qwen_v1_parity():
+    """QWenLMHeadModel (reference qwen.py): llama semantics with fused
+    biased c_attn, w2=gate / w1=up naming and intermediate halving. A
+    renamed llama checkpoint must give exact llama logits."""
+    state, hf_model = _llama_state(Hkv=4)
+    prompt = list(range(3, 14))
+    with torch.no_grad():
+        hf_logits = hf_model(torch.tensor([prompt])).logits[0, -1].float()
+
+    L, D_, = 2, 64
+    ren = {}
+    for i in range(L):
+        p = f"model.layers.{i}."
+        q = f"transformer.h.{i}."
+        ren[q + "ln_1.weight"] = state[p + "input_layernorm.weight"]
+        ren[q + "ln_2.weight"] = state[p + "post_attention_layernorm.weight"]
+        cattn = np.concatenate([state[p + "self_attn.q_proj.weight"],
+                                state[p + "self_attn.k_proj.weight"],
+                                state[p + "self_attn.v_proj.weight"]], 0)
+        ren[q + "attn.c_attn.weight"] = cattn
+        ren[q + "attn.c_attn.bias"] = np.zeros(cattn.shape[0], np.float32)
+        ren[q + "attn.c_proj.weight"] = state[p + "self_attn.o_proj.weight"]
+        ren[q + "mlp.w2.weight"] = state[p + "mlp.gate_proj.weight"]
+        ren[q + "mlp.w1.weight"] = state[p + "mlp.up_proj.weight"]
+        ren[q + "mlp.c_proj.weight"] = state[p + "mlp.down_proj.weight"]
+    ren["transformer.wte.weight"] = state["model.embed_tokens.weight"]
+    ren["transformer.ln_f.weight"] = state["model.norm.weight"]
+    ren["lm_head.weight"] = state["lm_head.weight"]
+
+    hf = dict(architectures=["QWenLMHeadModel"], vocab_size=256,
+              hidden_size=64, intermediate_size=256,  # halved to 128
+              num_hidden_layers=2, num_attention_heads=4,
+              seq_length=128, layer_norm_epsilon=1e-6,
+              rotary_emb_base=10000.0)
+    cfg = config_from_hf(hf)
+    assert cfg.intermediate_size == 128
+    params = params_from_hf_state(ren, cfg, dtype=jnp.float32)
+    np.testing.assert_allclose(_run_prefill(cfg, params, prompt),
+                               hf_logits.numpy(), rtol=3e-3, atol=3e-3)
+
+
+def test_decilm_variable_gqa_parity():
+    """DeciLM: per-layer kv-head counts are normalised to uniform GQA by
+    consecutive replication (reference decilm.py:49-55 _degroup_weight).
+    Oracle: an HF llama whose layer-1 kv weights are the replicated
+    pattern; the decilm checkpoint stores the unreplicated 2-head rows."""
+    state, hf_model = _llama_state(Hkv=4)
+    d = 16  # head size
+    for which in ("k", "v"):
+        key = f"model.layers.1.self_attn.{which}_proj.weight"
+        w = state[key].reshape(4, d, -1)
+        rep = np.repeat(w[:2], 2, axis=0).reshape(4 * d, -1)  # [A,A,B,B]
+        state[key] = rep
+        with torch.no_grad():
+            getattr(hf_model.model.layers[1].self_attn,
+                    f"{which}_proj").weight.copy_(torch.from_numpy(rep))
+    prompt = list(range(3, 14))
+    with torch.no_grad():
+        hf_logits = hf_model(torch.tensor([prompt])).logits[0, -1].float()
+
+    deci = dict(state)
+    for which in ("k", "v"):
+        key = f"model.layers.1.self_attn.{which}_proj.weight"
+        deci[key] = state[key].reshape(4, d, -1)[0::2].reshape(2 * d, -1)
+
+    hf = dict(architectures=["DeciLMForCausalLM"], vocab_size=256,
+              hidden_size=64, intermediate_size=128, num_hidden_layers=2,
+              num_attention_heads=4, num_key_value_heads_per_layer=[4, 2],
+              max_position_embeddings=128, rms_norm_eps=1e-6)
+    cfg = config_from_hf(hf)
+    assert cfg.num_kv_heads == 4
+    params = params_from_hf_state(deci, cfg, dtype=jnp.float32)
+    np.testing.assert_allclose(_run_prefill(cfg, params, prompt),
+                               hf_logits.numpy(), rtol=3e-3, atol=3e-3)
+
+
+def test_deepseek_v1_moe_parity():
+    """DeepseekForCausalLM (reference deepseek.py): llama attention + MoE
+    with softmax top-k routing. Oracle: an HF Mixtral checkpoint renamed to
+    the deepseek-v1 tensor scheme (same routing semantics with
+    norm_topk_prob=True, no shared experts)."""
+    hf_cfg = _mk(transformers.MixtralConfig, "MixtralForCausalLM",
+                 num_key_value_heads=2, num_local_experts=4,
+                 num_experts_per_tok=2)
+    torch.manual_seed(0)
+    hf_model = transformers.AutoModelForCausalLM.from_config(hf_cfg).eval()
+    state = {k: v.detach().numpy() for k, v in hf_model.state_dict().items()}
+    prompt = list(range(3, 14))
+    with torch.no_grad():
+        hf_logits = hf_model(torch.tensor([prompt])).logits[0, -1].float()
+
+    ren = {}
+    for k, v in state.items():
+        k2 = (k.replace("block_sparse_moe.gate.weight", "mlp.gate.weight")
+               .replace("block_sparse_moe.experts.", "mlp.experts."))
+        for e in range(4):
+            k2 = (k2.replace(f"mlp.experts.{e}.w1.weight",
+                             f"mlp.experts.{e}.gate_proj.weight")
+                    .replace(f"mlp.experts.{e}.w3.weight",
+                             f"mlp.experts.{e}.up_proj.weight")
+                    .replace(f"mlp.experts.{e}.w2.weight",
+                             f"mlp.experts.{e}.down_proj.weight"))
+        ren[k2] = v
+
+    hf = dict(architectures=["DeepseekForCausalLM"], vocab_size=256,
+              hidden_size=64, intermediate_size=128, num_hidden_layers=2,
+              num_attention_heads=4, num_key_value_heads=2,
+              n_routed_experts=4, num_experts_per_tok=2,
+              moe_intermediate_size=128, norm_topk_prob=True,
+              n_shared_experts=0, max_position_embeddings=128,
+              rms_norm_eps=1e-6)
+    cfg = config_from_hf(hf)
+    params = params_from_hf_state(ren, cfg, dtype=jnp.float32)
+    np.testing.assert_allclose(_run_prefill(cfg, params, prompt),
+                               hf_logits.numpy(), rtol=3e-3, atol=3e-3)
+
+
+def _phi3_small_hf():
+    return dict(architectures=["Phi3SmallForCausalLM"], vocab_size=256,
+                hidden_size=64, intermediate_size=128, num_hidden_layers=2,
+                num_attention_heads=4, num_key_value_heads=2,
+                max_position_embeddings=128, layer_norm_epsilon=1e-5,
+                rope_embedding_base=10000.0, rope_position_scale=1.0,
+                mup_use_scaling=True, mup_attn_multiplier=1.0,
+                mup_embedding_multiplier=10.0, mup_width_multiplier=8.0,
+                gegelu_limit=20.0, hidden_act="gegelu",
+                dense_attention_every_n_layers=1,
+                tie_word_embeddings=True)
+
+
+def test_phi3_small_loader_and_forward():
+    """Phi3Small (reference phi3_small.py): head-major fused qkv
+    deinterleave, interleaved gegelu gate/up columns, muP multipliers."""
+    rng = np.random.default_rng(0)
+    D_, I, L, Hq, Hkv, d = 64, 128, 2, 4, 2, 16
+    qpk = Hq // Hkv
+
+    def r(*s):
+        return (rng.standard_normal(s) * 0.05).astype(np.float32)
+
+    t = {"model.embed_tokens.weight": r(256, D_),
+         "model.final_layernorm.weight": np.ones(D_, np.float32),
+         "model.final_layernorm.bias": np.zeros(D_, np.float32)}
+    qw = {}
+    for i in range(L):
+        p = f"model.layers.{i}."
+        t[p + "input_layernorm.weight"] = np.ones(D_, np.float32)
+        t[p + "input_layernorm.bias"] = np.zeros(D_, np.float32)
+        t[p + "post_attention_layernorm.weight"] = np.ones(D_, np.float32)
+        t[p + "post_attention_layernorm.bias"] = np.zeros(D_, np.float32)
+        # build head-major fused qkv from known per-part weights
+        q_, k_, v_ = r(Hkv, qpk * d, D_), r(Hkv, d, D_), r(Hkv, d, D_)
+        qw[i] = (q_, k_, v_)
+        t[p + "self_attn.query_key_value.weight"] = np.concatenate(
+            [np.concatenate([q_[g], k_[g], v_[g]], 0) for g in range(Hkv)],
+            0)
+        t[p + "self_attn.query_key_value.bias"] = np.zeros(
+            (Hq + 2 * Hkv) * d, np.float32)
+        t[p + "self_attn.dense.weight"] = r(D_, D_)
+        t[p + "self_attn.dense.bias"] = np.zeros(D_, np.float32)
+        up = r(2 * I, D_)
+        t[p + "mlp.up_proj.weight"] = up
+        t[p + "mlp.up_proj.bias"] = np.zeros(2 * I, np.float32)
+        t[p + "mlp.down_proj.weight"] = r(D_, I)
+        t[p + "mlp.down_proj.bias"] = np.zeros(D_, np.float32)
+
+    cfg = config_from_hf(_phi3_small_hf())
+    assert cfg.attention_scale == 1.0 / 16  # mup: multiplier / head_dim
+    assert cfg.embedding_multiplier == 10.0
+    assert cfg.logits_scaling == 8.0  # divides
+    params = params_from_hf_state(t, cfg, dtype=jnp.float32)
+    # deinterleave checks
+    wq = np.asarray(params["layers"]["wq"][0])  # [D, Hq*d]
+    np.testing.assert_allclose(
+        wq, np.concatenate([qw[0][0][g] for g in range(Hkv)], 0).T)
+    wg = np.asarray(params["layers"]["w_gate"][0])
+    np.testing.assert_allclose(
+        wg, t["model.layers.0.mlp.up_proj.weight"][0::2].T)
+
+    logits = _run_prefill(cfg, params, list(range(3, 14)))
+    assert np.isfinite(logits).all()
+    # muP scales must actually act: doubling the width multiplier halves
+    # the logits
+    cfg2 = config_from_hf(dict(_phi3_small_hf(), mup_width_multiplier=16.0))
+    logits2 = _run_prefill(cfg2, params, list(range(3, 14)))
+    np.testing.assert_allclose(logits2, logits / 2, rtol=1e-5, atol=1e-6)
+
+
+def test_phi3_small_gegelu_matches_reference():
+    """gegelu (reference phi3_small.py:59-70): interleaved halves, clamped,
+    quick-gelu gate, (linear + 1)."""
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal((5, 8)).astype(np.float32) * 30
+    a_gelu, a_linear = x[..., 0::2], x[..., 1::2]
+    limit = 20.0
+    ag = np.minimum(a_gelu, limit)
+    al = np.clip(a_linear, -limit, limit)
+    want = (ag * (1 / (1 + np.exp(-1.702 * ag)))) * (al + 1)
+
+    from kvcompress_tpu.config import ModelConfig
+    cfg = ModelConfig(hidden_act="gegelu", gegelu_limit=limit,
+                      mlp_type="gated")
+    lw = {"w_gate": jnp.eye(8, 4, dtype=jnp.float32),
+          "w_up": jnp.zeros((8, 4), jnp.float32),
+          "w_down": jnp.eye(4, 8, dtype=jnp.float32)}
+    # route gate = even cols, up = odd cols through identity projections
+    gate_w = np.zeros((8, 4), np.float32)
+    up_w = np.zeros((8, 4), np.float32)
+    for j in range(4):
+        gate_w[2 * j, j] = 1.0
+        up_w[2 * j + 1, j] = 1.0
+    lw["w_gate"] = jnp.asarray(gate_w)
+    lw["w_up"] = jnp.asarray(up_w)
+    got = np.asarray(D._dense_mlp(jnp.asarray(x), lw, cfg))
+    np.testing.assert_allclose(got[:, :4], want, rtol=1e-5, atol=1e-5)
+
+
+def test_phi3_small_blocksparse_rejected():
+    with pytest.raises(ValueError, match="blocksparse"):
+        config_from_hf(dict(_phi3_small_hf(),
+                            blocksparse_block_size=64,
+                            dense_attention_every_n_layers=2))
+
+
+def test_jais_registry_and_scales():
+    """JAIS (reference jais.py): alibi + muP scales + swiglu gating wired;
+    Conv1D [in, out] tensors load untransposed."""
+    D_, I, L, H = 64, 96, 2, 4
+    rng = np.random.default_rng(2)
+
+    def r(*s):
+        return (rng.standard_normal(s) * 0.05).astype(np.float32)
+
+    t = {"transformer.wte.weight": r(256, D_),
+         "transformer.ln_f.weight": np.ones(D_, np.float32),
+         "transformer.ln_f.bias": np.zeros(D_, np.float32)}
+    for i in range(L):
+        p = f"transformer.h.{i}."
+        t[p + "ln_1.weight"] = np.ones(D_, np.float32)
+        t[p + "ln_1.bias"] = np.zeros(D_, np.float32)
+        t[p + "ln_2.weight"] = np.ones(D_, np.float32)
+        t[p + "ln_2.bias"] = np.zeros(D_, np.float32)
+        t[p + "attn.c_attn.weight"] = r(D_, 3 * D_)
+        t[p + "attn.c_attn.bias"] = np.zeros(3 * D_, np.float32)
+        t[p + "attn.c_proj.weight"] = r(D_, D_)
+        t[p + "attn.c_proj.bias"] = np.zeros(D_, np.float32)
+        t[p + "mlp.c_fc.weight"] = r(D_, I)
+        t[p + "mlp.c_fc.bias"] = np.zeros(I, np.float32)
+        t[p + "mlp.c_fc2.weight"] = r(D_, I)
+        t[p + "mlp.c_fc2.bias"] = np.zeros(I, np.float32)
+        t[p + "mlp.c_proj.weight"] = r(I, D_)
+        t[p + "mlp.c_proj.bias"] = np.zeros(D_, np.float32)
+
+    hf = dict(architectures=["JAISLMHeadModel"], vocab_size=256,
+              n_embd=64, n_head=4, n_layer=2, n_positions=128,
+              n_inner=96, activation_function="swiglu",
+              position_embedding_type="alibi",
+              mup_embeddings_scale=3.0, mup_output_alpha=2.0,
+              mup_width_scale=0.25, scale_qk_dot_by_d=True,
+              layer_norm_epsilon=1e-5, tie_word_embeddings=True)
+    cfg = config_from_hf(hf)
+    assert cfg.alibi and cfg.pos_embedding == "none"
+    assert cfg.embedding_multiplier == 3.0
+    assert cfg.logits_scaling == 1.0 / 0.5   # 1 / (alpha * width_scale)
+    assert cfg.attention_scale == 1.0 / 16   # 1/d, not 1/sqrt(d)
+    assert cfg.mlp_type == "gated" and cfg.hidden_act == "silu"
+    params = params_from_hf_state(t, cfg, dtype=jnp.float32)
+    # swiglu orientation: c_fc2 is the gate
+    np.testing.assert_allclose(
+        np.asarray(params["layers"]["w_gate"][0]),
+        t["transformer.h.0.mlp.c_fc2.weight"])
+    logits = _run_prefill(cfg, params, list(range(3, 14)))
+    assert np.isfinite(logits).all()
+    # embedding scale acts on the forward
+    cfg2 = config_from_hf(dict(hf, mup_embeddings_scale=6.0))
+    logits2 = _run_prefill(cfg2, params, list(range(3, 14)))
+    assert not np.allclose(logits2, logits)
+
+
+def _arctic_rename_dense(state):
+    """Rename a llama state dict into an all-dense arctic checkpoint."""
+    ren = {}
+    for k, v in state.items():
+        k2 = (k.replace("mlp.gate_proj.weight", "block_sparse_moe.mlp.w1.weight")
+               .replace("mlp.up_proj.weight", "block_sparse_moe.mlp.w3.weight")
+               .replace("mlp.down_proj.weight", "block_sparse_moe.mlp.w2.weight"))
+        ren[k2] = v
+    return ren
+
+
+def _arctic_hf(**over):
+    hf = dict(architectures=["ArcticForCausalLM"], vocab_size=256,
+              hidden_size=64, intermediate_size=128, num_hidden_layers=2,
+              num_attention_heads=4, num_key_value_heads=2,
+              num_local_experts=2, num_experts_per_tok=1,
+              moe_layer_frequency=2, use_residual=True,
+              max_position_embeddings=128, rms_norm_eps=1e-6)
+    hf.update(over)
+    return hf
+
+
+def test_arctic_dense_layers_match_llama():
+    """Arctic layers WITHOUT a router (dense FFN) follow the standard
+    residual dataflow (reference arctic.py:352-357 else-branch), so an
+    all-dense arctic checkpoint is exactly llama."""
+    state, hf_model = _llama_state()
+    prompt = list(range(3, 14))
+    with torch.no_grad():
+        hf_logits = hf_model(torch.tensor([prompt])).logits[0, -1].float()
+    cfg = config_from_hf(_arctic_hf())
+    params = params_from_hf_state(_arctic_rename_dense(state), cfg,
+                                  dtype=jnp.float32)
+    np.testing.assert_allclose(_run_prefill(cfg, params, prompt),
+                               hf_logits.numpy(), rtol=3e-3, atol=3e-3)
+
+
+def test_arctic_residual_moe_layer():
+    """A use_residual MoE layer adds residual_mlp(residual_norm(post-attn))
+    + experts(post_norm(PRE-attn)) (reference arctic.py:344-352). With the
+    experts zeroed the layer must equal llama; with the FFN moved into
+    expert slot 0 instead, the output must CHANGE (the routed branch reads
+    the pre-attention stream, not the post-attention one)."""
+    state, hf_model = _llama_state()
+    prompt = list(range(3, 14))
+    with torch.no_grad():
+        hf_logits = hf_model(torch.tensor([prompt])).logits[0, -1].float()
+
+    D_, I = 64, 128
+    base = _arctic_rename_dense(state)
+    p1 = "model.layers.1."
+    # layer 1 becomes a use_residual MoE layer: residual_mlp takes the old
+    # FFN (width I padded into the hidden-width residual slot), experts 0
+    moe = dict(base)
+    moe[p1 + "residual_mlp.w1.weight"] = moe.pop(
+        p1 + "block_sparse_moe.mlp.w1.weight")
+    moe[p1 + "residual_mlp.w3.weight"] = moe.pop(
+        p1 + "block_sparse_moe.mlp.w3.weight")
+    moe[p1 + "residual_mlp.w2.weight"] = moe.pop(
+        p1 + "block_sparse_moe.mlp.w2.weight")
+    moe[p1 + "residual_layernorm.weight"] = state[
+        "model.layers.1.post_attention_layernorm.weight"]
+    moe[p1 + "block_sparse_moe.gate.weight"] = np.zeros((2, D_), np.float32)
+    for e in range(2):
+        moe[p1 + f"block_sparse_moe.experts.{e}.w1.weight"] = np.zeros(
+            (I, D_), np.float32)
+        moe[p1 + f"block_sparse_moe.experts.{e}.w3.weight"] = np.zeros(
+            (I, D_), np.float32)
+        moe[p1 + f"block_sparse_moe.experts.{e}.w2.weight"] = np.zeros(
+            (D_, I), np.float32)
+
+    cfg = config_from_hf(_arctic_hf())
+    params = params_from_hf_state(moe, cfg, dtype=jnp.float32)
+    got = _run_prefill(cfg, params, prompt)
+    np.testing.assert_allclose(got, hf_logits.numpy(), rtol=3e-3, atol=3e-3)
+
+    # now move the FFN into expert 0 and zero the residual_mlp: must differ
+    # from the zero-expert case because the routed input is PRE-attention
+    swapped = dict(moe)
+    for w in ("w1", "w3", "w2"):
+        swapped[p1 + f"block_sparse_moe.experts.0.{w}.weight"] = \
+            moe[p1 + f"residual_mlp.{w}.weight"]
+    swapped[p1 + "residual_mlp.w1.weight"] = np.zeros((D_, D_), np.float32)
+    swapped[p1 + "residual_mlp.w3.weight"] = np.zeros((D_, D_), np.float32)
+    swapped[p1 + "residual_mlp.w2.weight"] = np.zeros((D_, D_), np.float32)
+    params2 = params_from_hf_state(swapped, cfg, dtype=jnp.float32)
+    got2 = _run_prefill(cfg, params2, prompt)
+    assert not np.allclose(got2, got, atol=1e-4), (
+        "routed branch appears to read the post-attention stream")
+
+
+def test_arctic_use_residual_false_rejected():
+    with pytest.raises(ValueError, match="use_residual"):
+        config_from_hf(_arctic_hf(use_residual=False))
+
+
+def test_known_unsupported_archs_fail_loudly():
+    from kvcompress_tpu.models.registry import _KNOWN_UNSUPPORTED
+    for arch, reason in _KNOWN_UNSUPPORTED.items():
+        with pytest.raises(ValueError, match="intentionally unsupported"):
+            config_from_hf(dict(architectures=[arch], vocab_size=16,
+                                hidden_size=16, num_hidden_layers=1,
+                                num_attention_heads=2,
+                                intermediate_size=16))
