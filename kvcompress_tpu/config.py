@@ -226,9 +226,14 @@ class SpeculativeConfig:
     fused device program - the draft recomputes a bounded recent window
     (draft_window tokens) instead of keeping its own paged cache, trading
     tiny-model FLOPs for zero draft state management (vs the reference's
-    multi_step_worker + draft KV cache)."""
+    multi_step_worker + draft KV cache).
+    methods "medusa" / "mlp_speculator": proposer heads on the target's
+    hidden state (reference medusa_worker / mlp_speculator_worker),
+    FUSED into the verification program - proposals for the next round
+    ride back in the packed result (models/proposers.py). draft_model
+    points at the head checkpoint directory."""
     num_speculative_tokens: int = 0  # 0 = disabled
-    method: str = "ngram"            # "ngram" | "draft"
+    method: str = "ngram"  # "ngram" | "draft" | "medusa" | "mlp_speculator"
     ngram_prompt_lookup_min: int = 1
     ngram_prompt_lookup_max: int = 4
     draft_model: Optional[str] = None  # HF dir for the draft (LLM surface)

@@ -21,18 +21,12 @@ import numpy as np
 
 # Persistent XLA compilation cache: engine programs are fixed-shape and
 # bucketed, so across restarts every program is a cache hit. The directory
-# is keyed by a HOST fingerprint (utils/hostcache.py): XLA:CPU AOT results
-# embed the compile machine's CPU features and loading them on a different
-# machine spams cpu_aot_loader errors (and risks SIGILL), so entries must
-# never be shared across hosts.
-from kvcompress_tpu.utils.hostcache import default_cache_dir
-
-_CACHE_DIR = default_cache_dir()
-try:  # pragma: no cover
-    jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-except Exception:
-    pass
+# is backend-aware (utils/hostcache.py): TPU results are shared across
+# hosts, while XLA:CPU AOT results embed the compile machine's CPU
+# features (loading them elsewhere spams cpu_aot_loader errors and risks
+# SIGILL) so CPU runs get a host-fingerprinted directory. Configured in
+# LLMEngine.__init__ once the backend is known.
+from kvcompress_tpu.utils import hostcache
 
 from kvcompress_tpu.config import EngineConfig, cdiv
 from kvcompress_tpu.core.scheduler import Scheduler
@@ -61,6 +55,7 @@ class LLMEngine:
         tokenizer=None,
         mesh=None,
         draft=None,  # (ModelConfig, params) for draft-model spec decode
+        proposer=None,  # (ProposerSpec, params) for medusa/mlp_speculator
     ):
         self.cfg = cfg
         self.tokenizer = tokenizer
@@ -69,6 +64,7 @@ class LLMEngine:
             self.eos_token_ids.add(tokenizer.eos_token_id)
 
         on_tpu = jax.devices()[0].platform in ("tpu", "axon")
+        hostcache.configure(jax.devices()[0].platform)
         # multi-step decode: tokens per host round-trip (reference
         # num_scheduler_steps); dominated by dispatch/fetch latency on TPU
         # (remote-tunnel round-trips measure ~25 ms, so bursts are long)
@@ -164,8 +160,16 @@ class LLMEngine:
             params = dict(params)
             params["layers"] = dict(params["layers"])
             params["layers"].update(self.lora_bank.layer_banks())
+        if (cfg.speculative.num_speculative_tokens > 0
+                and cfg.speculative.method in ("medusa", "mlp_speculator")
+                and proposer is None):
+            raise ValueError(
+                f"speculative.method={cfg.speculative.method!r} needs "
+                "proposer head weights (pass proposer=(spec, params) or a "
+                "draft_model checkpoint dir on the LLM surface)")
         self.programs = EnginePrograms(cfg, params, attn_impl=attn_impl,
-                                       mesh=mesh, draft=draft)
+                                       mesh=mesh, draft=draft,
+                                       proposer=proposer)
         self.scheduler = Scheduler(cfg, num_blocks)
         self.stats = EngineStats()
         self._seqs: Dict[str, Sequence] = {}
@@ -181,6 +185,9 @@ class LLMEngine:
         # tunnel measures ~25 ms per dispatch+fetch)
         self.pipeline_decode = on_tpu
         self._draft_ring = None  # draft-model spec decode KV ring
+        # medusa/mlp_speculator proposals carried between rounds:
+        # slot -> (seq_id, expected_len, np proposals [gamma])
+        self._pending_props = {}
         self._pending = None  # (out, meta) of the in-flight burst
         self._pending_compress = None  # (packed, batch) of in-flight round
         self._pending_prefill = []     # in-flight prefills (depth <= 2)
@@ -941,6 +948,25 @@ class LLMEngine:
                 self._draft_ring, packed_in, Q - 1)
             active = active_dev
             n_proposed += (Q - 1) * len(running)
+        elif self.programs.proposer is not None and sc.method in (
+                "medusa", "mlp_speculator"):
+            # head-based proposals were computed INSIDE last round's verify
+            # program (engine/programs.py) and fetched with its packed
+            # result; a slot's carry is valid only for the same sequence at
+            # the expected length (stale after preemption, slot reuse, or a
+            # non-spec step in between - verification makes staleness a
+            # lost-speedup, never a correctness issue). A sequence's first
+            # round proposes nothing and just bootstraps the hidden state.
+            for seq in running:
+                sl = seq.slot
+                active[sl] = True
+                tokens[sl, 0] = seq.last_token_id
+                positions0[sl] = seq.get_len() - 1
+                carry = self._pending_props.get(sl)
+                if carry is not None and carry[0] == seq.request_id \
+                        and carry[1] == seq.get_len():
+                    tokens[sl, 1:] = carry[2][:Q - 1]
+                    n_proposed += Q - 1
         else:
             for seq in running:
                 sl = seq.slot
@@ -963,6 +989,10 @@ class LLMEngine:
         n_out = packed[S * Q:S * Q + S]
         blk = packed[S * Q + S:S * Q + 2 * S]
         kvs = packed[S * Q + 2 * S:S * Q + 3 * S]
+        props_round = None
+        if self.programs.proposer is not None and Q > 1:
+            base = S * Q + 3 * S
+            props_round = packed[base:base + S * (Q - 1)].reshape(S, Q - 1)
         # versioned mirror update: verify runs AFTER any in-flight
         # compression (dispatch order serializes donated-state programs),
         # so its snapshot supersedes the pending compress fetch, which
@@ -983,6 +1013,10 @@ class LLMEngine:
                 n_generated += 1
                 if self._check_stop(seq) is not None:
                     break
+            if props_round is not None:
+                # carry this round's fused proposals to the next round
+                self._pending_props[sl] = (
+                    seq.request_id, seq.get_len(), props_round[sl])
         self.scheduler.new_tokens += n_generated
         if running:
             self._max_nb = max(

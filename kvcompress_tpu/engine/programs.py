@@ -71,13 +71,19 @@ def _with_cache(state: CacheState, cache: KVCache, **kw) -> CacheState:
 
 class EnginePrograms:
     def __init__(self, cfg: EngineConfig, params: Dict[str, Any],
-                 attn_impl: str = "xla", mesh=None, draft=None):
+                 attn_impl: str = "xla", mesh=None, draft=None,
+                 proposer=None):
         self.cfg = cfg
         self.params = params
         self.mesh = mesh
         # draft-model speculative decoding: (ModelConfig, params) of the
         # proposer (reference vllm/spec_decode/multi_step_worker.py)
         self.draft = draft
+        # head-based proposers: (ProposerSpec, params) for medusa /
+        # mlp_speculator (reference vllm/spec_decode/medusa_worker.py,
+        # mlp_speculator_worker.py); proposals are fused into the verify
+        # program (models/proposers.py)
+        self.proposer = proposer
         kc = cfg.kvcompress
         self.prefill_spec = AttentionSpec(
             mode="prefill", use_l2=kc.use_l2, use_average=kc.use_average,
@@ -803,18 +809,25 @@ class EnginePrograms:
     def _build_verify(self, Q: int):
         """Speculative verification program (reference vllm/spec_decode/:
         proposal scoring via batch expansion + greedy acceptance): process
-        Q tokens per sequence (current + Q-1 n-gram proposals) in one pass,
+        Q tokens per sequence (current + Q-1 proposals) in one pass,
         accept the longest matching prefix, roll back the cache for the
         rejected remainder. Greedy-only; metric recording is off on this
         path (the reference forbids spec decode with KVC entirely;
-        compression metrics here come from prefill + regular steps)."""
+        compression metrics here come from prefill + regular steps).
+
+        When a head-based proposer (medusa / mlp_speculator) is
+        configured, the NEXT round's proposals are computed here from the
+        hidden state at the accepted position and appended to the packed
+        result - the proposer costs no extra dispatch or fetch (the
+        reference instead runs the proposer as its own model pass,
+        vllm/spec_decode/medusa_worker.py:61-87)."""
         cfg, mcfg, ccfg = self.cfg, self.cfg.model, self.cfg.cache
         bs = ccfg.block_size
         spec = AttentionSpec(
             mode="decode", record_metrics=False, impl="xla")
 
         def verify_fn(state: CacheState, params, tokens, positions0,
-                      active):
+                      active, prop_params):
             L, S, H, B = state.block_tables.shape
             ctx0 = state.context_lens
 
@@ -882,10 +895,26 @@ class EnginePrograms:
             nb_alloc = (new_ctx + bs - 1) // bs
             seq_blocks = jnp.sum(nb_alloc, axis=(0, 2)).astype(jnp.int32)
             seq_kv = jnp.sum(new_ctx, axis=(0, 2)).astype(jnp.int32)
-            # packed: greedy tokens [S*Q] | n_out | blocks | kv | free_top
-            packed = jnp.concatenate([
-                greedy.reshape(-1), n_out, seq_blocks, seq_kv,
-                effective_free_blocks(free_top)[None]])
+            # packed: greedy tokens [S*Q] | n_out | blocks | kv
+            #         | [next-round proposals S*(Q-1), proposer only]
+            #         | free_top
+            parts = [greedy.reshape(-1), n_out, seq_blocks, seq_kv]
+            if self.proposer is not None and Q > 1:
+                from kvcompress_tpu.models import proposers as prop
+                pspec, _ = self.proposer
+                hid = hidden.reshape(S, Q, -1)
+                # hidden/greedy at the last ACCEPTED input token: its
+                # output token (the bonus) is next round's first input,
+                # so head k's proposal lands at next-round offset k+1
+                h_acc = jnp.take_along_axis(
+                    hid, acc[:, None, None], axis=1)[:, 0]
+                bonus = jnp.take_along_axis(greedy, acc[:, None],
+                                            axis=1)[:, 0]
+                props = prop.propose(pspec, prop_params, h_acc, bonus,
+                                     Q - 1)
+                parts.append(props.reshape(-1))
+            parts.append(effective_free_blocks(free_top)[None])
+            packed = jnp.concatenate(parts)
             return new_state, packed
 
         return jax.jit(verify_fn, donate_argnums=(0,))
@@ -897,7 +926,8 @@ class EnginePrograms:
             self._verify_q = Q
         return self._verify_fn(
             state, self.params, jnp.asarray(tokens_np),
-            jnp.asarray(positions_np), jnp.asarray(active_np))
+            jnp.asarray(positions_np), jnp.asarray(active_np),
+            self.proposer[1] if self.proposer is not None else None)
 
     # ------------------------------------------------------------ compress
     def _build_compress(self, B: int, nb: int):

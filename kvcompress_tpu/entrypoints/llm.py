@@ -117,13 +117,20 @@ class LLM:
         cfg = build_engine_config(model_cfg, **engine_kw)
 
         draft = None
+        proposer = None
         if cfg.speculative.draft_model:
-            draft = load_model(cfg.speculative.draft_model, dtype=jdtype)
+            if cfg.speculative.method in ("medusa", "mlp_speculator"):
+                from kvcompress_tpu.models.proposers import load_proposer
+                proposer = load_proposer(cfg.speculative.draft_model,
+                                         dtype=jdtype)
+            else:
+                draft = load_model(cfg.speculative.draft_model, dtype=jdtype)
 
         from transformers import AutoTokenizer
         tok = AutoTokenizer.from_pretrained(tokenizer or model)
         self.llm_engine = LLMEngine(cfg, params, num_blocks=num_blocks,
-                                    tokenizer=tok, draft=draft)
+                                    tokenizer=tok, draft=draft,
+                                    proposer=proposer)
 
     def generate(
         self,

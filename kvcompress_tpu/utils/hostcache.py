@@ -31,8 +31,30 @@ def host_fingerprint() -> str:
     return hashlib.sha256(blob.encode()).hexdigest()[:10]
 
 
-def default_cache_dir(tag: str = "") -> str:
-    """$KVC_COMPILATION_CACHE, else ~/.cache/kvc_xla[tag]-<host fp>."""
-    return os.environ.get(
-        "KVC_COMPILATION_CACHE",
-        os.path.expanduser(f"~/.cache/kvc_xla{tag}-{host_fingerprint()}"))
+def default_cache_dir(platform: str, tag: str = "") -> str:
+    """$KVC_COMPILATION_CACHE, else a backend-appropriate directory.
+
+    TPU compilation results are host-independent, so every host shares
+    ~/.cache/kvc_xla (cache keys include the platform, so CPU entries in
+    the same directory are never loaded by TPU runs). Only the CPU backend
+    needs host-keyed isolation for its AOT entries."""
+    env = os.environ.get("KVC_COMPILATION_CACHE")
+    if env:
+        return env
+    if platform in ("tpu", "axon"):
+        return os.path.expanduser("~/.cache/kvc_xla")
+    return os.path.expanduser(
+        f"~/.cache/kvc_xla-{platform}{tag}-{host_fingerprint()}")
+
+
+def configure(platform: str, tag: str = "") -> str:
+    """Point jax's persistent compilation cache at default_cache_dir().
+    Safe to call more than once; returns the directory chosen."""
+    import jax
+    d = default_cache_dir(platform, tag)
+    try:  # pragma: no cover
+        jax.config.update("jax_compilation_cache_dir", d)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+    return d

@@ -1,0 +1,240 @@
+"""Medusa / MLP-speculator proposer heads (reference
+vllm/spec_decode/medusa_worker.py, mlp_speculator_worker.py;
+vllm/model_executor/models/medusa.py, mlp_speculator.py).
+
+Contracts: head math matches an independent numpy oracle; engine-level
+speculative output is IDENTICAL to plain greedy (verification guards
+correctness regardless of proposal quality); a proposer aligned with the
+target reaches full acceptance and saves engine steps; checkpoint loading
+round-trips the reference tensor layout."""
+
+import json
+import math
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from kvcompress_tpu.config import SpeculativeConfig
+from kvcompress_tpu.engine.llm_engine import LLMEngine
+from kvcompress_tpu.models import proposers as P
+from kvcompress_tpu.models.llama import init_llama_params
+from kvcompress_tpu.sampling_params import SamplingParams
+from tests.test_engine import VOCAB, tiny_cfg
+
+
+# ---------------------------------------------------------------------------
+# oracle tests
+# ---------------------------------------------------------------------------
+
+def test_medusa_propose_matches_numpy_oracle():
+    D, V, K, R, S = 16, 37, 3, 2, 5
+    spec, params = P.init_medusa_params(D, V, K, num_layers=R, seed=1)
+    rng = np.random.default_rng(0)
+    h = rng.standard_normal((S, D)).astype(np.float32)
+
+    got = np.asarray(P.medusa_propose(params, jnp.asarray(h), K))
+
+    blocks = np.asarray(params["blocks"], np.float64)
+    lm = np.asarray(params["lm"], np.float64)
+
+    def silu(x):
+        return x / (1 + np.exp(-x))
+
+    want = np.zeros((S, K), np.int64)
+    for k in range(K):
+        x = h.astype(np.float64)
+        for r in range(R):
+            x = x + silu(x @ blocks[k, r])
+        want[:, k] = np.argmax(x @ lm[k], axis=-1)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_mlp_spec_propose_matches_numpy_oracle():
+    D, I, V, K, S = 12, 20, 41, 4, 6
+    spec, params = P.init_mlp_spec_params(D, I, V, K, scale_input=True,
+                                          seed=2)
+    rng = np.random.default_rng(3)
+    h = rng.standard_normal((S, D)).astype(np.float32)
+    tok = rng.integers(0, V, size=S).astype(np.int32)
+
+    got = np.asarray(P.mlp_spec_propose(
+        spec, params, jnp.asarray(h), jnp.asarray(tok), K))
+
+    # independent oracle of the reference math (mlp_speculator.py:142-188)
+    sw = 0.5 ** (0.5 / K)
+    ew = math.sqrt((1 - sw * sw) * (I / 2))
+    assert abs(spec.emb_alpha - ew / sw) < 1e-12
+
+    def rms(x, eps=1e-6):
+        return x / np.sqrt(np.mean(x * x, axis=-1, keepdims=True) + eps)
+
+    def gelu(x):
+        from scipy.special import erf  # noqa: F401 - not available; inline
+        raise RuntimeError
+
+    def gelu_exact(x):
+        # erf via numpy: gelu(x) = x/2 (1 + erf(x/sqrt 2))
+        from math import erf
+        v = np.vectorize(lambda t: t * 0.5 * (1 + erf(t / math.sqrt(2))))
+        return v(x)
+
+    state = rms(h.astype(np.float64)) / math.sqrt(2)
+    t = tok.copy()
+    want = np.zeros((S, K), np.int64)
+    for k in range(K):
+        z = np.asarray(params["emb"][k], np.float64)[t]
+        state = state @ np.asarray(params["proj"][k], np.float64)
+        state = state + z * (ew / sw)
+        state = (rms(state) * np.asarray(params["ln_w"][k], np.float64)
+                 + np.asarray(params["ln_b"][k], np.float64))
+        state = gelu_exact(state)
+        logits = state @ np.asarray(params["head"][k], np.float64)
+        t = np.argmax(logits, axis=-1)
+        want[:, k] = t
+    np.testing.assert_array_equal(got, want)
+
+
+# ---------------------------------------------------------------------------
+# engine-level: spec output == plain greedy output
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def target_params():
+    return init_llama_params(tiny_cfg().model, seed=0, dtype=jnp.float32)
+
+
+def _run(params, method, proposer, spec_tokens, prompt, max_tokens=16,
+         count_steps=False):
+    cfg = tiny_cfg()
+    cfg.speculative = SpeculativeConfig(
+        num_speculative_tokens=spec_tokens, method=method)
+    cfg.kvcompress.enabled = False
+    eng = LLMEngine(cfg, params, num_blocks=512, attn_impl="xla",
+                    proposer=proposer)
+    eng.multi_step = 1
+    rid = eng.add_request(None, prompt_token_ids=prompt,
+                          sampling_params=SamplingParams(
+                              temperature=0.0, max_tokens=max_tokens,
+                              ignore_eos=True))
+    steps = 0
+    outs = {}
+    while eng.has_unfinished_requests():
+        for out in eng.step():
+            if out.finished:
+                outs[out.request_id] = out
+        steps += 1
+    if count_steps:
+        return outs[rid].outputs[0].token_ids, steps, eng
+    return outs[rid].outputs[0].token_ids
+
+
+def test_medusa_engine_matches_plain_greedy(target_params):
+    cfg = tiny_cfg()
+    proposer = P.init_medusa_params(
+        cfg.model.hidden_size, cfg.model.vocab_size, 3, seed=7)
+    rng = np.random.default_rng(4)
+    for trial in range(2):
+        prompt = rng.integers(0, VOCAB, size=12).tolist()
+        plain = _run(target_params, "ngram", None, 0, prompt)
+        spec = _run(target_params, "medusa", proposer, 3, prompt)
+        assert spec == plain, trial
+
+
+def test_mlp_spec_engine_matches_plain_greedy(target_params):
+    cfg = tiny_cfg()
+    D = cfg.model.hidden_size
+    proposer = P.init_mlp_spec_params(D, D, cfg.model.vocab_size, 3, seed=8)
+    rng = np.random.default_rng(5)
+    prompt = rng.integers(0, VOCAB, size=12).tolist()
+    plain = _run(target_params, "ngram", None, 0, prompt)
+    spec = _run(target_params, "mlp_speculator", proposer, 3, prompt)
+    assert spec == plain
+
+
+def test_medusa_full_acceptance_saves_steps(target_params):
+    """A proposer aligned with the target accepts every proposal. With an
+    all-zero target every greedy logits argmax is token 0, and zero medusa
+    heads propose token 0 - acceptance is total, so each round emits
+    gamma+1 tokens and the engine finishes in ~1/(gamma+1) the steps."""
+    zero_params = jax.tree.map(jnp.zeros_like, target_params)
+    cfg = tiny_cfg()
+    K = 3
+    spec, pp = P.init_medusa_params(
+        cfg.model.hidden_size, cfg.model.vocab_size, K, seed=0)
+    pp = jax.tree.map(jnp.zeros_like, pp)
+    prompt = [5, 9, 3, 7]
+
+    plain, steps_plain, _ = _run(zero_params, "ngram", None, 0, prompt,
+                                 max_tokens=16, count_steps=True)
+    got, steps_spec, eng = _run(zero_params, "medusa", (spec, pp), K,
+                                prompt, max_tokens=16, count_steps=True)
+    assert got == plain == [0] * 16
+    accepted = eng.stats.counters.get("spec_accepted_tokens", 0)
+    proposed = eng.stats.counters.get("spec_proposed_tokens", 0)
+    # first round bootstraps (no carry); every later round fully accepts
+    assert proposed > 0 and accepted == proposed, (accepted, proposed)
+    assert steps_spec < steps_plain / 2, (steps_spec, steps_plain)
+    assert eng.scheduler.free_blocks == eng.scheduler.total_blocks
+
+
+# ---------------------------------------------------------------------------
+# checkpoint loading
+# ---------------------------------------------------------------------------
+
+def test_load_medusa_checkpoint(tmp_path):
+    import torch
+    from safetensors.torch import save_file
+    D, V, K, R = 16, 32, 2, 1
+    torch.manual_seed(0)
+    t = {}
+    for k in range(K):
+        for r in range(R):
+            t[f"blocks.{k}.layers.{r}.weight"] = torch.randn(D, D)
+        t[f"lm_heads.{k}.weight"] = torch.randn(V, D)
+    save_file(t, str(tmp_path / "model.safetensors"))
+    json.dump({"architectures": ["MedusaModel"], "num_heads": K,
+               "num_hidden_layers": R, "hidden_size": D, "vocab_size": V},
+              open(tmp_path / "config.json", "w"))
+    spec, params = P.load_proposer(str(tmp_path))
+    assert spec.kind == "medusa" and spec.n_predict == K
+    assert params["blocks"].shape == (K, R, D, D)
+    assert params["lm"].shape == (K, D, V)
+    # layout: reference lm_head rows are [V, D]; ours is x @ W
+    np.testing.assert_allclose(
+        np.asarray(params["lm"][1]), t["lm_heads.1.weight"].numpy().T,
+        rtol=1e-6)
+
+
+def test_load_mlp_speculator_checkpoint_tied(tmp_path):
+    import torch
+    from safetensors.torch import save_file
+    D, I, V, K = 12, 24, 32, 3
+    torch.manual_seed(1)
+    t = {
+        "emb.0.weight": torch.randn(V, I),
+        "proj.0.weight": torch.randn(I, D),   # first proj: emb_dim -> inner
+        "proj.1.weight": torch.randn(I, I),
+        "head.0.weight": torch.randn(V, I),
+        "ln.0.weight": torch.randn(I),
+        "ln.0.bias": torch.randn(I),
+    }
+    save_file(t, str(tmp_path / "model.safetensors"))
+    json.dump({"architectures": ["MLPSpeculatorPreTrainedModel"],
+               "model_type": "mlp_speculator", "n_predict": K,
+               "emb_dim": D, "inner_dim": I, "vocab_size": V,
+               "tie_weights": True, "scale_input": True},
+              open(tmp_path / "config.json", "w"))
+    spec, params = P.load_proposer(str(tmp_path))
+    assert spec.kind == "mlp_speculator"
+    assert spec.n_predict == K and spec.scale_input
+    assert params["proj"][0].shape == (D, I)
+    assert params["proj"][1].shape == (I, I)
+    assert params["proj"][2] is params["proj"][1]  # tied
+    assert params["emb"][2] is params["emb"][0]
+    # proposals run end-to-end on loaded params
+    out = P.mlp_spec_propose(spec, params,
+                             jnp.zeros((2, D)), jnp.zeros(2, jnp.int32), K)
+    assert out.shape == (2, K)
