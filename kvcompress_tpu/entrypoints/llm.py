@@ -112,6 +112,10 @@ class LLM:
         if quantization == "int8":
             from kvcompress_tpu.quantization import quantize_params
             params = quantize_params(params)
+        elif quantization == "fp8":
+            from kvcompress_tpu.quantization.fp8 import (
+                quantize_params as quantize_params_fp8)
+            params = quantize_params_fp8(params)
         elif quantization is not None:
             raise ValueError(f"unsupported quantization {quantization}")
         cfg = build_engine_config(model_cfg, **engine_kw)

@@ -674,11 +674,19 @@ def compute_logits(params: Dict[str, Any], cfg: ModelConfig,
     h = hidden[None] if one_d else hidden
     q = params.get(f"{name}_q8")
     if q is not None:
-        # int8 head with per-row scales: the dequant convert fuses into the
-        # matmul operand stream, halving the largest weight read per step
-        y = jax.lax.dot_general(
-            h, q, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)
+        # quantized head (int8 or fp8) with per-row scales: the dequant
+        # convert fuses into the matmul operand stream, halving the
+        # largest weight read per step. fp8 casts to the activation dtype
+        # first (mixed f8/bf16 dot_general is rejected); int8 rides the
+        # mixed-precision dot directly.
+        if q.dtype == jnp.int8:
+            y = jax.lax.dot_general(
+                h, q, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+        else:
+            y = jax.lax.dot_general(
+                h, q.astype(h.dtype), (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
         logits = y * params[f"{name}_scale"][:, 0].astype(jnp.float32)
     else:
         logits = jax.lax.dot_general(
