@@ -36,6 +36,7 @@ def build_engine_config(
     kv_head_bias_weight: float = 1.0,
     record_decoding_metrics: bool = True,
     tensor_parallel_size: int = 1,
+    data_parallel_size: int = 1,
     enable_lora: bool = False,
     max_loras: int = 4,
     max_lora_rank: int = 16,
@@ -79,7 +80,8 @@ def build_engine_config(
         scheduler=SchedulerConfig(max_num_seqs=max_num_seqs,
                                   max_model_len=max_model_len,
                                   num_scheduler_steps=num_scheduler_steps),
-        parallel=ParallelConfig(tensor_parallel_size=tensor_parallel_size),
+        parallel=ParallelConfig(tensor_parallel_size=tensor_parallel_size,
+                                data_parallel_size=data_parallel_size),
         lora=LoRAConfig(enable_lora=enable_lora, max_loras=max_loras,
                         max_lora_rank=max_lora_rank),
         speculative=SpeculativeConfig(
@@ -132,9 +134,16 @@ class LLM:
 
         from transformers import AutoTokenizer
         tok = AutoTokenizer.from_pretrained(tokenizer or model)
-        self.llm_engine = LLMEngine(cfg, params, num_blocks=num_blocks,
-                                    tokenizer=tok, draft=draft,
-                                    proposer=proposer)
+        if cfg.parallel.data_parallel_size > 1:
+            from kvcompress_tpu.parallel.data_parallel import (
+                DataParallelEngine)
+            self.llm_engine = DataParallelEngine(
+                cfg, params, num_blocks=num_blocks, tokenizer=tok,
+                draft=draft, proposer=proposer)
+        else:
+            self.llm_engine = LLMEngine(cfg, params, num_blocks=num_blocks,
+                                        tokenizer=tok, draft=draft,
+                                        proposer=proposer)
 
     def generate(
         self,
