@@ -180,7 +180,7 @@ def run_phase(compress: bool) -> float:
     The compressed phase is the headline: best-of-2 measured passes when
     the remaining budget (BENCH_PHASE_DEADLINE, absolute monotonic-ish
     seconds granted by main) allows, else one. The baseline phase is only
-    the denominator: one pass over BENCH_BASELINE_PROMPTS (default 12)
+    the denominator: one pass over BENCH_BASELINE_PROMPTS (default 8)
     prompts — uncompressed 6000-token contexts cap concurrency around ~10
     sequences, so steady-state tokens/s matches the 64-prompt run."""
     import sys
@@ -198,7 +198,7 @@ def run_phase(compress: bool) -> float:
         # within the driver budget while exercising continual batching
         n_prompts = int(os.environ.get("BENCH_PROMPTS", "64"))
         if not compress:
-            n_prompts = int(os.environ.get("BENCH_BASELINE_PROMPTS", "12"))
+            n_prompts = int(os.environ.get("BENCH_BASELINE_PROMPTS", "8"))
         input_len, output_len = 6000, 500
         vocab = 128256
     block = 16
@@ -242,12 +242,28 @@ def main():
     import sys
 
     def phase(name, share):
-        """share: fraction of the REMAINING budget this phase may use."""
+        """share: fraction of the REMAINING budget this phase may use.
+
+        The child gets a HARD kill at the phase deadline (+grace): if the
+        driver's outer timeout killed only this parent, an orphaned phase
+        would keep the TPU tunnel claimed and wedge every later run - the
+        phase must never outlive its budget."""
+        deadline = max(60.0, _remaining() * share)
         env = dict(os.environ)
-        env["BENCH_PHASE_DEADLINE"] = str(max(60.0, _remaining() * share))
-        out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--phase", name],
-            capture_output=True, text=True, env=env)
+        env["BENCH_PHASE_DEADLINE"] = str(deadline)
+        try:
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--phase",
+                 name],
+                capture_output=True, text=True, env=env,
+                timeout=deadline + 240.0)
+        except subprocess.TimeoutExpired as e:
+            sys.stderr.write((e.stderr or b"")[-2000:].decode(
+                "utf-8", "replace") if isinstance(e.stderr, bytes)
+                else (e.stderr or "")[-2000:])
+            raise RuntimeError(
+                f"phase {name} exceeded its {deadline:.0f}s budget and "
+                "was killed")
         sys.stderr.write(out.stderr[-2000:])
         for line in out.stdout.splitlines():
             if line.startswith("PHASE_RESULT "):
