@@ -195,6 +195,16 @@ class LLMEngine:
         # collects must never make the mirror read HIGHER than reality
         self._dispatch_seq = 0
         self._free_snap_id = 0
+        # local-only usage record (reference usage_lib.py; opt-outs
+        # KVC_NO_USAGE_STATS / KVC_DO_NOT_TRACK; nothing transmitted)
+        from kvcompress_tpu.utils.usage import report_usage
+        report_usage(
+            cfg.model.architecture or "unknown",
+            extra_kvs={"kvcompress_enabled": cfg.kvcompress.enabled,
+                       "tensor_parallel_size":
+                           cfg.parallel.tensor_parallel_size,
+                       "num_blocks": int(num_blocks),
+                       "attn_impl": attn_impl})
 
     def _note_dispatch(self) -> int:
         self._dispatch_seq += 1

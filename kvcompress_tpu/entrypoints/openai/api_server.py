@@ -54,6 +54,8 @@ class OpenAIServer:
                 return self._chat(body)
             if method == "POST" and path == "/v1/embeddings":
                 return self._embeddings(body)
+            if method == "POST" and path == "/generate":
+                return self._generate(dict(body))
             if method == "POST" and path == "/tokenize":
                 ids = self.tokenizer.encode(body["prompt"])
                 return 200, {"tokens": ids, "count": len(ids)}
@@ -83,6 +85,30 @@ class OpenAIServer:
         n_prompt = len(out.prompt_token_ids)
         return 200, proto.completion_response(self.model_name, n_prompt,
                                               out.outputs, self.tokenizer)
+
+    def _generate(self, body: Dict[str, Any]) -> tuple:
+        """Legacy demo endpoint (reference vllm/entrypoints/api_server.py:
+        40-88): {"prompt", "stream", **SamplingParams} -> {"text":
+        [prompt + completion]}; streaming emits NUL-terminated JSON
+        snapshots of the full text so far, as the reference does."""
+        prompt = body.pop("prompt")
+        stream = body.pop("stream", False)
+        if isinstance(prompt, list) and prompt and isinstance(
+                prompt[0], int):
+            text, ids = None, prompt
+        else:
+            text, ids = prompt, None
+        sp = proto.sampling_params_from_request(body)
+        if stream:
+            def gen():
+                for out in self.async_engine.submit(text, ids, sp):
+                    full = [(out.prompt or "") + o.text
+                            for o in out.outputs]
+                    yield (json.dumps({"text": full}) + "\0").encode()
+            return 200, ("raw", gen())
+        out = self.async_engine.generate(text, ids, sp)
+        return 200, {"text": [(out.prompt or "") + o.text
+                              for o in out.outputs]}
 
     def _sse_completion(self, stream):
         import uuid
@@ -154,6 +180,19 @@ class OpenAIServer:
                 pass
 
             def _respond(self, code: int, payload):
+                if (isinstance(payload, tuple) and len(payload) == 2
+                        and payload[0] == "raw"):
+                    # legacy /generate streaming: raw byte chunks, no SSE
+                    self.send_response(code)
+                    self.send_header("Content-Type", "application/json")
+                    self.end_headers()
+                    try:
+                        for chunk in payload[1]:
+                            self.wfile.write(chunk)
+                            self.wfile.flush()
+                    except (BrokenPipeError, ConnectionResetError):
+                        pass
+                    return
                 if (isinstance(payload, tuple) and len(payload) == 2
                         and payload[0] == "sse"):
                     self.send_response(code)

@@ -30,11 +30,35 @@ def _read_all_tensors(model_dir: str) -> Dict[str, np.ndarray]:
     files = sorted(
         f for f in os.listdir(model_dir) if f.endswith(".safetensors"))
     if not files:
-        raise FileNotFoundError(f"no safetensors in {model_dir}")
+        return _read_torch_bins(model_dir)
     for f in files:
         with safe_open(os.path.join(model_dir, f), framework="np") as sf:
             for name in sf.keys():
                 tensors[name] = sf.get_tensor(name)
+    return tensors
+
+
+def _read_torch_bins(model_dir: str) -> Dict[str, np.ndarray]:
+    """pytorch_model*.bin / *.pt fallback (reference model_loader
+    loader.py pt_weights_iterator): torch.load on CPU, densified to
+    numpy. Used only when the directory has no safetensors."""
+    files = sorted(f for f in os.listdir(model_dir)
+                   if f.endswith((".bin", ".pt"))
+                   and not f.endswith("training_args.bin"))
+    if not files:
+        raise FileNotFoundError(f"no safetensors or .bin/.pt weight "
+                                f"files in {model_dir}")
+    import torch
+    tensors: Dict[str, np.ndarray] = {}
+    for f in files:
+        sd = torch.load(os.path.join(model_dir, f), map_location="cpu",
+                        weights_only=True)
+        for name, t in sd.items():
+            if t.dtype == torch.bfloat16:
+                # numpy has no bf16: round-trip through f32
+                tensors[name] = t.to(torch.float32).numpy()
+            else:
+                tensors[name] = t.numpy()
     return tensors
 
 

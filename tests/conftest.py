@@ -9,6 +9,9 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 os.environ["JAX_PLATFORMS"] = "cpu"
+# keep test runs from appending to the local usage-stats file
+# (tests/test_usage_stats.py exercises the path explicitly)
+os.environ.setdefault("KVC_NO_USAGE_STATS", "1")
 
 # The environment may have imported jax already (sitecustomize registering a
 # TPU plugin), in which case env vars are too late: override the live config.

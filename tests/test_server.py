@@ -201,3 +201,31 @@ def test_sse_streaming_completion(server):
     text = "".join(_json.loads(c)["choices"][0]["text"]
                    for c in chunks[:-1])
     assert text == ref_text
+
+
+def test_legacy_generate_endpoint(server):
+    """Legacy /generate (reference vllm/entrypoints/api_server.py:40-88):
+    returns {"text": [prompt + completion]}; streaming yields
+    NUL-terminated JSON snapshots."""
+    url, _ = server
+    out = _post(url, "/generate", {
+        "prompt": "hello world", "max_tokens": 5,
+        "temperature": 0.0, "ignore_eos": True})
+    assert isinstance(out["text"], list) and len(out["text"]) == 1
+    assert out["text"][0].startswith("hello world")
+    assert len(out["text"][0]) > len("hello world")
+
+    req = urllib.request.Request(
+        url + "/generate",
+        data=json.dumps({"prompt": "stream me", "stream": True,
+                         "max_tokens": 4, "temperature": 0.0,
+                         "ignore_eos": True}).encode(),
+        headers={"Content-Type": "application/json"})
+    with urllib.request.urlopen(req) as r:
+        chunks = r.read().split(b"\0")
+    snaps = [json.loads(c) for c in chunks if c]
+    assert snaps, "no streamed snapshots"
+    assert all(s["text"][0].startswith("stream me") for s in snaps)
+    # snapshots are monotone growing full texts
+    lens = [len(s["text"][0]) for s in snaps]
+    assert lens == sorted(lens)
