@@ -44,6 +44,10 @@ class ModelConfig:
     dtype: str = "bfloat16"
     tie_word_embeddings: bool = False
     architecture: str = "LlamaForCausalLM"
+    # source checkpoint's quant method ("awq"/"gptq") when it shipped
+    # 4-bit packed weights; the LLM surface re-quantizes to the int4
+    # runtime format by default (quantization/int4.py)
+    checkpoint_quantization: Optional[str] = None
     # Activation / misc knobs used by non-llama families.
     hidden_act: str = "silu"
     attention_bias: bool = False

@@ -111,6 +111,9 @@ class LLM:
 
         jdtype = jnp.bfloat16 if dtype == "bfloat16" else jnp.float32
         model_cfg, params = load_model(model, dtype=jdtype)
+        if quantization is None and model_cfg.checkpoint_quantization:
+            # AWQ/GPTQ checkpoints serve int4 unless overridden
+            quantization = "int4"
         if quantization == "int8":
             from kvcompress_tpu.quantization import quantize_params
             params = quantize_params(params)
@@ -118,6 +121,10 @@ class LLM:
             from kvcompress_tpu.quantization.fp8 import (
                 quantize_params as quantize_params_fp8)
             params = quantize_params_fp8(params)
+        elif quantization == "int4":
+            from kvcompress_tpu.quantization.int4 import (
+                quantize_params as quantize_params_int4)
+            params = quantize_params_int4(params)
         elif quantization is not None:
             raise ValueError(f"unsupported quantization {quantization}")
         cfg = build_engine_config(model_cfg, **engine_kw)

@@ -64,9 +64,20 @@ def _read_torch_bins(model_dir: str) -> Dict[str, np.ndarray]:
 
 def load_model(model_dir: str, dtype=jnp.bfloat16
                ) -> Tuple[ModelConfig, Dict[str, Any]]:
-    """Load (config, params) from a local HF model directory."""
+    """Load (config, params) from a local HF model directory.
+
+    AWQ/GPTQ 4-bit checkpoints (config.json `quantization_config`) are
+    unpacked to float at load (quantization/int4.py
+    dequantize_hf_tensors) so the per-architecture mappings work
+    unchanged; `cfg.checkpoint_quantization` records the source method so
+    the LLM surface re-quantizes to the int4 runtime format by default."""
     with open(os.path.join(model_dir, "config.json")) as f:
         hf_cfg = json.load(f)
     cfg = config_from_hf(hf_cfg, model_name=model_dir)
     tensors = _read_all_tensors(model_dir)
+    qc = hf_cfg.get("quantization_config")
+    if qc and any(k.endswith(".qweight") for k in tensors):
+        from kvcompress_tpu.quantization.int4 import dequantize_hf_tensors
+        tensors = dequantize_hf_tensors(tensors, qc)
+        cfg.checkpoint_quantization = qc.get("quant_method")
     return cfg, params_from_hf_state(tensors, cfg, dtype)

@@ -58,6 +58,18 @@ def param_specs(params: Dict[str, Any]) -> Dict[str, Any]:
         base = k
         if k.endswith("_q8"):
             base = k[:-3]
+        elif k.endswith("_q4"):
+            base = k[:-3]
+        elif k.endswith(("_scale4", "_zero4")):
+            # int4 group scales/zeros [L, in/g, out] mirror their weight's
+            # sharded axis: out for column-parallel, the (grouped) in axis
+            # for row-parallel
+            base = k[:-7] if k.endswith("_scale4") else k[:-6]
+            if base in col_w:
+                return P(None, None, m)
+            if base in row_w:
+                return P(None, m, None)
+            return P(*([None] * v.ndim))
         elif k.endswith("_scale"):
             # scales follow the output axis of their weight: sharded for
             # column-parallel targets, replicated for row-parallel

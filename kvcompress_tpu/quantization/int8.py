@@ -72,9 +72,13 @@ def quantize_params(params: Dict[str, Any],
 
 
 def mm(x, d: Dict[str, Any], name: str):
-    """x @ d[name], transparently dequantizing `name_q8`/`name_scale`."""
+    """x @ d[name], transparently dequantizing `name_q8`/`name_scale`
+    (int8/fp8 per-channel) or `name_q4` triplets (int4 grouped)."""
     q = d.get(f"{name}_q8")
     if q is None:
+        if f"{name}_q4" in d:
+            from kvcompress_tpu.quantization.int4 import mm as mm4
+            return mm4(x, d, name)
         return x @ d[name]
     y = x @ q.astype(x.dtype)
     return y * d[f"{name}_scale"][..., 0, :].astype(x.dtype)
