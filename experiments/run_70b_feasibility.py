@@ -178,7 +178,8 @@ def main():
         jnp.asarray(T, jnp.int32), jnp.asarray(0, jnp.int32),
         jnp.asarray(0, jnp.int32), st1, rng,
         jnp.asarray(0, jnp.int32), z, jnp.zeros((1,), bool),
-        jnp.zeros((1, 1), jnp.float32), jnp.asarray(0, jnp.int32))
+        jnp.zeros((1, 1), jnp.float32), jnp.asarray(0, jnp.int32),
+        jnp.zeros((1, 1), jnp.float32), jnp.full((1,), T, jnp.int32))
     compiled = lowered.compile()
     ma = compiled.memory_analysis()
     temp_cpu_measured = (int(ma.temp_size_in_bytes)

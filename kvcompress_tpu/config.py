@@ -48,6 +48,12 @@ class ModelConfig:
     # 4-bit packed weights; the LLM surface re-quantizes to the int4
     # runtime format by default (quantization/int4.py)
     checkpoint_quantization: Optional[str] = None
+    # multimodal (llava-style): the placeholder token id expanded into
+    # projected image embeddings; None = text-only model
+    image_token_index: Optional[int] = None
+    # EAGLE draft head: layer-0 input is fc([token_embed; target_hidden])
+    # (set on the DRAFT ModelConfig by models/eagle.py)
+    eagle: bool = False
     # Activation / misc knobs used by non-llama families.
     hidden_act: str = "silu"
     attention_bias: bool = False
@@ -237,7 +243,8 @@ class SpeculativeConfig:
     ride back in the packed result (models/proposers.py). draft_model
     points at the head checkpoint directory."""
     num_speculative_tokens: int = 0  # 0 = disabled
-    method: str = "ngram"  # "ngram" | "draft" | "medusa" | "mlp_speculator"
+    # "ngram" | "draft" | "medusa" | "mlp_speculator" | "eagle"
+    method: str = "ngram"
     ngram_prompt_lookup_min: int = 1
     ngram_prompt_lookup_max: int = 4
     draft_model: Optional[str] = None  # HF dir for the draft (LLM surface)

@@ -185,6 +185,7 @@ class LLMEngine:
         # tunnel measures ~25 ms per dispatch+fetch)
         self.pipeline_decode = on_tpu
         self._draft_ring = None  # draft-model spec decode KV ring
+        self._eagle_hid = None   # [S, Q, D] verify-exported hiddens
         # medusa/mlp_speculator proposals carried between rounds:
         # slot -> (seq_id, expected_len, np proposals [gamma])
         self._pending_props = {}
@@ -305,7 +306,9 @@ class LLMEngine:
             jnp.asarray(T, jnp.int32), jnp.asarray(0, jnp.int32),
             jnp.asarray(0, jnp.int32), st1, rng,
             jnp.asarray(0, jnp.int32), z, jnp.zeros((1,), bool),
-            jnp.zeros((1, 1), jnp.float32), jnp.asarray(0, jnp.int32))))
+            jnp.zeros((1, 1), jnp.float32), jnp.asarray(0, jnp.int32),
+            jnp.zeros((1, 1), jnp.float32),
+            jnp.full((1,), T, jnp.int32))))
         # decode burst at FULL table width (the transient regime before a
         # long prompt's first compression runs at wide buckets)
         k = self.multi_step
@@ -386,6 +389,8 @@ class LLMEngine:
         prompt_token_ids: Optional[List[int]] = None,
         lora_request=None,
         prompt_adapter_request=None,
+        mm_embeds=None,      # [N, D] precomputed multimodal embeddings
+        mm_positions=None,   # [N] prompt positions they replace
     ) -> str:
         if request_id is None:
             request_id = str(self._request_counter)
@@ -427,6 +432,13 @@ class LLMEngine:
             seq.prompt_token_ids = [0] * n_virtual + seq.prompt_token_ids
             seq.prompt_adapter_slot = slot
             seq.prompt_adapter_virtual = n_virtual
+        if mm_embeds is not None:
+            # multimodal: the prompt already contains N placeholder ids at
+            # mm_positions; the prefill program scatters these embeddings
+            # over them (reference llava.py merge_multimodal_embeddings)
+            assert len(mm_positions) == len(mm_embeds)
+            seq.mm_embeds = jnp.asarray(mm_embeds)
+            seq.mm_positions = np.asarray(mm_positions, np.int32)
         if seq.sampling_params.is_guided:
             assert self.tokenizer is not None, \
                 "guided decoding needs a tokenizer"
@@ -589,6 +601,9 @@ class LLMEngine:
             bank = self.prompt_adapter_bank
             lora_kw["pa_embed"] = bank.embeddings[seq.prompt_adapter_slot]
             lora_kw["pa_len"] = seq.prompt_adapter_virtual
+        if getattr(seq, "mm_embeds", None) is not None:
+            lora_kw["mm_embed"] = seq.mm_embeds
+            lora_kw["mm_pos"] = seq.mm_positions
         self.state, packed, lp = self.programs.prefill(
             self.state, np.asarray(seq.prompt_token_ids, np.int32),
             seq.num_prompt_tokens, seq.slot,
@@ -904,7 +919,7 @@ class LLMEngine:
         positions0 = np.zeros((S,), np.int32)
         active = np.zeros((S,), bool)
         n_proposed = 0
-        use_draft = (sc.method == "draft"
+        use_draft = (sc.method in ("draft", "eagle")
                      and self.programs.draft is not None)
         if use_draft:
             # draft-model proposal over the draft's ring KV cache: warm
@@ -955,7 +970,8 @@ class LLMEngine:
             # zero host/glue dispatches between propose and verify
             (self._draft_ring, tokens, positions0,
              active_dev) = self.programs.draft_round(
-                self._draft_ring, packed_in, Q - 1)
+                self._draft_ring, packed_in, Q - 1,
+                tgt_hid=self._eagle_hid)
             active = active_dev
             n_proposed += (Q - 1) * len(running)
         elif self.programs.proposer is not None and sc.method in (
@@ -991,7 +1007,7 @@ class LLMEngine:
                     tokens[sl, 1:1 + len(props)] = props
                     n_proposed += len(props)
 
-        self.state, packed = self.programs.verify(
+        self.state, packed, self._eagle_hid = self.programs.verify(
             self.state, tokens, positions0, active, Q)
         verify_snap = self._note_dispatch()
         packed = np.asarray(packed)

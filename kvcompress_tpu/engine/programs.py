@@ -105,7 +105,8 @@ class EnginePrograms:
     # ------------------------------------------------------------- prefill
     def _build_prefill(self, T: int, use_seeds: bool = False,
                        logprobs_n: int = 0, use_lora: bool = False,
-                       use_guided: bool = False, use_pa: bool = False):
+                       use_guided: bool = False, use_pa: bool = False,
+                       mm_n: int = 0):
         cfg, mcfg, ccfg = self.cfg, self.cfg.model, self.cfg.cache
         bs = ccfg.block_size
         nbb = cdiv(T, bs)
@@ -113,7 +114,8 @@ class EnginePrograms:
 
         def prefill_fn(state: CacheState, params, tokens, seq_len, slot,
                        buffer_len, st: SamplingTensors, rng, lora_idx,
-                       lora_scale, allowed_mask, pa_embed, pa_len):
+                       lora_scale, allowed_mask, pa_embed, pa_len,
+                       mm_embed, mm_pos):
             L, S, H, B = state.block_tables.shape
             # allocate ceil(seq_len / bs) blocks per (layer, head)
             # (reference kvcompress/block_manager.py:196-222 _add_sequence)
@@ -136,6 +138,8 @@ class EnginePrograms:
                 _cache_of(state), buffer_len, spec, lora=lora,
                 prefix_embed=pa_embed if use_pa else None,
                 prefix_len=pa_len if use_pa else None,
+                inject_embed=mm_embed if mm_n else None,
+                inject_pos=mm_pos if mm_n else None,
                 mesh=self.mesh, write_cache=False)
             # Cache-write epilogue as whole-BLOCK-row scatters (the prompt
             # fills blocks contiguously, so [L,T,H] reshapes straight to
@@ -196,18 +200,22 @@ class EnginePrograms:
                 buffer_len: int, st: SamplingTensors, rng,
                 use_seeds: bool = False, logprobs_n: int = 0,
                 lora_idx: int = 0, lora_scale=None, allowed_mask=None,
-                pa_embed=None, pa_len: int = 0):
+                pa_embed=None, pa_len: int = 0,
+                mm_embed=None, mm_pos=None):
         buckets = [b for b in self.cfg.scheduler.prefill_buckets
                    if b >= seq_len]
         T = buckets[0] if buckets else self.cfg.scheduler.max_model_len
         use_lora = lora_scale is not None
         use_guided = allowed_mask is not None
         use_pa = pa_embed is not None
-        key = (T, use_seeds, logprobs_n, use_lora, use_guided, use_pa)
+        mm_n = 0 if mm_embed is None else mm_embed.shape[0]
+        key = (T, use_seeds, logprobs_n, use_lora, use_guided, use_pa,
+               mm_n)
         if key not in self._prefill_fns:
             self._prefill_fns[key] = self._build_prefill(
                 T, use_seeds=use_seeds, logprobs_n=logprobs_n,
-                use_lora=use_lora, use_guided=use_guided, use_pa=use_pa)
+                use_lora=use_lora, use_guided=use_guided, use_pa=use_pa,
+                mm_n=mm_n)
         tokens = np.zeros((T,), np.int32)
         tokens[:seq_len] = tokens_np
         if lora_scale is None:
@@ -216,12 +224,16 @@ class EnginePrograms:
             allowed_mask = jnp.zeros((1,), bool)
         if pa_embed is None:
             pa_embed = jnp.zeros((1, 1), jnp.float32)
+        if mm_embed is None:
+            mm_embed = jnp.zeros((1, 1), jnp.float32)
+            mm_pos = jnp.full((1,), T, jnp.int32)  # dropped (out of range)
         return self._prefill_fns[key](
             state, self.params, jnp.asarray(tokens),
             jnp.asarray(seq_len, jnp.int32), jnp.asarray(slot, jnp.int32),
             jnp.asarray(buffer_len, jnp.int32), st, rng,
             jnp.asarray(lora_idx, jnp.int32), lora_scale, allowed_mask,
-            pa_embed, jnp.asarray(pa_len, jnp.int32))
+            pa_embed, jnp.asarray(pa_len, jnp.int32),
+            jnp.asarray(mm_embed), jnp.asarray(mm_pos, jnp.int32))
 
     # -------------------------------------------------------------- decode
     def _kernel_n_pad(self, nb: Optional[int] = None) -> int:
@@ -676,14 +688,19 @@ class EnginePrograms:
         scale = llama.attn_scale(dcfg)
         S = self.cfg.scheduler.max_num_seqs
         steps = Q_in + gamma
+        eagle = dcfg.eagle
 
-        def step(dparams, ring, tokens, positions, active):
+        def step(dparams, ring, tokens, positions, active, hid_in):
             # one batched single-token draft step; returns next-token argmax
             attn = self._draft_attn_ring(dcfg, scale, positions,
                                          ring["pos"])
+            override = None
+            if eagle:
+                from kvcompress_tpu.models.eagle import fc_embed
+                override = lambda x: fc_embed(dparams, x, hid_in)  # noqa
             hidden, _, kv = llama.forward_collect(
                 dparams, dcfg, tokens, positions, None, attn,
-                (ring["k"], ring["v"]))
+                (ring["k"], ring["v"]), embed_override=override)
             ks, vs = kv  # [L, S, Hkv, d] new K/V per layer
             slot = positions % W
             si = jnp.arange(S)
@@ -693,9 +710,9 @@ class EnginePrograms:
             rpos = ring["pos"].at[si, wslot].set(positions, mode="drop")
             logits = llama.compute_logits(dparams, dcfg, hidden)
             nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-            return {"k": rk, "v": rv, "pos": rpos}, nxt
+            return {"k": rk, "v": rv, "pos": rpos}, nxt, hidden
 
-        def round_fn(dparams, ring, packed):
+        def round_fn(dparams, ring, packed, tgt_hid):
             # packed [S, Q_in + 3] i32: ingest | n_in | pos0 | active -
             # ONE host->device transfer per speculation round (every
             # additional small transfer is a full tunnel RPC)
@@ -705,18 +722,30 @@ class EnginePrograms:
             active = packed[:, Q_in + 2] > 0
 
             # step i uses ingest[:, i] while i < n_in
-            # else the previously generated token; all steps emitted
+            # else the previously generated token; all steps emitted.
+            # EAGLE: the fc hidden for ingested tokens is the TARGET's
+            # (exported by the verify program, [S, Q_in]); proposal steps
+            # chain the draft's own hidden (eagle.py autoregression)
             def one(carry, i):
-                ring, prev_tok = carry
+                ring, prev_tok, prev_hid = carry
                 tok = jnp.where(i < n_in,
                                 ingest[:, jnp.minimum(i, Q_in - 1)],
                                 prev_tok)
+                if eagle:
+                    th = tgt_hid[:, jnp.minimum(i, tgt_hid.shape[1] - 1)]
+                    hid = jnp.where((i < n_in)[:, None],
+                                    th.astype(jnp.float32), prev_hid)
+                else:
+                    hid = prev_hid
                 pos = pos0 + i
-                ring, nxt = step(dparams, ring, tok, pos, active)
-                return (ring, nxt), nxt
+                ring, nxt, hout = step(dparams, ring, tok, pos, active,
+                                       hid)
+                return (ring, nxt, hout.astype(jnp.float32)), nxt
 
-            (ring, _), toks = jax.lax.scan(
-                one, (ring, jnp.zeros((S,), jnp.int32)),
+            D_ = dcfg.hidden_size
+            (ring, _, _), toks = jax.lax.scan(
+                one, (ring, jnp.zeros((S,), jnp.int32),
+                      jnp.zeros((S, D_), jnp.float32)),
                 jnp.arange(steps, dtype=jnp.int32))
             # assemble the VERIFY token matrix in-program (no host or glue
             # dispatches between propose and verify): row = [current token
@@ -736,14 +765,18 @@ class EnginePrograms:
 
         return jax.jit(round_fn, donate_argnums=(1,))
 
-    def draft_round(self, ring, packed_np, gamma: int):
+    def draft_round(self, ring, packed_np, gamma: int, tgt_hid=None):
         W = ring["pos"].shape[1]
         Q_in = packed_np.shape[1] - 3
         key = ("draft_round", W, Q_in, gamma)
         if key not in self._decode_fns:
             self._decode_fns[key] = self._build_draft_round(W, Q_in, gamma)
+        if tgt_hid is None:
+            S = self.cfg.scheduler.max_num_seqs
+            tgt_hid = jnp.zeros((S, 1, self.draft[0].hidden_size),
+                                jnp.float32)
         return self._decode_fns[key](
-            self.draft[1], ring, jnp.asarray(packed_np))
+            self.draft[1], ring, jnp.asarray(packed_np), tgt_hid)
 
     def _build_draft_warm(self, W: int):
         """Ring warm-up: one batched forward over each sequence's last-W
@@ -770,8 +803,18 @@ class EnginePrograms:
                 return out.astype(q.dtype), cache, (k, v)
 
             xs = jnp.zeros((dcfg.num_layers, 1), jnp.int32)
+            override = None
+            if dcfg.eagle:
+                # no target hiddens exist for prompt positions: warm with
+                # zeros (quality-only; see models/eagle.py docstring)
+                from kvcompress_tpu.models.eagle import fc_embed
+
+                def override(x):
+                    return fc_embed(dparams, x,
+                                    jnp.zeros_like(x, jnp.float32))
             _, _, kv = llama.forward_collect(dparams, dcfg, tokens,
-                                             positions, None, attn_fn, xs)
+                                             positions, None, attn_fn, xs,
+                                             embed_override=override)
             return kv  # (k [L, W, H, d], v)
 
         def warm_fn(dparams, ring, windows, pos0, wlens, active):
@@ -825,6 +868,9 @@ class EnginePrograms:
         bs = ccfg.block_size
         spec = AttentionSpec(
             mode="decode", record_metrics=False, impl="xla")
+        # EAGLE drafts consume the target's per-position hiddens next
+        # round; export them ON DEVICE (never fetched)
+        eagle_out = self.draft is not None and self.draft[0].eagle
 
         def verify_fn(state: CacheState, params, tokens, positions0,
                       active, prop_params):
@@ -915,19 +961,25 @@ class EnginePrograms:
                 parts.append(props.reshape(-1))
             parts.append(effective_free_blocks(free_top)[None])
             packed = jnp.concatenate(parts)
+            if eagle_out:
+                return new_state, packed, hidden.reshape(
+                    S, Q, -1).astype(jnp.float32)
             return new_state, packed
 
         return jax.jit(verify_fn, donate_argnums=(0,))
 
     def verify(self, state, tokens_np, positions_np, active_np, Q: int):
+        """Returns (state, packed, hid): hid is the [S, Q, D] device
+        export for EAGLE drafts, else None."""
         if getattr(self, "_verify_fn", None) is None or \
                 getattr(self, "_verify_q", None) != Q:
             self._verify_fn = self._build_verify(Q)
             self._verify_q = Q
-        return self._verify_fn(
+        out = self._verify_fn(
             state, self.params, jnp.asarray(tokens_np),
             jnp.asarray(positions_np), jnp.asarray(active_np),
             self.proposer[1] if self.proposer is not None else None)
+        return out if len(out) == 3 else (*out, None)
 
     # ------------------------------------------------------------ compress
     def _build_compress(self, B: int, nb: int):

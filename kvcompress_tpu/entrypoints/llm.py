@@ -136,8 +136,17 @@ class LLM:
                 from kvcompress_tpu.models.proposers import load_proposer
                 proposer = load_proposer(cfg.speculative.draft_model,
                                          dtype=jdtype)
+            elif cfg.speculative.method == "eagle":
+                from kvcompress_tpu.models.eagle import load_eagle
+                draft = load_eagle(cfg.speculative.draft_model, model_cfg,
+                                   params, dtype=jdtype)
             else:
                 draft = load_model(cfg.speculative.draft_model, dtype=jdtype)
+
+        self._vision = None
+        if model_cfg.image_token_index is not None:
+            from kvcompress_tpu.models.weights import load_multimodal
+            self._vision = load_multimodal(model, dtype=jdtype)
 
         from transformers import AutoTokenizer
         tok = AutoTokenizer.from_pretrained(tokenizer or model)
@@ -159,7 +168,13 @@ class LLM:
                                         List[SamplingParams]]] = None,
         prompt_token_ids: Optional[List[List[int]]] = None,
         use_tqdm: bool = False,
+        multi_modal_data: Optional[List[Optional[dict]]] = None,
     ) -> List[RequestOutput]:
+        """multi_modal_data: per-prompt {"image": pixel_values [3, H, W]
+        (CLIP-normalized) or [k, 3, H, W] for several images}; each
+        <image> placeholder in the prompt expands to one image's patch
+        embeddings, in order (reference LLM.generate multi_modal_data +
+        llava.py input mapper)."""
         if isinstance(prompts, str):
             prompts = [prompts]
         n = len(prompts) if prompts is not None else len(prompt_token_ids)
@@ -170,14 +185,47 @@ class LLM:
 
         ids = []
         for i in range(n):
+            p_ids = (prompt_token_ids[i] if prompt_token_ids else None)
+            mm_kw = {}
+            mm = multi_modal_data[i] if multi_modal_data else None
+            if mm is not None:
+                if p_ids is None:
+                    p_ids = self.llm_engine.tokenizer.encode(prompts[i])
+                p_ids, mm_kw = self._encode_images(p_ids, mm)
             ids.append(self.llm_engine.add_request(
                 None,
                 prompt=prompts[i] if prompts else None,
-                prompt_token_ids=(prompt_token_ids[i]
-                                  if prompt_token_ids else None),
+                prompt_token_ids=p_ids,
                 sampling_params=sampling_params[i],
+                **mm_kw,
             ))
         return self._run_engine(ids, use_tqdm)
+
+    def _encode_images(self, prompt_ids, mm):
+        """Run the vision tower + projector on each image and expand the
+        prompt's <image> placeholders into patch positions."""
+        import numpy as np
+        import jax
+        import jax.numpy as jnp
+        from kvcompress_tpu.models.vision import (expand_image_tokens,
+                                                  llava_image_embed)
+        assert self._vision is not None, \
+            "multi_modal_data passed but the model has no vision tower"
+        vcfg, vparams = self._vision
+        px = jnp.asarray(mm["image"])
+        if px.ndim == 3:
+            px = px[None]
+        embeds = jnp.concatenate([
+            jax.jit(llava_image_embed, static_argnums=1)(
+                vparams, vcfg, px[k]) for k in range(px.shape[0])])
+        img_tok = self.llm_engine.cfg.model.image_token_index
+        n_per = embeds.shape[0] // px.shape[0]
+        new_ids, positions = expand_image_tokens(prompt_ids, img_tok, n_per)
+        assert len(positions) == embeds.shape[0], (
+            f"prompt has {len(positions) // n_per} <image> tokens but "
+            f"{px.shape[0]} images were passed")
+        return new_ids, {"mm_embeds": embeds,
+                         "mm_positions": np.asarray(positions)}
 
     def encode(
         self,

@@ -719,6 +719,10 @@ def prefill(
     lora=None,
     prefix_embed=None,         # [max_virtual, D] prompt-adapter soft prompt
     prefix_len=None,           # [] i32 valid virtual tokens
+    inject_embed=None,         # [N, D] multimodal embeddings (llava image
+                               # patches projected to text space)
+    inject_pos=None,           # [N] i32 absolute positions; pad with T
+                               # (positive out-of-range -> dropped)
     mesh=None,                 # TP mesh: pallas kernel runs per shard
     write_cache: bool = True,  # False: return raw (ks, vs, pfs) instead
 ):
@@ -802,6 +806,16 @@ def prefill(
             pe = jnp.concatenate([prefix_embed, pad], axis=0)
             use = (jnp.arange(x.shape[0]) < prefix_len)[:, None]
             return jnp.where(use, pe.astype(x.dtype), x)
+    elif inject_embed is not None:
+        def embed_override(x, inject_embed=inject_embed,
+                           inject_pos=inject_pos):
+            # multimodal splice (reference llava.py
+            # merge_multimodal_embeddings): image-placeholder positions
+            # take the projected patch embeddings; pad positions are
+            # POSITIVE out-of-range so "drop" discards them (negative
+            # indices would wrap)
+            return x.at[inject_pos].set(
+                inject_embed.astype(x.dtype), mode="drop")
 
     hidden, cache, (ks, vs, pfs) = forward_collect(
         params, cfg, token_ids, positions, cache, attn_fn, layer_xs,

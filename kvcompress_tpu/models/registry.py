@@ -185,6 +185,42 @@ def _register(*names):
     return deco
 
 
+@_register("LlavaForConditionalGeneration")
+def _llava():
+    """LLaVA (reference vllm/model_executor/models/llava.py): the text
+    tower is a stock llama/mistral decoder whose prompt embeddings get
+    image-patch vectors scattered in (engine mm_embed path); the CLIP
+    vision tower + projector live in models/vision.py and are loaded
+    separately by the LLM surface (weights.py load_multimodal)."""
+    def cfg_fn(hf, name):
+        tc = dict(hf["text_config"])
+        arch = (tc.get("architectures") or [
+            {"mistral": "MistralForCausalLM"}.get(
+                tc.get("model_type"), "LlamaForCausalLM")])[0]
+        tc["architectures"] = [arch]
+        cfg = config_from_hf(tc, name)
+        cfg.architecture = "LlavaForConditionalGeneration"
+        cfg.image_token_index = hf.get("image_token_index", 32000)
+        return cfg
+
+    def load_fn(t, cfg, dtype):
+        # strip the language-model prefix (transformers >= 4.52:
+        # model.language_model.* + bare lm_head; older: language_model.*)
+        if any(k.startswith("model.language_model.") for k in t):
+            pre = "model.language_model."
+            ren = {("model." + k[len(pre):]): v
+                   for k, v in t.items() if k.startswith(pre)}
+            if "lm_head.weight" in t:
+                ren["lm_head.weight"] = t["lm_head.weight"]
+        else:
+            pre = "language_model."
+            ren = {k[len(pre):]: v
+                   for k, v in t.items() if k.startswith(pre)}
+        return _load_llama_style(ren, cfg, dtype)
+
+    return cfg_fn, load_fn
+
+
 @_register("LlamaForCausalLM", "MistralForCausalLM")
 def _llama():
     def cfg_fn(hf, name):
@@ -1997,8 +2033,9 @@ _KNOWN_UNSUPPORTED: Dict[str, str] = {
     "ChameleonForConditionalGeneration": "multimodal",
     "FuyuForCausalLM": "multimodal",
     "InternVLChatModel": "multimodal",
-    "LlavaForConditionalGeneration": "multimodal",
-    "LlavaNextForConditionalGeneration": "multimodal",
+    "LlavaNextForConditionalGeneration":
+        "multimodal (base LlavaForConditionalGeneration is supported; "
+        "next's any-resolution patching is not)",
     "MiniCPMV": "multimodal",
     "PaliGemmaForConditionalGeneration": "multimodal",
     "Phi3VForCausalLM": "multimodal",

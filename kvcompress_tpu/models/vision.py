@@ -1,0 +1,205 @@
+"""CLIP vision tower + LLaVA projector (multimodal image encoding).
+
+The role of reference vllm/model_executor/models/clip.py (CLIPVisionModel)
+and llava.py (LlavaForConditionalGeneration: vision tower -> feature
+select -> multi_modal_projector -> splice into the text embedding
+stream, llava.py merge_multimodal_embeddings). TPU-native shape: the ViT
+is a scan over stacked layers like the text decoder; the patch conv is a
+reshape + one matmul (patches are non-overlapping, so conv == unfold +
+GEMM, which lands on the MXU directly); encoding runs as its own jitted
+program once per image, decoupled from the serving engine - the engine
+only ever receives finished [n_tokens, D_text] embeddings to scatter into
+the prompt (engine/programs.py mm_embed path).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclasses.dataclass(frozen=True)
+class VisionConfig:
+    hidden_size: int
+    intermediate_size: int
+    num_layers: int
+    num_heads: int
+    image_size: int
+    patch_size: int
+    layer_norm_eps: float = 1e-5
+    # llava defaults: features from the second-to-last layer, CLS dropped
+    feature_layer: int = -2
+    select_strategy: str = "default"
+
+    @property
+    def num_patches(self) -> int:
+        return (self.image_size // self.patch_size) ** 2
+
+
+def config_from_hf(vc: dict, llava_cfg: Optional[dict] = None
+                   ) -> VisionConfig:
+    llava_cfg = llava_cfg or {}
+    return VisionConfig(
+        hidden_size=vc["hidden_size"],
+        intermediate_size=vc["intermediate_size"],
+        num_layers=vc["num_hidden_layers"],
+        num_heads=vc["num_attention_heads"],
+        image_size=vc["image_size"],
+        patch_size=vc["patch_size"],
+        layer_norm_eps=vc.get("layer_norm_eps", 1e-5),
+        feature_layer=llava_cfg.get("vision_feature_layer", -2),
+        select_strategy=llava_cfg.get("vision_feature_select_strategy",
+                                      "default"),
+    )
+
+
+def _ln(x, w, b, eps):
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.var(xf, axis=-1, keepdims=True)
+    return ((xf - mu) * jax.lax.rsqrt(var + eps) * w + b).astype(x.dtype)
+
+
+def _quick_gelu(x):
+    return x * jax.nn.sigmoid(1.702 * x)
+
+
+def clip_vision_forward(params: Dict[str, Any], cfg: VisionConfig,
+                        pixel_values: jax.Array) -> jax.Array:
+    """pixel_values [3, H, W] (CLIP-normalized) -> hidden states
+    [1 + num_patches, D_v] taken at cfg.feature_layer (HF semantics:
+    hidden_states[i] is the input of layer i, so layer -2 output == run
+    all but the last layer; post_layernorm is NOT applied to intermediate
+    features, matching CLIPVisionTransformer.output_hidden_states)."""
+    D, P = cfg.hidden_size, cfg.patch_size
+    C, H, W = pixel_values.shape
+    # non-overlapping patch conv == unfold to [n_patches, C*P*P] @ W
+    x = pixel_values.reshape(C, H // P, P, W // P, P)
+    x = jnp.transpose(x, (1, 3, 0, 2, 4)).reshape(-1, C * P * P)
+    x = x @ params["patch_embed"]                    # [n_patches, D]
+    x = jnp.concatenate([params["class_embed"][None, :], x], axis=0)
+    x = x + params["pos_embed"]
+    x = _ln(x, params["pre_ln"], params["pre_ln_b"], cfg.layer_norm_eps)
+
+    n_used = cfg.num_layers + 1 + cfg.feature_layer \
+        if cfg.feature_layer < 0 else cfg.feature_layer
+    layers = jax.tree.map(lambda a: a[:n_used], params["layers"])
+    h = cfg.num_heads
+    d = D // h
+
+    def layer(x, lw):
+        r = x
+        y = _ln(x, lw["ln1"], lw["ln1_b"], cfg.layer_norm_eps)
+        T = y.shape[0]
+        q = (y @ lw["wq"] + lw["bq"]).reshape(T, h, d)
+        k = (y @ lw["wk"] + lw["bk"]).reshape(T, h, d)
+        v = (y @ lw["wv"] + lw["bv"]).reshape(T, h, d)
+        logits = jnp.einsum("qhd,khd->hqk", q.astype(jnp.float32),
+                            k.astype(jnp.float32)) * d ** -0.5
+        probs = jax.nn.softmax(logits, axis=-1)     # full (non-causal)
+        o = jnp.einsum("hqk,khd->qhd", probs,
+                       v.astype(jnp.float32)).reshape(T, D)
+        x = r + (o.astype(y.dtype) @ lw["wo"] + lw["bo"])
+        r = x
+        y = _ln(x, lw["ln2"], lw["ln2_b"], cfg.layer_norm_eps)
+        y = _quick_gelu(y @ lw["fc1"] + lw["b1"]) @ lw["fc2"] + lw["b2"]
+        return x + y, None
+
+    x, _ = jax.lax.scan(layer, x, layers)
+    return x
+
+
+def llava_image_embed(params: Dict[str, Any], cfg: VisionConfig,
+                      pixel_values: jax.Array) -> jax.Array:
+    """Image -> projected text-space embeddings [n_tokens, D_text]
+    (reference llava.py: vision tower -> feature select -> projector)."""
+    feats = clip_vision_forward(params["vision"], cfg, pixel_values)
+    if cfg.select_strategy == "default":
+        feats = feats[1:]        # drop CLS (llava.py select "default")
+    pj = params["projector"]
+    y = feats @ pj["w1"] + pj["b1"]
+    y = jax.nn.gelu(y, approximate=False)
+    return y @ pj["w2"] + pj["b2"]
+
+
+def expand_image_tokens(prompt_token_ids, image_token: int, n_patches: int
+                        ) -> Tuple[list, np.ndarray]:
+    """Expand each <image> placeholder into n_patches placeholder ids and
+    return (expanded_ids, positions) - the positions the prefill program
+    scatters projected patch embeddings over (reference llava.py input
+    processor duplicating the image token)."""
+    out, pos = [], []
+    for tok in prompt_token_ids:
+        if tok == image_token:
+            pos.extend(range(len(out), len(out) + n_patches))
+            out.extend([image_token] * n_patches)
+        else:
+            out.append(tok)
+    return out, np.asarray(pos, np.int32)
+
+
+# ----------------------------------------------------------------- loading
+def params_from_hf(t: Dict[str, np.ndarray], cfg: VisionConfig,
+                   dtype=jnp.float32) -> Dict[str, Any]:
+    """Map HF llava tensor names (vision_tower.vision_model.* +
+    multi_modal_projector.*; transformers >= 4.52 prefixes both with
+    "model.") to the stacked-layer layout above."""
+    pre = "model." if any(k.startswith("model.vision_tower.")
+                          for k in t) else ""
+    vt = pre + "vision_tower.vision_model."
+    mp = pre + "multi_modal_projector."
+
+    def g(key):
+        return jnp.asarray(t[key], dtype)
+
+    def stack(fmt, transpose=False):
+        xs = [np.asarray(t[fmt.format(i)]) for i in range(cfg.num_layers)]
+        xs = np.stack([x.T if transpose else x for x in xs])
+        return jnp.asarray(xs, dtype)
+
+    p = vt + "encoder.layers.{}."
+    layers = {
+        "ln1": stack(p + "layer_norm1.weight"),
+        "ln1_b": stack(p + "layer_norm1.bias"),
+        "ln2": stack(p + "layer_norm2.weight"),
+        "ln2_b": stack(p + "layer_norm2.bias"),
+        "wq": stack(p + "self_attn.q_proj.weight", transpose=True),
+        "bq": stack(p + "self_attn.q_proj.bias"),
+        "wk": stack(p + "self_attn.k_proj.weight", transpose=True),
+        "bk": stack(p + "self_attn.k_proj.bias"),
+        "wv": stack(p + "self_attn.v_proj.weight", transpose=True),
+        "bv": stack(p + "self_attn.v_proj.bias"),
+        "wo": stack(p + "self_attn.out_proj.weight", transpose=True),
+        "bo": stack(p + "self_attn.out_proj.bias"),
+        "fc1": stack(p + "mlp.fc1.weight", transpose=True),
+        "b1": stack(p + "mlp.fc1.bias"),
+        "fc2": stack(p + "mlp.fc2.weight", transpose=True),
+        "b2": stack(p + "mlp.fc2.bias"),
+    }
+    # HF stores the patch conv as [D, 3, P, P]; our unfold layout wants
+    # [3*P*P, D] with (C, ph, pw) flattening to match the transpose above
+    conv = np.asarray(t[vt + "embeddings.patch_embedding.weight"])
+    D = conv.shape[0]
+    patch_w = conv.reshape(D, -1).T
+    return {
+        "vision": {
+            "layers": layers,
+            "patch_embed": jnp.asarray(patch_w, dtype),
+            "class_embed": g(vt + "embeddings.class_embedding"),
+            "pos_embed": g(vt + "embeddings.position_embedding.weight"),
+            "pre_ln": g(vt + "pre_layrnorm.weight"),
+            "pre_ln_b": g(vt + "pre_layrnorm.bias"),
+        },
+        "projector": {
+            "w1": jnp.asarray(
+                np.asarray(t[mp + "linear_1.weight"]).T, dtype),
+            "b1": g(mp + "linear_1.bias"),
+            "w2": jnp.asarray(
+                np.asarray(t[mp + "linear_2.weight"]).T, dtype),
+            "b2": g(mp + "linear_2.bias"),
+        },
+    }

@@ -81,3 +81,16 @@ def load_model(model_dir: str, dtype=jnp.bfloat16
         tensors = dequantize_hf_tensors(tensors, qc)
         cfg.checkpoint_quantization = qc.get("quant_method")
     return cfg, params_from_hf_state(tensors, cfg, dtype)
+
+
+def load_multimodal(model_dir: str, dtype=jnp.float32):
+    """(VisionConfig, vision+projector params) for a llava-style
+    checkpoint (reference llava.py vision tower + multi_modal_projector;
+    loaded separately from the text tower - image encoding runs as its
+    own program, see models/vision.py)."""
+    from kvcompress_tpu.models import vision
+    with open(os.path.join(model_dir, "config.json")) as f:
+        hf_cfg = json.load(f)
+    vcfg = vision.config_from_hf(hf_cfg["vision_config"], hf_cfg)
+    tensors = _read_all_tensors(model_dir)
+    return vcfg, vision.params_from_hf(tensors, vcfg, dtype)

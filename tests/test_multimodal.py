@@ -1,0 +1,143 @@
+"""Multimodal (LLaVA): CLIP vision tower + projector parity vs HF, image
+placeholder expansion, and engine greedy parity with image embeddings
+scattered into the prompt (reference vllm/model_executor/models/llava.py,
+clip.py; vllm/multimodal/)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+transformers = pytest.importorskip("transformers")
+import torch  # noqa: E402
+
+from kvcompress_tpu.models import vision as V
+
+IMG_TOK = 127
+
+
+def tiny_llava():
+    vc = transformers.CLIPVisionConfig(
+        hidden_size=32, intermediate_size=64, num_hidden_layers=3,
+        num_attention_heads=4, image_size=28, patch_size=14)
+    tc = transformers.LlamaConfig(
+        vocab_size=128, hidden_size=48, intermediate_size=96,
+        num_hidden_layers=2, num_attention_heads=4,
+        num_key_value_heads=2, max_position_embeddings=128)
+    cfg = transformers.LlavaConfig(
+        vision_config=vc, text_config=tc, image_token_index=IMG_TOK,
+        vision_feature_layer=-2, vision_feature_select_strategy="default",
+        projector_hidden_act="gelu")
+    # fresh configs leave architectures unset; checkpoints always carry it
+    cfg.architectures = ["LlavaForConditionalGeneration"]
+    m = transformers.LlavaForConditionalGeneration(cfg).eval()
+    return m, cfg
+
+
+@pytest.fixture(scope="module")
+def llava():
+    torch.manual_seed(0)
+    return tiny_llava()
+
+
+def test_vision_tower_parity(llava):
+    m, cfg = llava
+    torch.manual_seed(1)
+    px = torch.randn(1, 3, 28, 28)
+    with torch.no_grad():
+        feats = m.get_image_features(pixel_values=px)
+    if isinstance(feats, (list, tuple)):
+        feats = feats[0]
+    f = feats.numpy() if feats.ndim == 2 else feats[0].numpy()
+
+    state = {k: v.detach().numpy() for k, v in m.state_dict().items()}
+    vcfg = V.config_from_hf(cfg.vision_config.to_dict(), cfg.to_dict())
+    params = V.params_from_hf(state, vcfg, dtype=jnp.float32)
+    ours = np.asarray(V.llava_image_embed(
+        params, vcfg, jnp.asarray(px[0].numpy())))
+    assert vcfg.num_patches == 4
+    np.testing.assert_allclose(ours, f, rtol=2e-5, atol=2e-5)
+
+
+def test_expand_image_tokens():
+    ids, pos = V.expand_image_tokens([5, IMG_TOK, 9, IMG_TOK, 3],
+                                     IMG_TOK, 3)
+    assert ids == [5] + [IMG_TOK] * 3 + [9] + [IMG_TOK] * 3 + [3]
+    np.testing.assert_array_equal(pos, [1, 2, 3, 5, 6, 7])
+
+
+def test_engine_greedy_matches_hf_with_image(llava):
+    """Full path: registry loads the llava text tower, the engine
+    scatters projected image embeddings at the placeholder positions, and
+    greedy output equals HF LlavaForConditionalGeneration.generate."""
+    from kvcompress_tpu.config import (CacheConfig, EngineConfig,
+                                       KVCompressConfig, ParallelConfig,
+                                       SchedulerConfig)
+    from kvcompress_tpu.engine.llm_engine import LLMEngine
+    from kvcompress_tpu.models.registry import (config_from_hf,
+                                                params_from_hf_state)
+    from kvcompress_tpu.sampling_params import SamplingParams
+
+    m, cfg = llava
+    torch.manual_seed(2)
+    px = torch.randn(1, 3, 28, 28)
+    n_patch = 4
+    prompt = [1, 5, 9] + [IMG_TOK] * n_patch + [7, 11, 2, 9]
+    input_ids = torch.tensor([prompt])
+    with torch.no_grad():
+        hf_out = m.generate(input_ids=input_ids, pixel_values=px,
+                            max_new_tokens=6, do_sample=False)
+    ref = hf_out[0, len(prompt):].tolist()
+
+    state = {k: v.detach().numpy() for k, v in m.state_dict().items()}
+    mcfg = config_from_hf(cfg.to_dict())
+    assert mcfg.architecture == "LlavaForConditionalGeneration"
+    assert mcfg.image_token_index == IMG_TOK
+    params = params_from_hf_state(state, mcfg, dtype=jnp.float32)
+    vcfg = V.config_from_hf(cfg.vision_config.to_dict(), cfg.to_dict())
+    vparams = V.params_from_hf(state, vcfg, dtype=jnp.float32)
+    embeds = V.llava_image_embed(vparams, vcfg,
+                                 jnp.asarray(px[0].numpy()))
+    positions = np.asarray([i for i, t in enumerate(prompt)
+                            if t == IMG_TOK], np.int32)
+
+    ecfg = EngineConfig(
+        model=mcfg,
+        cache=CacheConfig(block_size=4, cache_dtype="float32"),
+        kvcompress=KVCompressConfig(compression_interval=4,
+                                    max_kv_per_compression=65536,
+                                    max_cache_moves_per_compression=4096),
+        scheduler=SchedulerConfig(max_num_seqs=2, max_model_len=64,
+                                  prefill_buckets=(16, 32)),
+        parallel=ParallelConfig(),
+    )
+    eng = LLMEngine(ecfg, params, num_blocks=256, attn_impl="xla")
+    eng.add_request("0", prompt_token_ids=prompt,
+                    sampling_params=SamplingParams(
+                        temperature=0.0, max_tokens=6, ignore_eos=True),
+                    mm_embeds=embeds, mm_positions=positions)
+    outs = {}
+    while eng.has_unfinished_requests():
+        for o in eng.step():
+            outs[o.request_id] = o
+    got = outs["0"].outputs[0].token_ids
+    assert got == ref, (got, ref)
+
+    # and WITHOUT the image embeddings the output must differ (the splice
+    # is actually doing something)
+    eng2 = LLMEngine(ecfg, params, num_blocks=256, attn_impl="xla")
+    eng2.add_request("0", prompt_token_ids=prompt,
+                     sampling_params=SamplingParams(
+                         temperature=0.0, max_tokens=6, ignore_eos=True))
+    outs2 = {}
+    while eng2.has_unfinished_requests():
+        for o in eng2.step():
+            outs2[o.request_id] = o
+    assert outs2["0"].outputs[0].token_ids != ref
+
+
+def test_llava_next_still_rejected():
+    from kvcompress_tpu.models.registry import config_from_hf
+    with pytest.raises(ValueError, match="unsupported"):
+        config_from_hf({"architectures":
+                        ["LlavaNextForConditionalGeneration"]})
