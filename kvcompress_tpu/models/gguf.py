@@ -1,0 +1,222 @@
+"""GGUF checkpoint loading (dependency-free parser + dequant).
+
+The role of the reference's GGUF path (model_loader/loader.py:1013-1070
+GGUFModelLoader + gguf_quant_weights_iterator, backed by the `gguf`
+package): parse the GGUF container (spec:
+ggml/docs/gguf.md - magic, typed metadata KVs, tensor table, aligned data
+section), dequantize the common block formats, rename llama.cpp tensor
+names to the HF names the registry mappings expect, and un-permute the
+q/k projections (llama.cpp stores them rope-permuted relative to HF,
+convert_hf_to_gguf.py permute()).
+
+Supported tensor types: F32, F16, Q8_0, Q4_0, Q4_1 (the formats whose
+dequant is exact block arithmetic). K-quants and IQ formats are rejected
+loudly - their superblock scales need llama.cpp's codebooks and the
+reference punts those to the gguf package too.
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import Any, Dict, Tuple
+
+import numpy as np
+
+GGUF_MAGIC = 0x46554747  # "GGUF" little-endian
+
+# metadata value types (gguf.md)
+_T_U8, _T_I8, _T_U16, _T_I16, _T_U32, _T_I32, _T_F32, _T_BOOL, \
+    _T_STR, _T_ARR, _T_U64, _T_I64, _T_F64 = range(13)
+
+_SCALAR = {
+    _T_U8: "<B", _T_I8: "<b", _T_U16: "<H", _T_I16: "<h",
+    _T_U32: "<I", _T_I32: "<i", _T_F32: "<f", _T_BOOL: "<?",
+    _T_U64: "<Q", _T_I64: "<q", _T_F64: "<d",
+}
+
+# tensor dtypes (ggml_type)
+GGML_F32, GGML_F16 = 0, 1
+GGML_Q4_0, GGML_Q4_1 = 2, 3
+GGML_Q8_0 = 8
+_TYPE_NAMES = {0: "F32", 1: "F16", 2: "Q4_0", 3: "Q4_1", 8: "Q8_0"}
+
+
+class _Reader:
+    def __init__(self, data: bytes):
+        self.d = data
+        self.o = 0
+
+    def read(self, fmt: str):
+        v = struct.unpack_from(fmt, self.d, self.o)[0]
+        self.o += struct.calcsize(fmt)
+        return v
+
+    def string(self) -> str:
+        n = self.read("<Q")
+        s = self.d[self.o:self.o + n].decode("utf-8")
+        self.o += n
+        return s
+
+    def value(self, t: int):
+        if t in _SCALAR:
+            return self.read(_SCALAR[t])
+        if t == _T_STR:
+            return self.string()
+        if t == _T_ARR:
+            et = self.read("<I")
+            n = self.read("<Q")
+            return [self.value(et) for _ in range(n)]
+        raise ValueError(f"unknown gguf metadata type {t}")
+
+
+def _dequant(raw: bytes, ggml_type: int, n: int) -> np.ndarray:
+    """Flat [n] float32 from the raw tensor bytes."""
+    if ggml_type == GGML_F32:
+        return np.frombuffer(raw, "<f4", count=n).astype(np.float32)
+    if ggml_type == GGML_F16:
+        return np.frombuffer(raw, "<f2", count=n).astype(np.float32)
+    if ggml_type == GGML_Q8_0:
+        # blocks of 32: f16 scale + 32 * i8
+        b = np.frombuffer(raw, np.uint8, count=(n // 32) * 34).reshape(
+            n // 32, 34)
+        d = b[:, :2].copy().view("<f2").astype(np.float32)  # [nb, 1]
+        q = b[:, 2:].copy().view(np.int8).astype(np.float32)
+        return (q * d).reshape(-1)
+    if ggml_type == GGML_Q4_0:
+        # blocks of 32: f16 scale + 16 nibble bytes; elem j = byte j low
+        # nibble, elem j+16 = byte j high nibble; value = d * (q - 8)
+        b = np.frombuffer(raw, np.uint8, count=(n // 32) * 18).reshape(
+            n // 32, 18)
+        d = b[:, :2].copy().view("<f2").astype(np.float32)
+        lo = (b[:, 2:] & 0xF).astype(np.float32)
+        hi = (b[:, 2:] >> 4).astype(np.float32)
+        q = np.concatenate([lo, hi], axis=1)          # [nb, 32]
+        return (d * (q - 8.0)).reshape(-1)
+    if ggml_type == GGML_Q4_1:
+        # f16 d + f16 m + 16 nibble bytes; value = d * q + m
+        b = np.frombuffer(raw, np.uint8, count=(n // 32) * 20).reshape(
+            n // 32, 20)
+        d = b[:, :2].copy().view("<f2").astype(np.float32)
+        m = b[:, 2:4].copy().view("<f2").astype(np.float32)
+        lo = (b[:, 4:] & 0xF).astype(np.float32)
+        hi = (b[:, 4:] >> 4).astype(np.float32)
+        q = np.concatenate([lo, hi], axis=1)
+        return (d * q + m).reshape(-1)
+    raise ValueError(
+        f"unsupported ggml tensor type {ggml_type} "
+        f"({_TYPE_NAMES.get(ggml_type, 'K-quant/IQ?')}); supported: "
+        f"{sorted(_TYPE_NAMES.values())}")
+
+
+def read_gguf(path: str) -> Tuple[Dict[str, Any], Dict[str, np.ndarray]]:
+    """-> (metadata KVs, tensors as float32 numpy in ggml [out, in]
+    row-major orientation)."""
+    with open(path, "rb") as f:
+        data = f.read()
+    r = _Reader(data)
+    if r.read("<I") != GGUF_MAGIC:
+        raise ValueError(f"{path} is not a GGUF file")
+    version = r.read("<I")
+    if version < 2:
+        raise ValueError(f"gguf version {version} too old")
+    n_tensors = r.read("<Q")
+    n_kv = r.read("<Q")
+    meta = {}
+    for _ in range(n_kv):
+        k = r.string()
+        t = r.read("<I")
+        meta[k] = r.value(t)
+    infos = []
+    for _ in range(n_tensors):
+        name = r.string()
+        nd = r.read("<I")
+        dims = [r.read("<Q") for _ in range(nd)]
+        ttype = r.read("<I")
+        off = r.read("<Q")
+        infos.append((name, dims, ttype, off))
+    align = int(meta.get("general.alignment", 32))
+    base = (r.o + align - 1) // align * align
+    tensors = {}
+    for name, dims, ttype, off in infos:
+        n = int(np.prod(dims))
+        flat = _dequant(data[base + off:], ttype, n)
+        # ggml ne[0] is contiguous: numpy shape is reversed(dims)
+        tensors[name] = flat.reshape(tuple(reversed(dims)))
+    return meta, tensors
+
+
+def _unpermute(w: np.ndarray, n_head: int) -> np.ndarray:
+    """Inverse of convert_hf_to_gguf.py permute(): llama.cpp stores q/k
+    rows reordered for its rope layout; HF order = reshape
+    (head, d/2, 2, in) -> swap the (d/2, 2) axes."""
+    out, inn = w.shape
+    return (w.reshape(n_head, out // n_head // 2, 2, inn)
+            .swapaxes(1, 2).reshape(out, inn))
+
+
+# llama.cpp -> HF names (reference loader.py:1038-1052 name-map role)
+_TOP = {
+    "token_embd.weight": "model.embed_tokens.weight",
+    "output_norm.weight": "model.norm.weight",
+    "output.weight": "lm_head.weight",
+}
+_BLK = {
+    "attn_q": "self_attn.q_proj", "attn_k": "self_attn.k_proj",
+    "attn_v": "self_attn.v_proj", "attn_output": "self_attn.o_proj",
+    "ffn_gate": "mlp.gate_proj", "ffn_up": "mlp.up_proj",
+    "ffn_down": "mlp.down_proj",
+    "attn_norm": "input_layernorm", "ffn_norm": "post_attention_layernorm",
+}
+
+
+def load_gguf_model(path: str):
+    """-> (hf_config_dict, hf-named float tensors) for a llama-family
+    GGUF. The caller feeds these through the normal registry mappings."""
+    meta, t = read_gguf(path)
+    arch = meta.get("general.architecture", "llama")
+    if arch not in ("llama", "mistral"):
+        raise ValueError(f"gguf architecture {arch!r} not supported "
+                         "(llama/mistral)")
+    p = f"{arch}."
+    n_head = int(meta[p + "attention.head_count"])
+    n_kv = int(meta.get(p + "attention.head_count_kv", n_head))
+    n_layers = int(meta[p + "block_count"])
+    hidden = int(meta[p + "embedding_length"])
+    vocab = (len(meta["tokenizer.ggml.tokens"])
+             if "tokenizer.ggml.tokens" in meta
+             else int(meta.get(p + "vocab_size", 32000)))
+    hf_cfg = {
+        "architectures": ["LlamaForCausalLM" if arch == "llama"
+                          else "MistralForCausalLM"],
+        "hidden_size": hidden,
+        "intermediate_size": int(meta[p + "feed_forward_length"]),
+        "num_hidden_layers": n_layers,
+        "num_attention_heads": n_head,
+        "num_key_value_heads": n_kv,
+        "max_position_embeddings": int(meta[p + "context_length"]),
+        "rms_norm_eps": float(meta.get(
+            p + "attention.layer_norm_rms_epsilon", 1e-5)),
+        "rope_theta": float(meta.get(p + "rope.freq_base", 10000.0)),
+        "vocab_size": vocab,
+        "tie_word_embeddings": "output.weight" not in t,
+    }
+    out: Dict[str, np.ndarray] = {}
+    for k, v in t.items():
+        if k in _TOP:
+            out[_TOP[k]] = v
+        elif k.startswith("blk."):
+            _, i, rest = k.split(".", 2)
+            rest = rest.removesuffix(".weight")
+            if rest not in _BLK:
+                raise ValueError(f"unrecognised gguf tensor {k}")
+            name = f"model.layers.{i}.{_BLK[rest]}.weight"
+            if rest == "attn_q":
+                v = _unpermute(v, n_head)
+            elif rest == "attn_k":
+                v = _unpermute(v, n_kv)
+            out[name] = v
+        elif k.startswith("rope_freqs"):
+            continue
+        else:
+            raise ValueError(f"unrecognised gguf tensor {k}")
+    return hf_cfg, out

@@ -70,7 +70,14 @@ def load_model(model_dir: str, dtype=jnp.bfloat16
     unpacked to float at load (quantization/int4.py
     dequantize_hf_tensors) so the per-architecture mappings work
     unchanged; `cfg.checkpoint_quantization` records the source method so
-    the LLM surface re-quantizes to the int4 runtime format by default."""
+    the LLM surface re-quantizes to the int4 runtime format by default.
+    A path ending in .gguf is parsed by the dependency-free GGUF loader
+    (models/gguf.py; reference model_loader GGUFModelLoader)."""
+    if model_dir.endswith(".gguf"):
+        from kvcompress_tpu.models.gguf import load_gguf_model
+        hf_cfg, tensors = load_gguf_model(model_dir)
+        cfg = config_from_hf(hf_cfg, model_name=model_dir)
+        return cfg, params_from_hf_state(tensors, cfg, dtype)
     with open(os.path.join(model_dir, "config.json")) as f:
         hf_cfg = json.load(f)
     cfg = config_from_hf(hf_cfg, model_name=model_dir)
