@@ -2028,7 +2028,9 @@ _KNOWN_UNSUPPORTED: Dict[str, str] = {
     "BartForConditionalGeneration": "encoder-decoder (no KVC semantics for "
     "cross-attention caches in the reference either)",
     "JambaForCausalLM": "mamba mixer layers have no per-token KV cache to "
-    "compress; out of scope",
+    "compress; the reference's KVC path blesses llama-family attention "
+    "only and serves jamba on its VANILLA engine - model-level jamba "
+    "(HF-parity forward + stateful generation) lives in models/jamba.py",
     "Blip2ForConditionalGeneration": "multimodal",
     "ChameleonForConditionalGeneration": "multimodal",
     "FuyuForCausalLM": "multimodal",
