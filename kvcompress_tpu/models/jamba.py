@@ -85,6 +85,60 @@ def config_from_hf(hf: dict) -> JambaConfig:
     )
 
 
+def config_from_hf_mamba(hf: dict) -> JambaConfig:
+    """Pure Mamba (HF MambaForCausalLM / state-spaces checkpoints): every
+    layer is a mixer, no attention, no FFN sub-block, no dt/B/C norms
+    (reference vllm/model_executor/models/mamba.py)."""
+    D = hf["hidden_size"]
+    return JambaConfig(
+        vocab_size=hf["vocab_size"], hidden_size=D,
+        intermediate_size=0,
+        num_layers=hf["num_hidden_layers"],
+        num_heads=1, num_kv_heads=1,
+        d_state=hf.get("state_size", 16),
+        d_conv=hf.get("conv_kernel", 4),
+        d_inner=hf.get("expand", 2) * D,
+        dt_rank=(D // 16 if hf.get("time_step_rank", "auto") == "auto"
+                 else hf["time_step_rank"]),
+        attn_layer_offset=1 << 30, attn_layer_period=1 << 30,
+        expert_layer_offset=0, expert_layer_period=1,
+        num_experts=1, num_experts_per_tok=1,
+        rms_norm_eps=hf.get("layer_norm_epsilon", 1e-5),
+    )
+
+
+def params_from_hf_mamba(t: Dict[str, np.ndarray], cfg: JambaConfig,
+                         dtype=jnp.float32) -> Dict[str, Any]:
+    def g(k, transpose=False):
+        a = np.asarray(t[k])
+        return jnp.asarray(a.T if transpose else a, dtype)
+
+    layers = []
+    for i in range(cfg.num_layers):
+        mp = f"backbone.layers.{i}.mixer."
+        conv = np.asarray(t[mp + "conv1d.weight"])
+        layers.append({
+            "input_norm": g(f"backbone.layers.{i}.norm.weight"),
+            "mamba": {
+                "in_proj": g(mp + "in_proj.weight", transpose=True),
+                "conv_w": jnp.asarray(conv[:, 0, :], dtype),
+                "conv_b": g(mp + "conv1d.bias"),
+                "x_proj": g(mp + "x_proj.weight", transpose=True),
+                "dt_w": g(mp + "dt_proj.weight", transpose=True),
+                "dt_b": g(mp + "dt_proj.bias"),
+                "A_log": g(mp + "A_log"),
+                "D": g(mp + "D"),
+                "out_proj": g(mp + "out_proj.weight", transpose=True),
+            },
+        })
+    return {
+        "embed": g("backbone.embeddings.weight"),
+        "final_norm": g("backbone.norm_f.weight"),
+        "lm_head": g("lm_head.weight"),
+        "layers": layers,
+    }
+
+
 def params_from_hf(t: Dict[str, np.ndarray], cfg: JambaConfig,
                    dtype=jnp.float32) -> Dict[str, Any]:
     def g(k, transpose=False):
@@ -213,8 +267,9 @@ def forward(params, cfg: JambaConfig, token_ids, states=None):
                 conv, ssm = conv[0], ssm[0]
             new_states.append({"conv": conv, "ssm": ssm})
         x = x + a
-        h = _rms(x, lw["pre_ff_norm"], cfg.rms_norm_eps)
-        x = x + _ffn(lw, cfg, h)
+        if "pre_ff_norm" in lw:  # pure mamba has no FFN sub-block
+            h = _rms(x, lw["pre_ff_norm"], cfg.rms_norm_eps)
+            x = x + _ffn(lw, cfg, h)
     x = _rms(x, params["final_norm"], cfg.rms_norm_eps)
     logits = x.astype(jnp.float32) @ params["lm_head"].astype(
         jnp.float32).T

@@ -87,7 +87,8 @@ def mixer_prefill(p: Dict[str, Any], cfg, x: jax.Array,
 
     p: in_proj [D, 2di] (+in_b), conv_w [di, k] (+conv_b), x_proj
     [di, R+2ds], dt_w [R, di], dt_b [di], A_log [di, ds], D [di],
-    out_proj [di, D] (+out_b), dt_ln / b_ln / c_ln RMS weights."""
+    out_proj [di, D] (+out_b), optional dt_ln / b_ln / c_ln RMS weights
+    (jamba normalizes dt/B/C; pure mamba omits them)."""
     di = p["conv_w"].shape[0]
     ds = p["A_log"].shape[1]
     R = p["dt_w"].shape[0]
@@ -100,9 +101,10 @@ def mixer_prefill(p: Dict[str, Any], cfg, x: jax.Array,
     xc = jax.nn.silu(xc.astype(jnp.float32)).astype(x.dtype)
     dbc = xc @ p["x_proj"].astype(xc.dtype)               # [T, R+2ds]
     dtr, B, C = dbc[:, :R], dbc[:, R:R + ds], dbc[:, R + ds:]
-    dtr = _rms(dtr, p["dt_ln"], cfg.rms_norm_eps)
-    B = _rms(B, p["b_ln"], cfg.rms_norm_eps)
-    C = _rms(C, p["c_ln"], cfg.rms_norm_eps)
+    if "dt_ln" in p:  # jamba normalizes dt/B/C; pure mamba does not
+        dtr = _rms(dtr, p["dt_ln"], cfg.rms_norm_eps)
+        B = _rms(B, p["b_ln"], cfg.rms_norm_eps)
+        C = _rms(C, p["c_ln"], cfg.rms_norm_eps)
     dt = jax.nn.softplus(
         dtr.astype(jnp.float32) @ p["dt_w"].astype(jnp.float32)
         + p["dt_b"].astype(jnp.float32))
@@ -142,9 +144,10 @@ def mixer_step(p: Dict[str, Any], cfg, x: jax.Array, conv_state, ssm_state):
     xc = jax.nn.silu(xc).astype(x.dtype)                   # [S, di]
     dbc = xc @ p["x_proj"].astype(xc.dtype)
     dtr, B, C = dbc[:, :R], dbc[:, R:R + ds], dbc[:, R + ds:]
-    dtr = _rms(dtr, p["dt_ln"], cfg.rms_norm_eps)
-    B = _rms(B, p["b_ln"], cfg.rms_norm_eps)
-    C = _rms(C, p["c_ln"], cfg.rms_norm_eps)
+    if "dt_ln" in p:  # jamba normalizes dt/B/C; pure mamba does not
+        dtr = _rms(dtr, p["dt_ln"], cfg.rms_norm_eps)
+        B = _rms(B, p["b_ln"], cfg.rms_norm_eps)
+        C = _rms(C, p["c_ln"], cfg.rms_norm_eps)
     dt = jax.nn.softplus(
         dtr.astype(jnp.float32) @ p["dt_w"].astype(jnp.float32)
         + p["dt_b"].astype(jnp.float32))

@@ -73,3 +73,33 @@ def test_serving_surface_rejects_jamba():
     from kvcompress_tpu.models.registry import config_from_hf
     with pytest.raises(ValueError, match="models/jamba"):
         config_from_hf({"architectures": ["JambaForCausalLM"]})
+
+
+def test_pure_mamba_matches_hf():
+    """MambaForCausalLM (reference models/mamba.py role): same mixer ops
+    without dt/B/C norms or FFN sub-blocks; logits and stateful greedy
+    generation must match HF."""
+    cfg_hf = transformers.MambaConfig(
+        vocab_size=128, hidden_size=32, state_size=8,
+        num_hidden_layers=2, conv_kernel=4, expand=2, time_step_rank=4)
+    torch.manual_seed(3)
+    m = transformers.MambaForCausalLM(cfg_hf).eval()
+    cfg = J.config_from_hf_mamba(cfg_hf.to_dict())
+    assert not any(cfg.is_attn(i) or cfg.is_moe(i)
+                   for i in range(cfg.num_layers))
+    state = {k: v.detach().numpy() for k, v in m.state_dict().items()}
+    params = J.params_from_hf_mamba(state, cfg, dtype=jnp.float32)
+
+    rng = np.random.default_rng(4)
+    toks = rng.integers(0, 128, size=11)
+    with torch.no_grad():
+        ref = m(input_ids=torch.tensor(toks[None])).logits[0].numpy()
+    got, _ = J.forward(params, cfg, jnp.asarray(toks, jnp.int32))
+    np.testing.assert_allclose(np.asarray(got), ref, rtol=2e-3, atol=2e-3)
+
+    prompt = rng.integers(0, 128, size=9).tolist()
+    with torch.no_grad():
+        out = m.generate(torch.tensor([prompt]), max_new_tokens=6,
+                         do_sample=False)
+    assert J.generate_greedy(params, cfg, prompt, 6) \
+        == out[0, len(prompt):].tolist()
