@@ -113,9 +113,65 @@ def test_prefill_kernel(T, Hq, Hkv, d, dtype):
     check("metrics", m, m_ref, atol)
 
 
+def perf_prefill(T=6144, Hq=32, Hkv=8, d=128, iters=8):
+    """On-chip prefill kernel TF/s at the bench shape (VERDICT round-2
+    item 2: the head-grouped rewrite must be validated on hardware).
+    Causal attention FLOPs ~= 4 * (T^2/2) * Hq * d (QK^T + PV)."""
+    import time
+    rng = np.random.default_rng(2)
+    q = jnp.asarray(rng.standard_normal((T, Hq, d)), jnp.bfloat16)
+    k = jnp.asarray(rng.standard_normal((T, Hkv, d)), jnp.bfloat16)
+    v = jnp.asarray(rng.standard_normal((T, Hkv, d)), jnp.bfloat16)
+    kw = dict(metric_window=32, buffer_len=jnp.asarray(0), use_l2=True,
+              use_average=False, use_maxpool=True)
+    fn = jax.jit(lambda q, k, v: ppf.prefill_attention(
+        q, k, v, jnp.asarray(T), d ** -0.5, **kw))
+    out, m = fn(q, k, v)
+    jax.block_until_ready(out)
+    best = 1e9
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        out, m = fn(q, k, v)
+        jax.block_until_ready(out)
+        best = min(best, time.perf_counter() - t0)
+    flops = 4 * (T * T / 2) * Hq * d
+    print(f"prefill kernel T={T} Hq={Hq} d={d} bf16: best {best*1e3:.2f} "
+          f"ms = {flops / best / 1e12:.1f} TF/s")
+
+
+def perf_tail(S=64, Hq=32, Hkv=8, d=128, bs=16, nb=8, KT=16, iters=8):
+    """Decode tail kernel latency at the bench's compressed table width."""
+    import time
+    rng = np.random.default_rng(3)
+    num_blocks = S * Hkv * nb + 64
+    q = jnp.asarray(rng.standard_normal((S, Hq, d)), jnp.bfloat16)
+    tk = jnp.asarray(rng.standard_normal((S, Hkv, KT, d)), jnp.bfloat16)
+    tv = jnp.asarray(rng.standard_normal((S, Hkv, KT, d)), jnp.bfloat16)
+    tlen = jnp.full((S,), KT - 1, jnp.int32)
+    kc = jnp.asarray(rng.standard_normal((num_blocks, bs, d)), jnp.bfloat16)
+    vc = jnp.asarray(rng.standard_normal((num_blocks, bs, d)), jnp.bfloat16)
+    bt = jnp.asarray(rng.integers(1, num_blocks, size=(S, Hkv, nb)),
+                     jnp.int32)
+    ctx = jnp.full((S, Hkv), nb * bs, jnp.int32)
+    fn = jax.jit(lambda *a: ppa.paged_decode_attention_tail(
+        *a, d ** -0.5, use_l2=True, record_metrics=True))
+    o, mc, mt = fn(q, tk, tv, tlen, kc, vc, bt, ctx)
+    jax.block_until_ready(o)
+    best = 1e9
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        o, mc, mt = fn(q, tk, tv, tlen, kc, vc, bt, ctx)
+        jax.block_until_ready(o)
+        best = min(best, time.perf_counter() - t0)
+    kv_bytes = (S * Hkv * (nb * bs + KT) * d * 2 * 2)
+    print(f"tail kernel S={S} nb={nb} bs={bs}: best {best*1e6:.0f} us, "
+          f"KV read {kv_bytes / best / 1e9:.0f} GB/s")
+
+
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("--sizes", default="small", choices=["small", "bench"])
+    p.add_argument("--sizes", default="small",
+                   choices=["small", "bench", "perf"])
     args = p.parse_args()
     print(f"backend: {jax.devices()[0].platform} ({jax.devices()[0]})")
 
@@ -123,6 +179,11 @@ def main():
         test_tail_kernel(2, 8, 4, 128, 16, 16, 8, jnp.float32)
         test_tail_kernel(4, 8, 2, 128, 16, 32, 16, jnp.bfloat16)
         test_prefill_kernel(256, 8, 4, 128, jnp.float32)
+    elif args.sizes == "perf":
+        test_prefill_kernel(2048, 32, 8, 128, jnp.bfloat16)
+        test_tail_kernel(8, 32, 8, 128, 16, 128, 16, jnp.bfloat16)
+        perf_prefill()
+        perf_tail()
     else:
         test_tail_kernel(8, 32, 8, 128, 16, 128, 16, jnp.bfloat16)
         test_prefill_kernel(2048, 32, 8, 128, jnp.bfloat16)
