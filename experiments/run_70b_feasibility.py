@@ -117,6 +117,10 @@ def main():
     import numpy as np
     jax.config.update("jax_platforms", "cpu")
 
+    from kvcompress_tpu.utils import hostcache
+    hostcache.configure("cpu", tag="70b")  # part 1 compiles before any
+    # LLMEngine exists, so wire the persistent cache up explicitly
+
     from kvcompress_tpu.config import cdiv
     from kvcompress_tpu.models.decoder import init_params
     from kvcompress_tpu.parallel.mesh import (MODEL_AXIS, build_mesh,
@@ -199,8 +203,10 @@ def main():
     comp = cfg.kvcompress.max_kv_per_compression * 4 * 8 // TP
     temp_shard = max(act, comp)
     temp_src = "analytic_tpu_model"
+    measured = ("unavailable" if temp_cpu_measured is None
+                else f"{temp_cpu_measured / 1e9:.2f} GB")
     print(f"temp per shard: {temp_shard / 1e9:.2f} GB ({temp_src}; "
-          f"cpu-xla measured {temp_cpu_measured and temp_cpu_measured/1e9:.2f} GB)")
+          f"cpu-xla measured {measured})")
 
     result = {
         "model": "llama-3.1-70b-shape fp8 W8(+f32 scales) bf16 activations",

@@ -122,6 +122,22 @@ def train_copy_model(steps: int, seed: int = 0, cfg=None, batch_fn=None,
     return cfg, params
 
 
+def load_filler_copier():
+    """The trained filler-prefix copier (same decoder dims as
+    model_config): the committed artifact when present, else trained
+    in-process via the batch_fn from tests/test_compression_exactness."""
+    from kvcompress_tpu.utils.params_io import load_params_npz
+    cfg = model_config()
+    art = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "tests", "artifacts",
+        "filler_copier.npz")
+    if os.path.exists(art):
+        return cfg, load_params_npz(art)
+    from tests.test_compression_exactness import _filler_batch
+    return train_copy_model(2400, seed=3, cfg=cfg, batch_fn=_filler_batch,
+                            batch_size=48)
+
+
 def build_engine(cfg, params, bias_file=None, random_evict=False):
     from kvcompress_tpu.config import (CacheConfig, EngineConfig,
                                        KVCompressConfig, ParallelConfig,
@@ -143,23 +159,29 @@ def build_engine(cfg, params, bias_file=None, random_evict=False):
 
 
 def sweep_point(cfg, params, max_cache_tokens, protected, n_prompts=24,
-                bias_file=None, seed=1, random_evict=False):
+                bias_file=None, seed=1, random_evict=False,
+                prompt_fn=None):
     """Exact-match + token accuracy of digit repetition at one compression
-    setting."""
+    setting. `prompt_fn(rng) -> (prompt_token_ids, expected_completion)`
+    overrides the plain digit prompt (used for the filler-prefix variant)."""
     from kvcompress_tpu.sampling_params import SamplingParams
 
     eng = build_engine(cfg, params, bias_file, random_evict=random_evict)
     rng = np.random.default_rng(seed)
     prompts, expected, rids = [], [], []
     for i in range(n_prompts):
-        d = rng.choice(VOCAB - 12, size=N_DIGITS, replace=False) + 12
-        prompts.append([BOS] + d.tolist() + [SEP])
-        expected.append(d.tolist())
-    for i, p in enumerate(prompts):
+        if prompt_fn is not None:
+            p, exp = prompt_fn(rng)
+        else:
+            d = rng.choice(VOCAB - 12, size=N_DIGITS, replace=False) + 12
+            p, exp = [BOS] + d.tolist() + [SEP], d.tolist()
+        prompts.append(p)
+        expected.append(exp)
+    for i, (p, exp) in enumerate(zip(prompts, expected)):
         rids.append(eng.add_request(
             str(i), prompt_token_ids=p,
             sampling_params=SamplingParams(
-                temperature=0.0, max_tokens=N_DIGITS, ignore_eos=True,
+                temperature=0.0, max_tokens=len(exp), ignore_eos=True,
                 max_cache_tokens=max_cache_tokens,
                 protected_window_size=protected, compress_once=False)))
     outs = {}
@@ -185,7 +207,7 @@ def sweep_point(cfg, params, max_cache_tokens, protected, n_prompts=24,
     }
 
 
-def derive_head_bias(cfg, params, tmpdir, seed=2):
+def derive_head_bias(cfg, params, tmpdir, seed=2, prompt_fn=None):
     """Measure per-(layer, head) metric mass on a few prompts and emit a
     bias npz in the reference format {bias [L,H,bins], pos_bins} - the
     on-device analogue of experiments/generate_kv_head_bias.py: heads whose
@@ -194,16 +216,21 @@ def derive_head_bias(cfg, params, tmpdir, seed=2):
     eng = build_engine(cfg, params)
     rng = np.random.default_rng(seed)
     for i in range(4):
-        d = rng.choice(VOCAB - 12, size=N_DIGITS, replace=False) + 12
-        eng.add_request(str(i), prompt_token_ids=[BOS] + d.tolist() + [SEP],
+        if prompt_fn is not None:
+            p, exp = prompt_fn(rng)
+        else:
+            d = rng.choice(VOCAB - 12, size=N_DIGITS, replace=False) + 12
+            p, exp = [BOS] + d.tolist() + [SEP], d.tolist()
+        eng.add_request(str(i), prompt_token_ids=p,
                         sampling_params=SamplingParams(
-                            temperature=0.0, max_tokens=N_DIGITS,
+                            temperature=0.0, max_tokens=len(exp),
                             ignore_eos=True))
+        min_new = min(min_new, len(exp)) if i else len(exp)
     # Read the state MID-FLIGHT: once a sequence finishes its slot is freed
     # and context_lens zero out, which would make every `valid` mask False
     # and the derived bias identically zero (the round-2 sweep's inert-bias
     # bug). Stop while all four sequences are still decoding.
-    for _ in range(N_DIGITS // 2):
+    for _ in range(min_new // 2):
         eng.step()
     assert eng.has_unfinished_requests()
     eng._flush_pending()
@@ -235,8 +262,19 @@ def main(argv=None):
         os.path.dirname(__file__), "results_digit_cr_sweep.json"))
     args = p.parse_args(argv)
 
-    print("training copy model...")
-    cfg, params = train_copy_model(args.steps)
+    from kvcompress_tpu.utils.params_io import (load_params_npz,
+                                                save_params_npz)
+    cache = os.environ.get("KVC_SWEEP_WEIGHTS_CACHE")
+    if cache and os.path.exists(cache):
+        print(f"loading cached copier weights from {cache}")
+        cfg = model_config()
+        params = load_params_npz(cache)
+    else:
+        print("training copy model...")
+        cfg, params = train_copy_model(args.steps)
+        if cache:
+            save_params_npz(cache, params, compressed=False)
+            print(f"cached copier weights to {cache}")
 
     grid = [(-1, 8), (64, 8), (48, 8), (32, 8), (16, 8), (32, 32)]
     results = []
@@ -267,12 +305,59 @@ def main(argv=None):
             print(f"mct={mct} +bias: exact={r['exact_match']} "
                   f"tok_acc={r['token_accuracy']}")
 
+    # ---- filler-prefix copier: the reference's exactness regime --------
+    # The pure copier above has NO redundant KVs (every digit is needed),
+    # so ANY eviction must cost accuracy - that sweep measures graceful
+    # degradation, not the paper's operating point. The reference's
+    # exactness claim (test_random_digit_repeat.py:186-232) lives where the
+    # context HAS redundancy; the filler-prefix copier constructs it
+    # explicitly (tests/test_compression_exactness.py): 32 of the 66 prompt
+    # KVs are ignorable filler, so metric-guided eviction holds EXACT
+    # output until the budget cuts past the filler, while random eviction
+    # collapses immediately.
+    print("filler-prefix copier sweep...")
+    fcfg, fparams = load_filler_copier()
+    N_F, N_D = 32, 32
+
+    def filler_prompt(rng):
+        filler = rng.integers(200, 256, size=N_F)
+        d = rng.choice(200 - 12, size=N_D, replace=False) + 12
+        return [BOS] + filler.tolist() + d.tolist() + [SEP], d.tolist()
+
+    prompt_kv = N_F + N_D + 2
+    filler_results = []
+    for mct, rand in [(-1, False), (48, False), (40, False), (32, False),
+                      (24, False), (16, False), (48, True), (40, True),
+                      (32, True)]:
+        r = sweep_point(fcfg, fparams, mct, 8, prompt_fn=filler_prompt,
+                        random_evict=rand)
+        r["compression_rate"] = ("off" if mct < 0
+                                 else round(prompt_kv / mct, 2))
+        filler_results.append(r)
+        print(f"filler mct={mct}{' RANDOM' if rand else ''}: "
+              f"exact={r['exact_match']} tok_acc={r['token_accuracy']}")
+
+    with tempfile.TemporaryDirectory() as td:
+        bias_file = derive_head_bias(fcfg, fparams, td,
+                                     prompt_fn=filler_prompt)
+        for mct in (32, 24):
+            r = sweep_point(fcfg, fparams, mct, 8, prompt_fn=filler_prompt,
+                            bias_file=bias_file)
+            r["compression_rate"] = round(prompt_kv / mct, 2)
+            filler_results.append(r)
+            print(f"filler mct={mct} +bias: exact={r['exact_match']} "
+                  f"tok_acc={r['token_accuracy']}")
+
     payload = {
         "task": "random-symbol-repeat (trained 2-layer induction copier)",
         "n_digits": N_DIGITS,
         "n_prompts_per_point": 24,
         "reference": "tests/kvcompress/test_random_digit_repeat.py:26-284",
         "results": results,
+        "filler_task": ("filler-prefix copier: 32 ignorable filler KVs + "
+                        "32 digit KVs per prompt; exactness regime of "
+                        "test_random_digit_repeat.py:186-232"),
+        "filler_results": filler_results,
     }
     with open(args.out, "w") as f:
         json.dump(payload, f, indent=2)

@@ -40,15 +40,9 @@ def main(argv=None):
         args.steps, seed=3, cfg=cfg, batch_fn=_filler_batch,
         batch_size=48, pad_t=160)
 
-    flat = {}
-    for k, v in params.items():
-        if k == "layers":
-            for lk, lv in v.items():
-                flat[f"layers.{lk}"] = np.asarray(lv, np.float32)
-        else:
-            flat[k] = np.asarray(v, np.float32)
+    from kvcompress_tpu.utils.params_io import save_params_npz
     os.makedirs(os.path.dirname(os.path.abspath(args.out)), exist_ok=True)
-    np.savez_compressed(args.out, **flat)
+    save_params_npz(args.out, params)
     meta = {"steps": args.steps, "seed": 3, "batch_size": 48, "pad_t": 160,
             "trainer": "experiments/run_digit_cr_sweep.train_copy_model",
             "batch_fn": "tests/test_compression_exactness._filler_batch"}

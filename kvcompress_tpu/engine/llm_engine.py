@@ -167,6 +167,14 @@ class LLMEngine:
                 f"speculative.method={cfg.speculative.method!r} needs "
                 "proposer head weights (pass proposer=(spec, params) or a "
                 "draft_model checkpoint dir on the LLM surface)")
+        if (cfg.speculative.num_speculative_tokens > 0
+                and cfg.speculative.method in ("draft", "eagle")
+                and draft is None):
+            raise ValueError(
+                f"speculative.method={cfg.speculative.method!r} needs a "
+                "draft model (pass draft=(cfg, params) or a draft_model "
+                "checkpoint dir) - refusing to fall back to ngram "
+                "proposals silently")
         self.programs = EnginePrograms(cfg, params, attn_impl=attn_impl,
                                        mesh=mesh, draft=draft,
                                        proposer=proposer)
@@ -436,6 +444,12 @@ class LLMEngine:
             # multimodal: the prompt already contains N placeholder ids at
             # mm_positions; the prefill program scatters these embeddings
             # over them (reference llava.py merge_multimodal_embeddings)
+            if prompt_adapter_request is not None:
+                raise ValueError(
+                    "multimodal embeddings cannot combine with a prompt "
+                    "adapter (the soft-prompt prefix shifts the image "
+                    "positions and the prefill program applies only one "
+                    "embedding override)")
             assert len(mm_positions) == len(mm_embeds)
             seq.mm_embeds = jnp.asarray(mm_embeds)
             seq.mm_positions = np.asarray(mm_positions, np.int32)

@@ -114,21 +114,10 @@ class LLM:
         if quantization is None and model_cfg.checkpoint_quantization:
             # AWQ/GPTQ checkpoints serve int4 unless overridden
             quantization = "int4"
-        if quantization == "int8":
-            from kvcompress_tpu.quantization import quantize_params
-            params = quantize_params(params)
-        elif quantization == "fp8":
-            from kvcompress_tpu.quantization.fp8 import (
-                quantize_params as quantize_params_fp8)
-            params = quantize_params_fp8(params)
-        elif quantization == "int4":
-            from kvcompress_tpu.quantization.int4 import (
-                quantize_params as quantize_params_int4)
-            params = quantize_params_int4(params)
-        elif quantization is not None:
-            raise ValueError(f"unsupported quantization {quantization}")
         cfg = build_engine_config(model_cfg, **engine_kw)
 
+        # drafts load BEFORE quantization: EAGLE shares the target's
+        # embed/lm_head, which quantize_params renames to _q8 leaves
         draft = None
         proposer = None
         if cfg.speculative.draft_model:
@@ -143,7 +132,22 @@ class LLM:
             else:
                 draft = load_model(cfg.speculative.draft_model, dtype=jdtype)
 
+        if quantization == "int8":
+            from kvcompress_tpu.quantization import quantize_params
+            params = quantize_params(params)
+        elif quantization == "fp8":
+            from kvcompress_tpu.quantization.fp8 import (
+                quantize_params as quantize_params_fp8)
+            params = quantize_params_fp8(params)
+        elif quantization == "int4":
+            from kvcompress_tpu.quantization.int4 import (
+                quantize_params as quantize_params_int4)
+            params = quantize_params_int4(params)
+        elif quantization is not None:
+            raise ValueError(f"unsupported quantization {quantization}")
+
         self._vision = None
+        self._vision_jit = None
         if model_cfg.image_token_index is not None:
             from kvcompress_tpu.models.weights import load_multimodal
             self._vision = load_multimodal(model, dtype=jdtype)
@@ -212,12 +216,17 @@ class LLM:
         assert self._vision is not None, \
             "multi_modal_data passed but the model has no vision tower"
         vcfg, vparams = self._vision
+        if self._vision_jit is None:
+            # one jitted encoder for the LLM's lifetime (a fresh jit per
+            # request would retrace the whole CLIP tower every call)
+            self._vision_jit = jax.jit(llava_image_embed,
+                                       static_argnums=1)
         px = jnp.asarray(mm["image"])
         if px.ndim == 3:
             px = px[None]
         embeds = jnp.concatenate([
-            jax.jit(llava_image_embed, static_argnums=1)(
-                vparams, vcfg, px[k]) for k in range(px.shape[0])])
+            self._vision_jit(vparams, vcfg, px[k])
+            for k in range(px.shape[0])])
         img_tok = self.llm_engine.cfg.model.image_token_index
         n_per = embeds.shape[0] // px.shape[0]
         new_ids, positions = expand_image_tokens(prompt_ids, img_tok, n_per)

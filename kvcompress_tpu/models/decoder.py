@@ -180,6 +180,20 @@ def _act(x: jax.Array, act: str) -> jax.Array:
     raise ValueError(f"unsupported activation {act}")
 
 
+def _shared_mlp_view(lw: Dict[str, jax.Array]) -> Dict[str, jax.Array]:
+    """View of the shared-expert weights under the standard w_gate/w_up/
+    w_down names, carrying quantized leaves (shared_gate_q8/_scale,
+    _q4/_scale4/_zero4) through so _mm's dispatch keeps working - a bare
+    lw[\"shared_gate\"] read crashes on quantized checkpoints."""
+    d = {}
+    for new, old in (("w_gate", "shared_gate"), ("w_up", "shared_up"),
+                     ("w_down", "shared_down")):
+        for sfx in ("", "_q8", "_scale", "_q4", "_scale4", "_zero4"):
+            if f"{old}{sfx}" in lw:
+                d[f"{new}{sfx}"] = lw[f"{old}{sfx}"]
+    return d
+
+
 def _dense_mlp(x: jax.Array, lw: Dict[str, jax.Array],
                cfg: ModelConfig) -> jax.Array:
     if cfg.mlp_type == "plain":
@@ -297,9 +311,7 @@ def _moe_mlp(x: jax.Array, lw: Dict[str, jax.Array],
     out = out.astype(x.dtype)
 
     if cfg.moe_shared_expert_size:
-        shared = _dense_mlp(x, {
-            "w_gate": lw["shared_gate"], "w_up": lw["shared_up"],
-            "w_down": lw["shared_down"]}, cfg)
+        shared = _dense_mlp(x, _shared_mlp_view(lw), cfg)
         if "shared_router" in lw:
             sg = jax.nn.sigmoid(
                 x.astype(jnp.float32) @ lw["shared_router"].astype(
@@ -593,9 +605,7 @@ def _layer_step_fn(cfg: ModelConfig, T: int, cos, sin, attn_fn,
             # their routed term vanishes exactly.
             x_attn = x + a
             sh_in = _norm(x_attn, lw["res_norm"], None, cfg)
-            m_sh = _dense_mlp(sh_in, {
-                "w_gate": lw["shared_gate"], "w_up": lw["shared_up"],
-                "w_down": lw["shared_down"]}, cfg)
+            m_sh = _dense_mlp(sh_in, _shared_mlp_view(lw), cfg)
             moe_in = _norm(x, lw["post_attn_norm"], None, cfg)
             m_moe = _moe_mlp(moe_in, lw, cfg)
             x = x_attn + m_sh + m_moe

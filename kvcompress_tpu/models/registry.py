@@ -1594,6 +1594,13 @@ def _qwen_v1():
     effective intermediate size is config.intermediate_size // 2
     (qwen.py:154)."""
     def cfg_fn(hf, name):
+        if "visual" in hf:
+            # Qwen-VL declares the same architecture string; the text
+            # loader would silently serve image placeholders as ordinary
+            # embeddings (fail-loudly contract of _KNOWN_UNSUPPORTED)
+            raise ValueError(
+                "QWenLMHeadModel checkpoint has a `visual` config: "
+                "Qwen-VL is unsupported (text QWenLMHeadModel only)")
         return _base_cfg(
             hf, "QWenLMHeadModel", name,
             intermediate_size=hf["intermediate_size"] // 2,

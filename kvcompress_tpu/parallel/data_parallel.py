@@ -89,7 +89,9 @@ class DataParallelEngine:
         return rid
 
     def abort_request(self, request_id) -> None:
-        r = self._route.get(request_id)
+        # pop, not get: aborted requests often never surface a finished
+        # output through step(), so the route entry would leak
+        r = self._route.pop(request_id, None)
         if r is not None:
             self.replicas[r].abort_request(request_id)
 

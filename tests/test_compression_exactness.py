@@ -74,15 +74,8 @@ def copier():
     training in-process otherwise."""
     cfg = copier_model_config()
     if os.path.exists(_ARTIFACT):
-        f = np.load(_ARTIFACT)
-        params = {"layers": {}}
-        for k in f.files:
-            v = jnp.asarray(f[k], jnp.float32)
-            if k.startswith("layers."):
-                params["layers"][k[len("layers."):]] = v
-            else:
-                params[k] = v
-        return cfg, params
+        from kvcompress_tpu.utils.params_io import load_params_npz
+        return cfg, load_params_npz(_ARTIFACT)
     from experiments.run_digit_cr_sweep import train_copy_model
     cfg, params = train_copy_model(
         2400, seed=3, cfg=cfg, batch_fn=_filler_batch, batch_size=48,

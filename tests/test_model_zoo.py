@@ -800,3 +800,49 @@ def test_known_unsupported_archs_fail_loudly():
                                 hidden_size=16, num_hidden_layers=1,
                                 num_attention_heads=2,
                                 intermediate_size=16))
+
+
+def test_qwen_vl_rejected_loudly():
+    """A Qwen-VL checkpoint declares the TEXT architecture string plus a
+    `visual` config; the text loader must not serve it silently wrong
+    (fail-loudly contract of _KNOWN_UNSUPPORTED)."""
+    from kvcompress_tpu.models.registry import config_from_hf
+    with pytest.raises(ValueError, match="Qwen-VL"):
+        config_from_hf({"architectures": ["QWenLMHeadModel"],
+                        "visual": {"image_size": 448},
+                        "hidden_size": 64, "num_attention_heads": 4,
+                        "num_hidden_layers": 2, "intermediate_size": 128,
+                        "vocab_size": 256})
+
+
+def test_arctic_residual_runs_quantized():
+    """The arctic residual branch reads shared_gate/up/down through the
+    quantization-aware view (_shared_mlp_view): an int8-quantized arctic
+    model must trace and run (regression: bare lw["shared_gate"] reads
+    KeyError'd after quantize_params renamed the leaves)."""
+    from kvcompress_tpu.quantization.int8 import quantize_params
+    state, _ = _llama_state()
+    D_, I = 64, 128
+    base = _arctic_rename_dense(state)
+    p1 = "model.layers.1."
+    base[p1 + "residual_mlp.w1.weight"] = base.pop(
+        p1 + "block_sparse_moe.mlp.w1.weight")
+    base[p1 + "residual_mlp.w3.weight"] = base.pop(
+        p1 + "block_sparse_moe.mlp.w3.weight")
+    base[p1 + "residual_mlp.w2.weight"] = base.pop(
+        p1 + "block_sparse_moe.mlp.w2.weight")
+    base[p1 + "residual_layernorm.weight"] = state[
+        "model.layers.1.post_attention_layernorm.weight"]
+    for e in range(2):
+        pe = p1 + f"block_sparse_moe.experts.{e}."
+        base[pe + "w1.weight"] = np.zeros((I, D_), np.float32)
+        base[pe + "w3.weight"] = np.zeros((I, D_), np.float32)
+        base[pe + "w2.weight"] = np.zeros((D_, I), np.float32)
+    base[p1 + "block_sparse_moe.gate.weight"] = np.zeros(
+        (2, D_), np.float32)
+    cfg = config_from_hf(_arctic_hf())
+    params = params_from_hf_state(base, cfg, dtype=jnp.float32)
+    qparams = quantize_params(params)
+    assert "shared_gate_q8" in qparams["layers"]
+    logits = _run_prefill(cfg, qparams, list(range(3, 14)))
+    assert np.all(np.isfinite(logits))

@@ -97,14 +97,8 @@ def test_fp8_engine_exact_on_trained_model():
 
     if not os.path.exists(tce._ARTIFACT):
         pytest.skip("filler_copier artifact missing")
-    f = np.load(tce._ARTIFACT)
-    params = {"layers": {}}
-    for k in f.files:
-        v = jnp.asarray(f[k], jnp.float32)
-        if k.startswith("layers."):
-            params["layers"][k[len("layers."):]] = v
-        else:
-            params[k] = v
+    from kvcompress_tpu.utils.params_io import load_params_npz
+    params = load_params_npz(tce._ARTIFACT)
     cfg = tce.copier_model_config()
     qparams = quantize_fp8(params)
     assert qparams["layers"]["wq_q8"].dtype == jnp.float8_e4m3fn
