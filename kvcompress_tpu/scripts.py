@@ -16,7 +16,9 @@ def add_engine_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--dtype", default="bfloat16",
                    choices=["bfloat16", "float32"])
     p.add_argument("--quantization", "-q", default=None,
-                   choices=["int8"])
+                   choices=["int8", "fp8", "int4"],
+                   help="weight-only quantization; AWQ/GPTQ checkpoints "
+                        "default to int4 automatically")
     p.add_argument("--block-size", type=int, default=16)
     p.add_argument("--max-num-seqs", type=int, default=64)
     p.add_argument("--max-model-len", type=int, default=None)
@@ -28,6 +30,9 @@ def add_engine_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--num-blocks", type=int, default=None,
                    help="override profiled cache size (blocks)")
     p.add_argument("--tensor-parallel-size", "-tp", type=int, default=1)
+    p.add_argument("--data-parallel-size", "-dp", type=int, default=1,
+                   help="engine replicas on disjoint mesh slices "
+                        "(parallel/data_parallel.py)")
     p.add_argument("--seed", type=int, default=0)
     # --- KV-Compress flags (reference arg_utils.py:783-915) ---
     p.add_argument("--enable-kvc", action="store_true", default=False)
@@ -48,6 +53,12 @@ def add_engine_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--max-lora-rank", type=int, default=16)
     # --- speculative decoding (reference --num-speculative-tokens etc) ---
     p.add_argument("--num-speculative-tokens", type=int, default=0)
+    p.add_argument("--speculative-method", default="ngram",
+                   choices=["ngram", "draft", "medusa", "mlp_speculator",
+                            "eagle"])
+    p.add_argument("--speculative-draft-model", default=None,
+                   help="draft/proposer checkpoint dir for methods other "
+                        "than ngram")
     p.add_argument("--ngram-prompt-lookup-min", type=int, default=1)
     p.add_argument("--ngram-prompt-lookup-max", type=int, default=4)
     # --- multi-step scheduling (reference --num-scheduler-steps) ---
@@ -79,10 +90,13 @@ def build_llm(args):
         kv_head_bias_weight=args.kv_head_bias_weight,
         record_decoding_metrics=not args.disable_decoding_metrics,
         tensor_parallel_size=args.tensor_parallel_size,
+        data_parallel_size=args.data_parallel_size,
         enable_lora=args.enable_lora,
         max_loras=args.max_loras,
         max_lora_rank=args.max_lora_rank,
         num_speculative_tokens=args.num_speculative_tokens,
+        speculative_method=args.speculative_method,
+        speculative_draft_model=args.speculative_draft_model,
         ngram_prompt_lookup_min=args.ngram_prompt_lookup_min,
         ngram_prompt_lookup_max=args.ngram_prompt_lookup_max,
         num_scheduler_steps=args.num_scheduler_steps,
