@@ -160,7 +160,7 @@ def build_engine(cfg, params, bias_file=None, random_evict=False):
 
 def sweep_point(cfg, params, max_cache_tokens, protected, n_prompts=24,
                 bias_file=None, seed=1, random_evict=False,
-                prompt_fn=None):
+                prompt_fn=None, compress_once=False):
     """Exact-match + token accuracy of digit repetition at one compression
     setting. `prompt_fn(rng) -> (prompt_token_ids, expected_completion)`
     overrides the plain digit prompt (used for the filler-prefix variant)."""
@@ -183,7 +183,8 @@ def sweep_point(cfg, params, max_cache_tokens, protected, n_prompts=24,
             sampling_params=SamplingParams(
                 temperature=0.0, max_tokens=len(exp), ignore_eos=True,
                 max_cache_tokens=max_cache_tokens,
-                protected_window_size=protected, compress_once=False)))
+                protected_window_size=protected,
+                compress_once=compress_once)))
     outs = {}
     while eng.has_unfinished_requests():
         for out in eng.step():
@@ -336,6 +337,19 @@ def main(argv=None):
         filler_results.append(r)
         print(f"filler mct={mct}{' RANDOM' if rand else ''}: "
               f"exact={r['exact_match']} tok_acc={r['token_accuracy']}")
+
+    # compress-ONCE rows (the reference exactness test's regime,
+    # test_random_digit_repeat.py:186-232 compress_once default): one
+    # eviction pass after prefill; budgets above the digit+window count
+    # must keep output essentially exact because only filler evicts
+    for mct in (56, 48, 40):
+        r = sweep_point(fcfg, fparams, mct, 8, prompt_fn=filler_prompt,
+                        compress_once=True)
+        r["compression_rate"] = round(prompt_kv / mct, 2)
+        r["compress_once"] = True
+        filler_results.append(r)
+        print(f"filler mct={mct} ONCE: exact={r['exact_match']} "
+              f"tok_acc={r['token_accuracy']}")
 
     with tempfile.TemporaryDirectory() as td:
         bias_file = derive_head_bias(fcfg, fparams, td,
