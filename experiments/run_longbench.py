@@ -51,12 +51,15 @@ def main(argv=None):
     p.add_argument("--limit", type=int, default=0)
     p.add_argument("--num-blocks", type=int, default=0,
                    help="cache blocks; 0 = profiled from device memory")
+    p.add_argument("--dtype", default="bfloat16",
+                   choices=["bfloat16", "float32"])
     args = p.parse_args(argv)
 
     from kvcompress_tpu.entrypoints.llm import LLM
     from kvcompress_tpu.sampling_params import SamplingParams
 
-    llm = LLM(args.model, max_model_len=args.max_model_len,
+    llm = LLM(args.model, dtype=args.dtype,
+              max_model_len=args.max_model_len,
               num_blocks=args.num_blocks or None,
               block_size=args.block_size, enable_kvcompress=True,
               prefill_metric_collection_window_size=(

@@ -44,12 +44,17 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 N_NAMES = 256
 N_VALUES = 512
 WORDS = ["the", "code", "of", "is", "what", "?", ".", "Answer:"]
-SMALL = os.environ.get("KVC_STANDIN_SMALL") == "1"
+# small: CPU smoke; medium: trainable on this image's single CPU core in
+# a few hours; full: the TPU-chip configuration
+SIZE = os.environ.get(
+    "KVC_STANDIN_SIZE", "small" if os.environ.get(
+        "KVC_STANDIN_SMALL") == "1" else "full")
+SMALL = SIZE == "small"
 
 # eval/train geometry: facts are 8 tokens each ("the code of <n> is <v> .")
 FACT_LEN = 8
-N_FACTS_EVAL = 24 if SMALL else 192
-PAD_T = 256 if SMALL else 1664  # max prompt+answer length seen in training
+N_FACTS_EVAL = {"small": 24, "medium": 40, "full": 192}[SIZE]
+PAD_T = {"small": 256, "medium": 384, "full": 1664}[SIZE]
 
 
 def build_vocab():
@@ -73,8 +78,9 @@ def save_tokenizer(vocab, outdir):
 
 def model_config(vocab_size):
     from kvcompress_tpu.config import ModelConfig
+    L = {"small": 2, "medium": 2, "full": 4}[SIZE]
     return ModelConfig(
-        num_layers=2 if SMALL else 4, num_heads=8, num_kv_heads=4,
+        num_layers=L, num_heads=8, num_kv_heads=4,
         head_size=32, hidden_size=256, intermediate_size=512,
         vocab_size=vocab_size, max_model_len=PAD_T + 64,
         rope_theta=10000.0, tie_word_embeddings=False, dtype="float32")
@@ -88,10 +94,14 @@ def make_row(rng, vocab, n_facts):
     facts = [f"the code of name{n:03d} is val{v:03d} ."
              for n, v in zip(names, vals)]
     row = {
+        # cloze question: the answer is the direct induction continuation
+        # of the "name is" bigram seen in the context (the mechanism the
+        # copy curriculum trains); a "what is ...?" phrasing needs an
+        # extra retrieval hop tiny CPU-trainable models fail to learn
         "context": " ".join(facts),
-        "input": f"what is the code of name{names[q]:03d} ?",
+        "input": f"the code of name{names[q]:03d} is",
         "answers": [f"val{vals[q]:03d}"],
-        "length": n_facts * FACT_LEN + 8,
+        "length": n_facts * FACT_LEN + 6,
     }
     return row
 
@@ -110,6 +120,8 @@ def row_to_train_ids(row, vocab, pad_t):
     toks = np.zeros((pad_t,), np.int64)
     w = np.zeros((pad_t,), np.float32)
     toks[:len(full)] = full
+    # loss on the answer only - matching the trained-copier recipe that
+    # provably converges (loss on the repeated segment, nothing else)
     w[len(ids):len(full)] = 1.0
     return toks, w
 
@@ -163,6 +175,26 @@ def train(cfg, vocab, steps, batch_size, seed=0):
     def probe_logits(params, tokens):
         return jax.vmap(lambda t: fwd_one(params, t))(tokens)
 
+    def copy_sample(rng, pad_t):
+        """Curriculum booster: facts followed by a verbatim repeat of a
+        random contiguous run, loss on the repeat. Dense induction-head
+        signal (the mechanism retrieval reuses); the pure one-token
+        retrieval loss is too sparse to ignite the circuit at CPU-sized
+        batches - mirroring the trained-copier recipe that provably
+        converges (experiments/run_digit_cr_sweep.py)."""
+        n = int(rng.integers(6, max(N_FACTS_EVAL // 2, 8)))
+        row = make_row(rng, vocab, n)
+        ids = [vocab[w] for w in row["context"].split()]
+        run = int(rng.integers(2, 4))
+        start = int(rng.integers(0, n - run + 1)) * FACT_LEN
+        rep = ids[start:start + run * FACT_LEN]
+        full = ids + rep
+        toks = np.zeros((pad_t,), np.int64)
+        w = np.zeros((pad_t,), np.float32)
+        toks[:len(full)] = full
+        w[len(ids):len(full)] = 1.0
+        return toks, w
+
     rng = np.random.default_rng(seed)
     lo, hi = (4, N_FACTS_EVAL) if SMALL else (24, N_FACTS_EVAL)
     # fixed probe set: teacher-forced answer-token accuracy
@@ -183,9 +215,12 @@ def train(cfg, vocab, steps, batch_size, seed=0):
         toks = np.zeros((batch_size, PAD_T), np.int64)
         ws = np.zeros((batch_size, PAD_T), np.float32)
         for b in range(batch_size):
-            n = int(rng.integers(lo, hi + 1))
-            toks[b], ws[b] = row_to_train_ids(
-                make_row(rng, vocab, n), vocab, PAD_T)
+            if rng.random() < 0.5:
+                toks[b], ws[b] = copy_sample(rng, PAD_T)
+            else:
+                n = int(rng.integers(lo, hi + 1))
+                toks[b], ws[b] = row_to_train_ids(
+                    make_row(rng, vocab, n), vocab, PAD_T)
         params, opt_state, loss = step(params, opt_state,
                                        jnp.asarray(toks), jnp.asarray(ws))
         if i % 250 == 0 or i == steps - 1:
@@ -237,7 +272,7 @@ def export_hf_llama(cfg, params, outdir):
         "vocab_size": cfg.vocab_size,
         "max_position_embeddings": cfg.max_model_len,
         "rope_theta": cfg.rope_theta,
-        "rms_norm_eps": 1e-6,
+        "rms_norm_eps": cfg.rms_norm_eps,
         "hidden_act": "silu",
         "tie_word_embeddings": False,
         "torch_dtype": "float32",
@@ -249,14 +284,18 @@ def export_hf_llama(cfg, params, outdir):
 
 def main(argv=None):
     p = argparse.ArgumentParser()
-    p.add_argument("--steps", type=int, default=300 if SMALL else 4000)
-    p.add_argument("--batch-size", type=int, default=8)
+    p.add_argument("--steps", type=int, default={
+        "small": 300, "medium": 2500, "full": 4000}[SIZE])
+    p.add_argument("--batch-size", type=int, default={
+        "small": 8, "medium": 24, "full": 8}[SIZE])
     p.add_argument("--ckpt", default="/tmp/kvc_longbench_standin")
     p.add_argument("--skip-train", action="store_true",
                    help="reuse an existing --ckpt")
-    p.add_argument("--rows", type=int, default=12 if SMALL else 48)
+    p.add_argument("--rows", type=int, default={
+        "small": 12, "medium": 36, "full": 48}[SIZE])
     p.add_argument("--crs", type=float, nargs="+",
-                   default=[0.0, 2.0, 4.0, 8.0])
+                   default=[0.0, 2.0, 4.0, 8.0] if SIZE == "full"
+                   else [0.0, 1.5, 2.0, 2.5])
     p.add_argument("--out", default=os.path.join(
         os.path.dirname(__file__), "results_longbench_synthetic.json"))
     p.add_argument("--backend", default="auto", choices=["auto", "cpu"],
