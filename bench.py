@@ -198,7 +198,10 @@ def run_phase(compress: bool) -> float:
         # within the driver budget while exercising continual batching
         n_prompts = int(os.environ.get("BENCH_PROMPTS", "64"))
         if not compress:
-            n_prompts = int(os.environ.get("BENCH_BASELINE_PROMPTS", "8"))
+            # one pass at the uncompressed concurrency cap (~10 six-k-token
+            # contexts fit): fewer would understate the denominator and
+            # flatter the headline ratio
+            n_prompts = int(os.environ.get("BENCH_BASELINE_PROMPTS", "10"))
         input_len, output_len = 6000, 500
         vocab = 128256
     block = 16

@@ -772,8 +772,11 @@ class EnginePrograms:
         if key not in self._decode_fns:
             self._decode_fns[key] = self._build_draft_round(W, Q_in, gamma)
         if tgt_hid is None:
+            # bootstrap zeros use the SAME (S, gamma+1, D) shape verify
+            # exports: an (S, 1, D) first round would compile the whole
+            # fused draft program twice (mid-serving retrace)
             S = self.cfg.scheduler.max_num_seqs
-            tgt_hid = jnp.zeros((S, 1, self.draft[0].hidden_size),
+            tgt_hid = jnp.zeros((S, gamma + 1, self.draft[0].hidden_size),
                                 jnp.float32)
         return self._decode_fns[key](
             self.draft[1], ring, jnp.asarray(packed_np), tgt_hid)

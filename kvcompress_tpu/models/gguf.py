@@ -69,24 +69,30 @@ class _Reader:
         raise ValueError(f"unknown gguf metadata type {t}")
 
 
-def _dequant(raw: bytes, ggml_type: int, n: int) -> np.ndarray:
-    """Flat [n] float32 from the raw tensor bytes."""
+def _dequant(raw: bytes, ggml_type: int, n: int,
+             offset: int = 0) -> np.ndarray:
+    """Flat [n] float32 from the file buffer at `offset` (frombuffer with
+    offset reads in place: slicing `raw[offset:]` would COPY the rest of
+    the file once per tensor - O(n_tensors x file_size) on real 4 GB
+    checkpoints)."""
     if ggml_type == GGML_F32:
-        return np.frombuffer(raw, "<f4", count=n).astype(np.float32)
+        return np.frombuffer(raw, "<f4", count=n,
+                             offset=offset).astype(np.float32)
     if ggml_type == GGML_F16:
-        return np.frombuffer(raw, "<f2", count=n).astype(np.float32)
+        return np.frombuffer(raw, "<f2", count=n,
+                             offset=offset).astype(np.float32)
     if ggml_type == GGML_Q8_0:
         # blocks of 32: f16 scale + 32 * i8
-        b = np.frombuffer(raw, np.uint8, count=(n // 32) * 34).reshape(
-            n // 32, 34)
+        b = np.frombuffer(raw, np.uint8, count=(n // 32) * 34,
+                          offset=offset).reshape(n // 32, 34)
         d = b[:, :2].copy().view("<f2").astype(np.float32)  # [nb, 1]
         q = b[:, 2:].copy().view(np.int8).astype(np.float32)
         return (q * d).reshape(-1)
     if ggml_type == GGML_Q4_0:
         # blocks of 32: f16 scale + 16 nibble bytes; elem j = byte j low
         # nibble, elem j+16 = byte j high nibble; value = d * (q - 8)
-        b = np.frombuffer(raw, np.uint8, count=(n // 32) * 18).reshape(
-            n // 32, 18)
+        b = np.frombuffer(raw, np.uint8, count=(n // 32) * 18,
+                          offset=offset).reshape(n // 32, 18)
         d = b[:, :2].copy().view("<f2").astype(np.float32)
         lo = (b[:, 2:] & 0xF).astype(np.float32)
         hi = (b[:, 2:] >> 4).astype(np.float32)
@@ -94,8 +100,8 @@ def _dequant(raw: bytes, ggml_type: int, n: int) -> np.ndarray:
         return (d * (q - 8.0)).reshape(-1)
     if ggml_type == GGML_Q4_1:
         # f16 d + f16 m + 16 nibble bytes; value = d * q + m
-        b = np.frombuffer(raw, np.uint8, count=(n // 32) * 20).reshape(
-            n // 32, 20)
+        b = np.frombuffer(raw, np.uint8, count=(n // 32) * 20,
+                          offset=offset).reshape(n // 32, 20)
         d = b[:, :2].copy().view("<f2").astype(np.float32)
         m = b[:, 2:4].copy().view("<f2").astype(np.float32)
         lo = (b[:, 4:] & 0xF).astype(np.float32)
@@ -139,7 +145,7 @@ def read_gguf(path: str) -> Tuple[Dict[str, Any], Dict[str, np.ndarray]]:
     tensors = {}
     for name, dims, ttype, off in infos:
         n = int(np.prod(dims))
-        flat = _dequant(data[base + off:], ttype, n)
+        flat = _dequant(data, ttype, n, offset=base + off)
         # ggml ne[0] is contiguous: numpy shape is reversed(dims)
         tensors[name] = flat.reshape(tuple(reversed(dims)))
     return meta, tensors

@@ -192,10 +192,7 @@ def params_from_hf(t: Dict[str, np.ndarray], cfg: JambaConfig,
     }
 
 
-def _rms(x, w, eps):
-    xf = x.astype(jnp.float32)
-    y = xf * jax.lax.rsqrt(jnp.mean(xf * xf, axis=-1, keepdims=True) + eps)
-    return (y * w.astype(jnp.float32)).astype(x.dtype)
+from kvcompress_tpu.ops.mamba import _rms  # noqa: E402  (one shared impl)
 
 
 def _ffn(lw, cfg: JambaConfig, x):

@@ -117,3 +117,32 @@ class DataParallelEngine:
     @property
     def tokenizer(self):
         return self.replicas[0].tokenizer
+
+    @property
+    def programs(self):
+        """Embedding mode / server surfaces reach one replica's programs
+        (embeddings are read-only on the weights, any replica works)."""
+        return self.replicas[0].programs
+
+    @property
+    def stats(self):
+        """/metrics surface: counters and gauges summed across replicas
+        into a fresh EngineStats view (histogram buckets merged too)."""
+        from kvcompress_tpu.utils.metrics import EngineStats
+        agg = EngineStats(prefix=self.replicas[0].stats.prefix)
+        for i, e in enumerate(self.replicas):
+            s = e.stats
+            with s._lock:
+                for k, v in s.counters.items():
+                    agg.counters[k] += v
+                for k, v in s.gauges.items():
+                    agg.gauges[f"{k}_r{i}"] = v
+                for k, h in s.histograms.items():
+                    dst = agg.histograms.setdefault(k, [0] * len(h))
+                    for j, c in enumerate(h):
+                        dst[j] += c
+                for k, v in s.hist_sum.items():
+                    agg.hist_sum[k] += v
+                for k, v in s.hist_count.items():
+                    agg.hist_count[k] += v
+        return agg

@@ -64,7 +64,10 @@ def quantize_params(params: Dict[str, Any],
                     targets: Optional[Iterable[str]] = None,
                     group_size: int = DEFAULT_GROUP) -> Dict[str, Any]:
     """New param pytree with target weights int4-group-quantized. Weights
-    whose input dim is not group-divisible stay unquantized (loudly)."""
+    whose input dim is not group-divisible stay unquantized, with a
+    warning naming them (a silent skip would leave the user believing
+    those layers run W4A16)."""
+    import logging
     targets = set(targets or _INT4_TARGETS)
     out = dict(params)
     layers = dict(params["layers"])
@@ -73,7 +76,11 @@ def quantize_params(params: Dict[str, Any],
             continue
         w = layers[name]
         if w.shape[-2] % group_size:
-            continue  # e.g. tiny test models; keep full precision
+            logging.getLogger(__name__).warning(
+                "int4: %s input dim %d not divisible by group_size %d; "
+                "serving it in full precision", name, w.shape[-2],
+                group_size)
+            continue
         q, s, z = _quantize_group(w, group_size)
         del layers[name]
         layers[f"{name}_q4"] = q

@@ -3,11 +3,12 @@
 XLA:CPU AOT cache entries embed the compile machine's CPU feature set;
 loading them on a different host spams cpu_aot_loader errors (and risks
 SIGILL). Engine runs may resume on a different machine round to round, so
-the default cache directory is keyed by a host fingerprint. Imported by
-both engine/llm_engine.py (which applies it at module import) and
-__graft_entry__.dryrun_multichip (which must choose a directory BEFORE
-importing the engine). Kept dependency-free: importing this module must not
-import jax.
+the default cache directory is keyed by a host fingerprint. Applied via
+configure(), which LLMEngine.__init__ calls - code that compiles engine
+programs WITHOUT constructing an LLMEngine (AOT experiments, dryruns)
+must call configure() itself, as __graft_entry__.dryrun_multichip and
+experiments/run_70b_feasibility.py do. Kept dependency-free at import:
+importing this module must not import jax.
 """
 
 from __future__ import annotations

@@ -88,3 +88,52 @@ def test_dp_needs_enough_devices(params):
     cfg = dp_cfg(len(jax.devices()) + 1, 1)
     with pytest.raises(ValueError, match="devices"):
         DataParallelEngine(cfg, params, num_blocks=64, attn_impl="xla")
+
+
+def test_dp_serves_metrics_and_embeddings(params):
+    """The OpenAI server surfaces DataParallelEngine lacked: /metrics
+    (aggregated stats) and /v1/embeddings (programs delegate)."""
+    import json as js
+    import urllib.request
+    from kvcompress_tpu.entrypoints.openai.api_server import OpenAIServer
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs 2 virtual devices")
+
+    class _Tok:
+        eos_token_id = 0
+        chat_template = None
+
+        def encode(self, text):
+            return [(ord(c) % (VOCAB - 1)) + 1 for c in text][:16]
+
+        def decode(self, ids, skip_special_tokens=True):
+            return "".join(chr(97 + (i % 26)) for i in ids)
+
+    eng = DataParallelEngine(dp_cfg(2, 1), params, num_blocks=256,
+                             attn_impl="xla", tokenizer=_Tok())
+    srv = OpenAIServer(eng, model_name="dp-tiny")
+    httpd = srv.serve(host="127.0.0.1", port=0, background=True)
+    url = f"http://127.0.0.1:{httpd.server_address[1]}"
+    try:
+        req = urllib.request.Request(
+            url + "/v1/completions",
+            data=js.dumps({"prompt": "hello there", "max_tokens": 3,
+                           "temperature": 0.0,
+                           "ignore_eos": True}).encode(),
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req) as r:
+            out = js.loads(r.read())
+        assert out["usage"]["completion_tokens"] == 3
+        with urllib.request.urlopen(url + "/metrics") as r:
+            text = r.read().decode()
+        assert "requests_added" in text
+        req = urllib.request.Request(
+            url + "/v1/embeddings",
+            data=js.dumps({"input": "embed me"}).encode(),
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req) as r:
+            emb = js.loads(r.read())
+        assert len(emb["data"][0]["embedding"]) > 0
+    finally:
+        srv.close()
