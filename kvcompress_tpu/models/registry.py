@@ -2033,7 +2033,8 @@ def _arctic():
 # servable architectures.
 _KNOWN_UNSUPPORTED: Dict[str, str] = {
     "BartForConditionalGeneration": "encoder-decoder (no KVC semantics for "
-    "cross-attention caches in the reference either)",
+    "cross-attention caches in the reference either) - model-level BART "
+    "(HF-parity encode/decode + cached generation) lives in models/bart.py",
     "JambaForCausalLM": "mamba mixer layers have no per-token KV cache to "
     "compress; the reference's KVC path blesses llama-family attention "
     "only and serves jamba on its VANILLA engine - model-level jamba "
