@@ -205,6 +205,12 @@ class EnginePrograms:
         buckets = [b for b in self.cfg.scheduler.prefill_buckets
                    if b >= seq_len]
         T = buckets[0] if buckets else self.cfg.scheduler.max_model_len
+        # a bucket beyond the block tables' capacity would allocate past
+        # max_blocks_per_head (default buckets start at 128, so small
+        # max_model_len configs crashed the allocation scatter)
+        bs_ = self.cfg.cache.block_size
+        cap = self.cfg.max_blocks_per_head * bs_
+        T = min(max(T, (seq_len + bs_ - 1) // bs_ * bs_), cap)
         use_lora = lora_scale is not None
         use_guided = allowed_mask is not None
         use_pa = pa_embed is not None

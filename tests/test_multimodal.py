@@ -141,3 +141,66 @@ def test_llava_next_still_rejected():
     with pytest.raises(ValueError, match="unsupported"):
         config_from_hf({"architectures":
                         ["LlavaNextForConditionalGeneration"]})
+
+
+def test_llm_surface_with_image_checkpoint(tmp_path, llava):
+    """Full user path: llava checkpoint on disk (config + safetensors +
+    tokenizer with an <image> token), LLM(model=...) loads text tower AND
+    vision tower, generate(multi_modal_data=...) encodes the image,
+    expands the placeholder, and matches HF generate."""
+    import json
+    from safetensors.torch import save_file
+    from tokenizers import Tokenizer, models as tmodels, pre_tokenizers
+    from transformers import PreTrainedTokenizerFast
+
+    m, cfg = llava
+    d = str(tmp_path / "llava_ck")
+    import os
+    os.makedirs(d)
+    hf_cfg = cfg.to_dict()
+    hf_cfg["architectures"] = ["LlavaForConditionalGeneration"]
+    with open(f"{d}/config.json", "w") as f:
+        json.dump(hf_cfg, f)
+    save_file({k: v.clone().contiguous()
+               for k, v in m.state_dict().items()},
+              f"{d}/model.safetensors")
+    # word-level tokenizer: a few words + the <image> placeholder at the
+    # configured image_token_index
+    words = ["hello", "world", "what", "is", "this"]
+    vocab = {f"w{i:03d}": i for i in range(128)}
+    for j, w in enumerate(words):
+        del vocab[f"w{j + 20:03d}"]
+        vocab[w] = j + 20
+    del vocab[f"w{IMG_TOK:03d}"]
+    vocab["<image>"] = IMG_TOK
+    t = Tokenizer(tmodels.WordLevel(vocab, unk_token="w001"))
+    t.pre_tokenizer = pre_tokenizers.WhitespaceSplit()
+    fast = PreTrainedTokenizerFast(tokenizer_object=t, unk_token="w001",
+                                   pad_token="w000")
+    fast.save_pretrained(d)
+
+    from kvcompress_tpu.entrypoints.llm import LLM
+    from kvcompress_tpu.sampling_params import SamplingParams
+    llm = LLM(model=d, dtype="float32", num_blocks=256, max_num_seqs=2,
+              max_model_len=64, enable_kvcompress=True)
+    assert llm._vision is not None
+
+    torch.manual_seed(5)
+    px = torch.randn(3, 28, 28)
+    prompt = "hello <image> what is this"
+    ids = fast.encode(prompt)
+    n_patch = 4
+    expanded = []
+    for tok_ in ids:
+        expanded.extend([IMG_TOK] * n_patch if tok_ == IMG_TOK else [tok_])
+    with torch.no_grad():
+        hf_out = m.generate(input_ids=torch.tensor([expanded]),
+                            pixel_values=px[None], max_new_tokens=5,
+                            do_sample=False)
+    ref = hf_out[0, len(expanded):].tolist()
+
+    outs = llm.generate([prompt],
+                        SamplingParams(temperature=0.0, max_tokens=5,
+                                       ignore_eos=True),
+                        multi_modal_data=[{"image": px.numpy()}])
+    assert outs[0].outputs[0].token_ids == ref
