@@ -206,33 +206,43 @@ class LLM:
         return self._run_engine(ids, use_tqdm)
 
     def _encode_images(self, prompt_ids, mm):
-        """Run the vision tower + projector on each image and expand the
-        prompt's <image> placeholders into patch positions."""
+        """Run the vision side on each image and expand the prompt's
+        <image> placeholders into patch positions. llava takes
+        mm={"image": pixel_values [3,H,W] or [k,3,H,W]}; fuyu takes
+        mm={"image_patches": [n, patch*patch*3]} as produced by the HF
+        FuyuImageProcessor (the reference also delegates patchification
+        to it)."""
         import numpy as np
         import jax
         import jax.numpy as jnp
         from kvcompress_tpu.models.vision import (expand_image_tokens,
+                                                  fuyu_image_embed,
                                                   llava_image_embed)
         assert self._vision is not None, \
             "multi_modal_data passed but the model has no vision tower"
-        vcfg, vparams = self._vision
-        if self._vision_jit is None:
-            # one jitted encoder for the LLM's lifetime (a fresh jit per
-            # request would retrace the whole CLIP tower every call)
-            self._vision_jit = jax.jit(llava_image_embed,
-                                       static_argnums=1)
-        px = jnp.asarray(mm["image"])
-        if px.ndim == 3:
-            px = px[None]
-        embeds = jnp.concatenate([
-            self._vision_jit(vparams, vcfg, px[k])
-            for k in range(px.shape[0])])
+        kind, vcfg, vparams = self._vision
+        if kind == "fuyu":
+            patches = jnp.asarray(mm["image_patches"])
+            embeds = fuyu_image_embed(vparams, patches)
+        else:
+            if self._vision_jit is None:
+                # one jitted encoder for the LLM's lifetime (a fresh jit
+                # per request would retrace the whole CLIP tower per call)
+                self._vision_jit = jax.jit(llava_image_embed,
+                                           static_argnums=1)
+            px = jnp.asarray(mm["image"])
+            if px.ndim == 3:
+                px = px[None]
+            embeds = jnp.concatenate([
+                self._vision_jit(vparams, vcfg, px[k])
+                for k in range(px.shape[0])])
         img_tok = self.llm_engine.cfg.model.image_token_index
-        n_per = embeds.shape[0] // px.shape[0]
+        n_imgs = 1 if kind == "fuyu" else px.shape[0]
+        n_per = embeds.shape[0] // n_imgs
         new_ids, positions = expand_image_tokens(prompt_ids, img_tok, n_per)
         assert len(positions) == embeds.shape[0], (
             f"prompt has {len(positions) // n_per} <image> tokens but "
-            f"{px.shape[0]} images were passed")
+            f"{n_imgs} images were passed")
         return new_ids, {"mm_embeds": embeds,
                          "mm_positions": np.asarray(positions)}
 

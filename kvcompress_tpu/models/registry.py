@@ -916,6 +916,37 @@ def _mpt():
     return cfg_fn, load_fn
 
 
+@_register("FuyuForCausalLM")
+def _fuyu():
+    """Fuyu-8B (reference vllm/model_executor/models/fuyu.py): a
+    decoder-only multimodal model - persimmon text tower, raw image
+    patches projected by ONE linear (vision_embed_tokens, loaded by
+    weights.load_multimodal) and spliced into the prompt through the
+    same mm_embed path as llava."""
+    def cfg_fn(hf, name):
+        tc = dict(hf.get("text_config") or hf)
+        tc["architectures"] = ["PersimmonForCausalLM"]
+        cfg = config_from_hf(tc, name)
+        cfg.architecture = "FuyuForCausalLM"
+        cfg.image_token_index = hf.get("image_token_id", 71011)
+        return cfg
+
+    def load_fn(t, cfg, dtype):
+        if any(k.startswith("model.language_model.") for k in t):
+            pre = "model.language_model."      # transformers >= 4.52
+            ren = {("model." + k[len(pre):]): v
+                   for k, v in t.items() if k.startswith(pre)}
+            if "lm_head.weight" in t:
+                ren["lm_head.weight"] = t["lm_head.weight"]
+        else:                                   # older: language_model.*
+            pre = "language_model."
+            ren = {k[len(pre):]: v
+                   for k, v in t.items() if k.startswith(pre)}
+        return _REGISTRY["PersimmonForCausalLM"].load_fn(ren, cfg, dtype)
+
+    return cfg_fn, load_fn
+
+
 @_register("PersimmonForCausalLM")
 def _persimmon():
     def cfg_fn(hf, name):
@@ -2041,7 +2072,6 @@ _KNOWN_UNSUPPORTED: Dict[str, str] = {
     "(HF-parity forward + stateful generation) lives in models/jamba.py",
     "Blip2ForConditionalGeneration": "multimodal",
     "ChameleonForConditionalGeneration": "multimodal",
-    "FuyuForCausalLM": "multimodal",
     "InternVLChatModel": "multimodal",
     "LlavaNextForConditionalGeneration":
         "multimodal (base LlavaForConditionalGeneration is supported; "

@@ -126,6 +126,29 @@ def llava_image_embed(params: Dict[str, Any], cfg: VisionConfig,
     return y @ pj["w2"] + pj["b2"]
 
 
+# --------------------------------------------------------------- fuyu
+def fuyu_params_from_hf(t: Dict[str, np.ndarray], dtype=jnp.float32
+                        ) -> Dict[str, Any]:
+    """Fuyu's vision side is ONE linear over raw flattened patches
+    (reference vllm/model_executor/models/fuyu.py vision_embed_tokens;
+    patchification itself is the HF FuyuImageProcessor's job, as in the
+    reference)."""
+    pre = ("model." if any(k.startswith("model.vision_embed_tokens")
+                           for k in t) else "")
+    return {
+        "proj_w": jnp.asarray(
+            np.asarray(t[pre + "vision_embed_tokens.weight"]).T, dtype),
+        "proj_b": jnp.asarray(t[pre + "vision_embed_tokens.bias"], dtype),
+    }
+
+
+def fuyu_image_embed(params: Dict[str, Any],
+                     image_patches: jax.Array) -> jax.Array:
+    """[n, patch_size*patch_size*3] flattened patches -> [n, D_text]."""
+    return (image_patches @ params["proj_w"].astype(image_patches.dtype)
+            + params["proj_b"].astype(image_patches.dtype))
+
+
 def expand_image_tokens(prompt_token_ids, image_token: int, n_patches: int
                         ) -> Tuple[list, np.ndarray]:
     """Expand each <image> placeholder into n_patches placeholder ids and

@@ -91,13 +91,16 @@ def load_model(model_dir: str, dtype=jnp.bfloat16
 
 
 def load_multimodal(model_dir: str, dtype=jnp.float32):
-    """(VisionConfig, vision+projector params) for a llava-style
-    checkpoint (reference llava.py vision tower + multi_modal_projector;
-    loaded separately from the text tower - image encoding runs as its
-    own program, see models/vision.py)."""
+    """(kind, vision_cfg, vision_params) for a multimodal checkpoint
+    (reference llava.py vision tower + multi_modal_projector, fuyu.py
+    vision_embed_tokens; loaded separately from the text tower - image
+    encoding runs as its own program, see models/vision.py)."""
     from kvcompress_tpu.models import vision
     with open(os.path.join(model_dir, "config.json")) as f:
         hf_cfg = json.load(f)
-    vcfg = vision.config_from_hf(hf_cfg["vision_config"], hf_cfg)
     tensors = _read_all_tensors(model_dir)
-    return vcfg, vision.params_from_hf(tensors, vcfg, dtype)
+    arch = (hf_cfg.get("architectures") or [""])[0]
+    if arch == "FuyuForCausalLM":
+        return ("fuyu", None, vision.fuyu_params_from_hf(tensors, dtype))
+    vcfg = vision.config_from_hf(hf_cfg["vision_config"], hf_cfg)
+    return ("llava", vcfg, vision.params_from_hf(tensors, vcfg, dtype))

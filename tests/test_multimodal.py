@@ -204,3 +204,72 @@ def test_llm_surface_with_image_checkpoint(tmp_path, llava):
                                        ignore_eos=True),
                         multi_modal_data=[{"image": px.numpy()}])
     assert outs[0].outputs[0].token_ids == ref
+
+
+def test_fuyu_engine_matches_hf():
+    """Fuyu (decoder-only multimodal, reference fuyu.py): persimmon text
+    tower + one linear over raw patches; engine greedy output with the
+    patch embeddings spliced at the placeholder positions must equal HF
+    FuyuForCausalLM.generate given the same image_patches."""
+    from kvcompress_tpu.config import (CacheConfig, EngineConfig,
+                                       KVCompressConfig, ParallelConfig,
+                                       SchedulerConfig)
+    from kvcompress_tpu.engine.llm_engine import LLMEngine
+    from kvcompress_tpu.models.registry import (config_from_hf,
+                                                params_from_hf_state)
+    from kvcompress_tpu.models.vision import (fuyu_image_embed,
+                                              fuyu_params_from_hf)
+    from kvcompress_tpu.sampling_params import SamplingParams
+
+    cfg_hf = transformers.FuyuConfig(
+        vocab_size=256, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, patch_size=8,
+        num_channels=3, max_position_embeddings=128, image_token_id=200)
+    cfg_hf.architectures = ["FuyuForCausalLM"]
+    torch.manual_seed(6)
+    m = transformers.FuyuForCausalLM(cfg_hf).eval()
+
+    n_patch = 6
+    patches = torch.randn(1, n_patch, 8 * 8 * 3)
+    placeholder = 200
+    prompt = [5, 9] + [placeholder] * n_patch + [7, 11, 3]
+    indices = torch.full((1, len(prompt)), -1, dtype=torch.long)
+    for j in range(n_patch):
+        indices[0, 2 + j] = j
+    with torch.no_grad():
+        hf_out = m.generate(input_ids=torch.tensor([prompt]),
+                            image_patches=patches,
+                            image_patches_indices=indices,
+                            max_new_tokens=6, do_sample=False)
+    ref = hf_out[0, len(prompt):].tolist()
+
+    state = {k: v.detach().numpy() for k, v in m.state_dict().items()}
+    mcfg = config_from_hf(cfg_hf.to_dict())
+    assert mcfg.architecture == "FuyuForCausalLM"
+    assert mcfg.image_token_index == 200
+    params = params_from_hf_state(state, mcfg, dtype=jnp.float32)
+    vparams = fuyu_params_from_hf(state, dtype=jnp.float32)
+    embeds = fuyu_image_embed(vparams, jnp.asarray(patches[0].numpy()))
+    positions = np.asarray([i for i, t in enumerate(prompt)
+                            if t == placeholder], np.int32)
+
+    ecfg = EngineConfig(
+        model=mcfg,
+        cache=CacheConfig(block_size=4, cache_dtype="float32"),
+        kvcompress=KVCompressConfig(compression_interval=4,
+                                    max_kv_per_compression=65536,
+                                    max_cache_moves_per_compression=4096),
+        scheduler=SchedulerConfig(max_num_seqs=2, max_model_len=64,
+                                  prefill_buckets=(16, 32)),
+        parallel=ParallelConfig(),
+    )
+    eng = LLMEngine(ecfg, params, num_blocks=256, attn_impl="xla")
+    eng.add_request("0", prompt_token_ids=prompt,
+                    sampling_params=SamplingParams(
+                        temperature=0.0, max_tokens=6, ignore_eos=True),
+                    mm_embeds=embeds, mm_positions=positions)
+    outs = {}
+    while eng.has_unfinished_requests():
+        for o in eng.step():
+            outs[o.request_id] = o
+    assert outs["0"].outputs[0].token_ids == ref
