@@ -59,13 +59,17 @@ class Scheduler:
         return self.free_blocks - needed >= watermark
 
     def next_prefill(self) -> Optional[Sequence]:
+        # loop, not recursion: a long run of oversized queued prompts
+        # (cheap for a client to submit) would blow the recursion limit
+        while self.waiting:
+            seq = self.waiting[0]
+            if seq.num_prompt_tokens <= self.cfg.scheduler.max_model_len:
+                break
+            seq.status = SequenceStatus.FINISHED_ABORTED
+            self.waiting.popleft()
         if not self.waiting:
             return None
         seq = self.waiting[0]
-        if seq.num_prompt_tokens > self.cfg.scheduler.max_model_len:
-            seq.status = SequenceStatus.FINISHED_ABORTED
-            self.waiting.popleft()
-            return self.next_prefill()
         if not self.can_allocate(seq):
             return None
         self.waiting.popleft()
@@ -84,7 +88,7 @@ class Scheduler:
         every running sequence crossing ceil(steps / block_size) block
         boundaries."""
         per_seq = self.cfg.model.num_layers * self.cfg.model.num_kv_heads
-        crossings = cdiv(steps, self.block_size) if steps > 1 else 1
+        crossings = cdiv(steps, self.block_size)
         return len(self.running) * per_seq * crossings
 
     def must_preempt(self, steps: int = 1) -> bool:
@@ -189,28 +193,45 @@ class Scheduler:
             new_nb = max(nb_max, cdiv(seq.get_len(), bs))
             if ((len(batch) + 1) * L * H * new_nb * bs
                     > kc.max_kv_per_compression):
-                break
-            # moves needed <= min(evicted, surviving): compaction only
-            # fills eviction holes below the new context length
-            # (kvcompress/eviction.py plan_cache_moves), so a 6000->128
-            # token compression schedules at most ~128 moves per head,
-            # not 5900
-            moves = min(eb * bs, max(seq.kv_count - eb * bs, 0))
-            if (total_evicted_kv + moves
-                    > kc.max_cache_moves_per_compression):
-                break
+                # SKIP, never break: candidates sort stalest-first, so a
+                # single sequence too large for the workspace cap would
+                # otherwise head-of-line-block every other sequence's
+                # compression forever (it only grows staler)
+                if not batch and not getattr(seq, "_warned_workspace",
+                                             False):
+                    seq._warned_workspace = True
+                    import logging
+                    logging.getLogger(__name__).warning(
+                        "sequence %s (%d tokens) exceeds "
+                        "max_kv_per_compression alone and will not be "
+                        "compressed; raise the cap or lower "
+                        "max_model_len", seq.request_id, seq.get_len())
+                continue
+            # moves <= holes <= evicted <= eb*bs: compaction only fills
+            # eviction holes below the new context length
+            # (kvcompress/eviction.py plan_cache_moves). eb*bs is a TRUE
+            # upper bound; estimating with kv_count - eb*bs could admit
+            # batches whose real moves exceed the cap, and the device
+            # plan silently truncates past it (corruption). A sequence
+            # that does not fit is PARTIALLY evicted (clamped block
+            # budget; the next round continues) rather than skipped.
+            room = kc.max_cache_moves_per_compression - total_evicted_kv
+            eb = min(eb, room // bs)
+            if eb <= 0:
+                continue
             nb_max = new_nb
-            total_evicted_kv += moves
+            total_evicted_kv += eb * bs
             batch.append((seq, eb))
 
         if not batch:
             return None
         batch.sort(key=lambda t: t[0].slot)
+        in_batch = {id(b[0]) for b in batch}
         for seq, _ in batch:
             seq.compressed = True
             seq.iters_since_compression = 0
         for seq in self.running:
-            if seq not in [b[0] for b in batch]:
+            if id(seq) not in in_batch:
                 seq.iters_since_compression += 1
 
         nb_bucket = max(

@@ -124,8 +124,14 @@ def _pop_one(stack: jax.Array, top: jax.Array, need_flat: jax.Array
     rank = jnp.cumsum(need_flat) - 1  # 0-based rank among poppers
     count = jnp.sum(need_flat, dtype=jnp.int32)
     idx = top - 1 - rank
-    ids = jnp.where(need_flat, stack[jnp.clip(idx, 0)], 0)
-    return ids.astype(jnp.int32), top - count
+    # underflow guard: the host watermark normally prevents popping an
+    # empty partition, but if mirror drift ever lets it happen the extra
+    # poppers must receive the TRASH block (id 0, sacrificial) rather
+    # than stack[0] duplicates overwriting a live block, and free_top
+    # must not go negative (a later _push_one with negative top would
+    # compute wrapping scatter indices and corrupt the stack tail)
+    ids = jnp.where(need_flat & (idx >= 0), stack[jnp.clip(idx, 0)], 0)
+    return ids.astype(jnp.int32), jnp.maximum(top - count, 0)
 
 
 def _push_one(stack: jax.Array, top: jax.Array, ids_flat: jax.Array,
@@ -135,7 +141,7 @@ def _push_one(stack: jax.Array, top: jax.Array, ids_flat: jax.Array,
     n = stack.shape[0]
     idx = jnp.where(mask_flat, top + rank, n)  # out-of-range -> dropped
     stack = stack.at[idx].set(ids_flat.astype(jnp.int32), mode="drop")
-    return stack, top + count
+    return stack, jnp.minimum(top + count, n)
 
 
 def _group_flatten(arr: jax.Array, head_axis: int, G: int) -> jax.Array:

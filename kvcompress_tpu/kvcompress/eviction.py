@@ -140,12 +140,16 @@ def schedule_evictions(
             jnp.arange(B)[:, None, None], jnp.arange(L)[None, :, None],
             bm_sorted_idx
         ].set(sel_sorted, unique_indices=True)
-        # Distribute the floored-away remainder (budget % L) to the
-        # globally-lowest leftover candidates, so small budgets (< L
-        # blocks) still evict instead of silently stalling (the reference
-        # per-layer walk, csrc/kvcompress_eviction_kernels.cu:52-78, never
-        # drops budget; ours must not either).
-        rem = evicted_blocks_per_seq.astype(jnp.int32) - per_layer * L
+        # Distribute ALL unselected budget - the floored-away remainder
+        # (budget % L) AND any per-layer share a capacity-starved layer
+        # could not absorb (finite_count < per_layer) - to the
+        # globally-lowest leftover candidates, so budgets never silently
+        # shrink (the reference per-layer walk,
+        # csrc/kvcompress_eviction_kernels.cu:52-78, never drops budget;
+        # ours must not either, else the engine schedules compression
+        # rounds forever that each evict less than asked).
+        rem = (evicted_blocks_per_seq.astype(jnp.int32)
+               - jnp.sum(n_select, axis=-1))
         left_key = jnp.where(sel, inf, bm).reshape(B, L * M)
         left_idx = jnp.broadcast_to(
             jnp.arange(L * M, dtype=jnp.int32)[None, :], (B, L * M))
@@ -352,8 +356,11 @@ def run_compression(
         h = (h >> 13) ^ h
         metrics_w = (h & jnp.uint32(0xFFFF)).astype(jnp.float32)
     if use_average:
-        # Normalise by the number of queries that attended to each KV
-        # (reference metrics.py:495-501).
+        # Normalise by the number of queries that attended to each KV.
+        # `last - position` (NOT +1) is deliberate bit-parity with the
+        # reference (metrics.py:499 `current_positions -
+        # masked_token_position`), even though the KV's own query also
+        # attends to it.
         qcount = jnp.maximum(
             last_position[:, None, None, None] - positions_w, 1
         ).astype(jnp.float32)
