@@ -207,20 +207,30 @@ class Scheduler:
                         "compressed; raise the cap or lower "
                         "max_model_len", seq.request_id, seq.get_len())
                 continue
-            # moves <= holes <= evicted <= eb*bs: compaction only fills
+            # moves <= min(holes, surviving): compaction only fills
             # eviction holes below the new context length
-            # (kvcompress/eviction.py plan_cache_moves). eb*bs is a TRUE
-            # upper bound; estimating with kv_count - eb*bs could admit
-            # batches whose real moves exceed the cap, and the device
-            # plan silently truncates past it (corruption). A sequence
-            # that does not fit is PARTIALLY evicted (clamped block
-            # budget; the next round continues) rather than skipped.
+            # (kvcompress/eviction.py plan_cache_moves), so a 6000->128
+            # compression schedules ~128 moves per head, not 5900. holes
+            # <= evicted <= eb*bs; surviving = kv_count - evicted, and
+            # evicted can undershoot eb*bs by up to bs-1 HANGING tokens
+            # per (layer, head) (eviction.py truncate-to-block), so the
+            # survivor term needs that slack - without it real moves can
+            # exceed the admission estimate and the device plan silently
+            # truncates past the cap (corruption). A sequence that does
+            # not fit is PARTIALLY evicted (clamped block budget; the
+            # next round continues) rather than skipped.
+            slack = L * H * (bs - 1)
+            moves = min(eb * bs,
+                        max(seq.kv_count - eb * bs, 0) + slack)
             room = kc.max_cache_moves_per_compression - total_evicted_kv
-            eb = min(eb, room // bs)
-            if eb <= 0:
-                continue
+            if moves > room:
+                eb = min(eb, room // bs)  # conservative fallback clamp
+                if eb <= 0:
+                    continue
+                moves = min(eb * bs,
+                            max(seq.kv_count - eb * bs, 0) + slack)
             nb_max = new_nb
-            total_evicted_kv += eb * bs
+            total_evicted_kv += moves
             batch.append((seq, eb))
 
         if not batch:

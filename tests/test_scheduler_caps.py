@@ -73,15 +73,18 @@ def test_moves_cap_uses_true_upper_bound():
     evicted); the old min(eb*bs, kv_count - eb*bs) estimate could admit
     batches whose real moves exceed the cap (silently truncated on
     device -> corruption)."""
-    cfg = mk_cfg(max_kv=1 << 20, max_moves=100)
+    cfg = mk_cfg(max_kv=1 << 20, max_moves=50)
     sched = Scheduler(cfg, num_blocks=4096)
     s = mk_running(sched, "s", 200, slot=0)
     eb = sched._seq_evict_blocks(s)
-    assert eb * 4 > 100  # this seq alone exceeds the move cap
+    # the tight estimate (survivors + hanging slack) exceeds the cap
+    slack = 2 * 4 * 3
+    assert min(eb * 4, s.kv_count - eb * 4 + slack) > 50
     batch = sched.schedule_compression(force=True)
     # partial eviction: the block budget is clamped so eb*bs fits the cap
     assert batch is not None
-    assert batch.evict_blocks[0] * 4 <= 100
+    assert batch.evict_blocks[0] * 4 <= 50
+    assert batch.evict_blocks[0] < eb
 
 
 def test_next_prefill_oversized_queue_no_recursion():
