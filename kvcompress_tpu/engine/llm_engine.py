@@ -91,6 +91,12 @@ class LLMEngine:
                 raise ValueError(
                     "speculative decoding does not support sliding-window "
                     "models yet")
+        if cfg.model.alibi and cfg.speculative.num_speculative_tokens > 0:
+            # the verify program's multi-token attention has no alibi
+            # bias; verifying against a different distribution than the
+            # model's would be silently wrong, not slow
+            raise ValueError(
+                "speculative decoding does not support alibi models yet")
         self.attn_impl = attn_impl
 
         # Tensor parallelism: build the ("data", "model") mesh, shard the

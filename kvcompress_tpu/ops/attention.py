@@ -22,7 +22,6 @@ GQA convention: query head q belongs to kv head q // queries_per_kv.
 
 from __future__ import annotations
 
-import functools
 from typing import Optional, Tuple
 
 import jax
@@ -45,10 +44,9 @@ def write_to_cache(
 ):
     num_blocks, block_size, head_size = k_cache.shape
     T, H = slot_mapping.shape
-    flat_slots = jnp.where(slot_mapping < 0, 0, slot_mapping).reshape(-1)
     valid = (slot_mapping >= 0).reshape(-1)
     # invalid writes land on the trash block (block 0)
-    flat_slots = jnp.where(valid, flat_slots, 0)
+    flat_slots = jnp.where(valid, slot_mapping.reshape(-1), 0)
 
     if k_scale is not None:
         from kvcompress_tpu.ops.kv_quant import quantize_kv
@@ -186,16 +184,24 @@ def prefill_attention(
         # exclude keys inside the metric buffer window of each query
         rec = kpos <= qpos - buffer_len
         m = jnp.sum(jnp.where(rec, probs, 0.0), axis=-2)  # [Hq, T]
-        if use_average:
-            # rescale so later normalisation by query count is correct
-            # (reference flash_attn.py:1196-1203)
-            m = m * ((kpos[0].astype(jnp.float32) + 1.0) / w)
-        if use_maxpool:
-            m = _maxpool1d_k7(m)
         return acc + m, None
 
     acc0 = jnp.zeros((Hq, T), jnp.float32)
     acc, _ = jax.lax.scan(metric_chunk, acc0, jnp.arange(n_mblocks))
+    # avg rescale and maxpool apply ONCE to the fully accumulated rows
+    # (the pallas epilogue's ordering, prefill_attention.py:295-308):
+    # per-chunk maxpool would compute sum_chunks(maxpool(chunk)) !=
+    # maxpool(sum), diverging whenever metric_window > metric_block
+    if use_average:
+        # rescale so later normalisation by query count is correct
+        # (reference flash_attn.py:1196-1203); the window is the DYNAMIC
+        # min(metric_window, seq_len), matching the pallas kernel
+        wq = jnp.minimum(jnp.asarray(metric_window, jnp.float32),
+                         jnp.asarray(seq_len, jnp.float32))
+        acc = acc * ((jnp.arange(T, dtype=jnp.float32)[None, :] + 1.0)
+                     / wq)
+    if use_maxpool:
+        acc = _maxpool1d_k7(acc)
     # fold query heads into their kv head (reference metrics.py:413-427)
     kv_metrics = acc.reshape(Hkv, qpk, T).sum(axis=1).T  # [T, H_kv]
     kv_metrics = jnp.where(jnp.arange(T)[:, None] < seq_len, kv_metrics, 0.0)

@@ -71,7 +71,6 @@ def _kernel(
     bs = block_size
     nb = bt_ref.shape[-1]
     n = nb * bs
-    n_chunks = nb // C
     QP, d = q_ref.shape[2], q_ref.shape[3]
 
     ctx = ctx_ref[s, h]
@@ -642,6 +641,12 @@ def _tail_kernel(
         jax.lax.fori_loop(0, n_groups, start_group, (), unroll=False)
 
     # ---- per head: wait its copies, then compute ----
+    # NOTE (ordering assumption): all HG heads' block copies signal ONE
+    # shared (ksem, vsem); waiting nbc(h) counts before head h's matmul
+    # is only sound because same-semaphore DMAs complete in issue order
+    # on the TPU DMA engine (per-queue FIFO). If that ever changes, give
+    # each head its own shaped semaphore lane. Validated on-chip via
+    # kernel-test/run.py (interpret mode cannot model DMA completion).
     for hh in range(HG):
         h = g * HG + hh
         ctx = ctx_ref[sidx, h]

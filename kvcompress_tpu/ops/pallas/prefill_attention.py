@@ -190,14 +190,9 @@ def _kernel(
         o_ref[0] = jnp.zeros((GH, BQ, d), o_ref.dtype)
 
 
-def _maxpool1d_k7(x: jax.Array) -> jax.Array:
-    pads = [(0, 0)] * (x.ndim - 1) + [(3, 3)]
-    xp = jnp.pad(x, pads, constant_values=-jnp.inf)
-    out = x
-    for s in range(7):
-        out = jnp.maximum(out, jax.lax.slice_in_dim(
-            xp, s, s + x.shape[-1], axis=-1))
-    return out
+# the metric-defining k=7 maxpool MUST stay identical to the XLA oracle's
+# (kernel-vs-oracle parity contract) - one shared implementation
+from kvcompress_tpu.ops.attention import _maxpool1d_k7  # noqa: E402
 
 
 @functools.partial(
@@ -238,8 +233,10 @@ def prefill_attention(
     n_qb = T // BQ
 
     # GQA head-group size: as many q heads per step as keep the [GH*BQ, CK]
-    # logits tile within the VMEM budget
-    GH = qpk
+    # logits tile within the VMEM budget. Hard cap at 8: the metric output
+    # block is fixed at 8 sublane rows (out_shape below), so a larger GH
+    # would write m_ref past the block for small BQ buckets.
+    GH = min(qpk, 8)
     while GH > 1 and (GH * BQ > 1024 or qpk % GH):
         GH -= 1
     n_sub = qpk // GH

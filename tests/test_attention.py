@@ -174,3 +174,45 @@ def test_paged_decode_attention_vs_oracle():
                           (probs ** 2)[rec])
     np.testing.assert_allclose(new_metrics, want_metrics, rtol=1e-4,
                                atol=1e-5)
+
+
+def test_prefill_metric_multiblock_consistency_with_maxpool():
+    """Chunked metric collection must equal single-chunk WITH maxpool too:
+    the pool applies once to the accumulated rows (pallas epilogue
+    ordering), never per chunk (sum(maxpool(chunk)) != maxpool(sum))."""
+    rng = np.random.default_rng(7)
+    T, Hq, Hkv, d = 33, 4, 4, 8
+    seq_len = 30
+    q = jnp.asarray(rng.standard_normal((T, Hq, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((T, Hkv, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((T, Hkv, d)), jnp.float32)
+    kw = dict(metric_window=24, use_l2=True, use_maxpool=True)
+    _, m_one = att.prefill_attention(q, k, v, jnp.asarray(seq_len),
+                                     d ** -0.5, metric_block=24, **kw)
+    _, m_chunked = att.prefill_attention(q, k, v, jnp.asarray(seq_len),
+                                         d ** -0.5, metric_block=8, **kw)
+    np.testing.assert_allclose(np.asarray(m_chunked), np.asarray(m_one),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_prefill_use_average_window_is_dynamic():
+    """avg-mode normalizes by min(metric_window, seq_len) - the DYNAMIC
+    length, not the padded bucket T (pallas epilogue parity)."""
+    rng = np.random.default_rng(8)
+    T, Hq, Hkv, d = 32, 2, 2, 8
+    seq_len = 10
+    q = jnp.asarray(rng.standard_normal((T, Hq, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((T, Hkv, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((T, Hkv, d)), jnp.float32)
+    kw = dict(metric_window=32, metric_block=32, use_l2=True,
+              use_maxpool=False)
+    _, m_avg = att.prefill_attention(q, k, v, jnp.asarray(seq_len),
+                                     d ** -0.5, use_average=True, **kw)
+    _, m_raw = att.prefill_attention(q, k, v, jnp.asarray(seq_len),
+                                     d ** -0.5, use_average=False, **kw)
+    # rescale factor at key j is (j+1)/min(window, seq_len) = (j+1)/10
+    j = np.arange(seq_len)
+    np.testing.assert_allclose(
+        np.asarray(m_avg)[:seq_len],
+        np.asarray(m_raw)[:seq_len] * ((j + 1) / 10.0)[:, None],
+        rtol=1e-4, atol=1e-6)
