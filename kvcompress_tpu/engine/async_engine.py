@@ -25,6 +25,7 @@ class RequestStream:
         self.request_id = request_id
         self.queue: "queue.Queue[Optional[RequestOutput]]" = queue.Queue()
         self.finished: Optional[RequestOutput] = None
+        self.error: Optional[BaseException] = None
         self.done = threading.Event()
 
     def __iter__(self) -> Iterator[RequestOutput]:
@@ -42,7 +43,9 @@ class EngineDeadError(RuntimeError):
 
 class AsyncEngine:
     def __init__(self, engine: LLMEngine):
+        import itertools
         self.engine = engine
+        self._id_counter = itertools.count()
         self._streams: Dict[str, RequestStream] = {}
         self._pending: "queue.Queue" = queue.Queue()
         self._shutdown = False
@@ -57,9 +60,14 @@ class AsyncEngine:
             raise EngineDeadError(
                 f"engine loop crashed: {self.errored!r}") \
                 from self.errored
-        stream = RequestStream()
-        self._pending.put(("add", prompt, prompt_token_ids, sampling_params,
-                           stream))
+        # assign the request id HERE so abort(stream.request_id) works
+        # immediately after submit (the loop thread may not have drained
+        # the add yet; an id of None would silently no-op the abort)
+        rid = f"async-{next(self._id_counter)}"
+        stream = RequestStream(rid)
+        self._streams[rid] = stream
+        self._pending.put(("add", rid, prompt, prompt_token_ids,
+                           sampling_params, stream))
         self._wake.set()
         return stream
 
@@ -67,6 +75,8 @@ class AsyncEngine:
                  sampling_params) -> RequestOutput:
         stream = self.submit(prompt, prompt_token_ids, sampling_params)
         stream.done.wait()
+        if stream.error is not None:
+            raise stream.error
         if stream.finished is None and self.errored is not None:
             raise EngineDeadError(
                 f"engine loop crashed: {self.errored!r}") \
@@ -100,12 +110,19 @@ class AsyncEngine:
                     stream.done.set()
                     stream.queue.put(None)
                 continue
-            _, prompt, ids, sp, stream = item
-            rid = self.engine.add_request(None, prompt=prompt,
-                                          prompt_token_ids=ids,
-                                          sampling_params=sp)
-            stream.request_id = rid
-            self._streams[rid] = stream
+            _, rid, prompt, ids, sp, stream = item
+            try:
+                self.engine.add_request(rid, prompt=prompt,
+                                        prompt_token_ids=ids,
+                                        sampling_params=sp)
+            except Exception as e:  # noqa: BLE001
+                # a BAD REQUEST (over-length prompt, invalid guided
+                # schema, ...) fails ONLY its own stream - treating it as
+                # an engine crash would kill every other client
+                stream.error = e
+                stream.done.set()
+                stream.queue.put(None)
+                self._streams.pop(rid, None)
 
     def _loop(self):
         try:

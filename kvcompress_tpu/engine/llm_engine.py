@@ -446,6 +446,14 @@ class LLMEngine:
             seq.prompt_token_ids = [0] * n_virtual + seq.prompt_token_ids
             seq.prompt_adapter_slot = slot
             seq.prompt_adapter_virtual = n_virtual
+            if len(seq.prompt_token_ids) > self.cfg.scheduler.max_model_len:
+                # re-validate AFTER the virtual prefix: the scheduler
+                # would otherwise silently drop the over-length sequence
+                # (FINISHED_ABORTED with no output -> async callers hang)
+                raise ValueError(
+                    f"prompt ({len(prompt_token_ids)} tokens) plus "
+                    f"{n_virtual} prompt-adapter virtual tokens exceeds "
+                    f"max_model_len {self.cfg.scheduler.max_model_len}")
         if mm_embeds is not None:
             # multimodal: the prompt already contains N placeholder ids at
             # mm_positions; the prefill program scatters these embeddings
@@ -502,6 +510,13 @@ class LLMEngine:
             self._maybe_compress()
         while (self.scheduler.must_preempt(self.multi_step)
                and len(self.scheduler.running) > 1):
+            # drain in-flight work BEFORE choosing a victim: preempt_last
+            # picks the newest arrival, which may be a prefill still in
+            # flight - resetting it and then collecting that prefill would
+            # append a stale token to the requeued sequence (the same
+            # ordering abort_request preserves)
+            pending_outputs += self._flush_pending()
+            pending_outputs += self._collect_prefill()
             victim, slot = self.scheduler.preempt_last()
             if victim is None:
                 break
@@ -649,12 +664,12 @@ class LLMEngine:
 
     # -------------------------------------------------------------- decode
     def _build_carry(self, running: List[Sequence]) -> dict:
-        assert not self._pending_prefill, \
-            "decode carry built with a prefill in flight"
         """Device-resident decode inputs, rebuilt only when the batch
         composition changes; between rebuilds the step feeds its own device
         outputs (tokens, positions, rng) back in - zero per-step host->device
         traffic on the steady decode path."""
+        assert not self._pending_prefill, \
+            "decode carry built with a prefill in flight"
         S = self.cfg.scheduler.max_num_seqs
         sig = tuple(sorted((s.slot, s.request_id) for s in running))
         if self._carry is not None and self._carry["sig"] == sig:
@@ -685,10 +700,8 @@ class LLMEngine:
             params_by_slot[s] = sp
         greedy_only = all(s.sampling_params.greedy for s in running)
         use_seeds = any(s.sampling_params.seed is not None for s in running)
-        use_penalties = any(
-            s.sampling_params.repetition_penalty != 1.0
-            or s.sampling_params.presence_penalty != 0.0
-            or s.sampling_params.frequency_penalty != 0.0 for s in running)
+        use_penalties = SamplingTensors.any_penalties(
+            [s.sampling_params for s in running])
         logprobs_n = max((s.sampling_params.logprobs or 0 for s in running),
                          default=0)
         token_counts = None
@@ -842,6 +855,18 @@ class LLMEngine:
         outputs += self._collect_burst(out, meta)
         return outputs
 
+    def _set_counts(self, seq, blocks, kvs, ver: int) -> None:
+        """Versioned per-sequence block/KV count mirror: collects can land
+        out of dispatch order (a compress round is dispatched before, but
+        collected after, the verify/decode program of the same step);
+        applying an older program's counts would regress the mirror and
+        under-size the next eviction."""
+        if ver < getattr(seq, "_counts_ver", -1):
+            return
+        seq._counts_ver = ver
+        seq.block_count = int(blocks)
+        seq.kv_count = int(kvs)
+
     def _collect_burst(self, out, meta) -> List[RequestOutput]:
         S = self.cfg.scheduler.max_num_seqs
         k = meta["k"]
@@ -890,8 +915,7 @@ class LLMEngine:
                 budget, min_left, act)
             for seq in running:
                 sl = seq.slot
-                seq.block_count = int(blk[sl])
-                seq.kv_count = int(kvs[sl])
+                self._set_counts(seq, blk[sl], kvs[sl], meta["id"])
                 n = int(accept[sl])
                 seq.output_token_ids.extend(
                     int(t) for t in token_matrix[:n, sl])
@@ -899,8 +923,7 @@ class LLMEngine:
         else:
             for seq in running:
                 s = seq.slot
-                seq.block_count = int(blk[s])
-                seq.kv_count = int(kvs[s])
+                self._set_counts(seq, blk[s], kvs[s], meta["id"])
                 for t in range(k):
                     seq.output_token_ids.append(int(token_matrix[t, s]))
                     if seq.guided is not None:
@@ -1050,8 +1073,7 @@ class LLMEngine:
         n_accepted = 0
         for seq in running:
             sl = seq.slot
-            seq.block_count = int(blk[sl])
-            seq.kv_count = int(kvs[sl])
+            self._set_counts(seq, blk[sl], kvs[sl], verify_snap)
             n = int(n_out[sl])
             n_accepted += max(n - 1, 0)
             for t in range(n):
@@ -1088,8 +1110,7 @@ class LLMEngine:
         for i, seq in enumerate(batch.seqs):
             if seq.status.is_finished:
                 continue
-            seq.block_count = int(seq_blocks[i])
-            seq.kv_count = int(seq_kv[i])
+            self._set_counts(seq, seq_blocks[i], seq_kv[i], snap_id)
         self._apply_free_snapshot(snap_id, int(packed[3 * B]))
         n_evicted = int(evicted.sum()) * self.cfg.cache.block_size
         self.scheduler.total_evicted_kvs += n_evicted

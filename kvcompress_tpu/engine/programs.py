@@ -893,20 +893,33 @@ class EnginePrograms:
             si = jnp.arange(S)[None, :, None]
             hi = jnp.arange(H)[None, None, :]
             for i in range(Q):
-                need = active[None, :, None] & ((ctx0 + i) % bs == 0)
+                # capacity guard: near max_model_len a verify row can run
+                # past the block tables; without the `< B` term the pop
+                # would hand out blocks whose table write drops (leaked
+                # forever - rollback reads the table) and the slot gather
+                # below would clamp onto a LIVE block (KV corruption)
+                need = (active[None, :, None]
+                        & ((ctx0 + i) % bs == 0)
+                        & ((ctx0 + i) // bs < B))
                 ids, free_top = stack_pop(free_stack, free_top, need,
                                           head_axis=2)
                 blk_idx = jnp.where(need, (ctx0 + i) // bs, B)
                 block_tables = block_tables.at[li, si, hi, blk_idx].set(
                     ids, mode="drop")
 
-            ctx_full = ctx0 + Q * active[None, :, None].astype(jnp.int32)
+            ctx_full = jnp.minimum(
+                ctx0 + Q * active[None, :, None].astype(jnp.int32), B * bs)
 
-            # slot mappings for the Q new logical positions
+            # slot mappings for the Q new logical positions; positions
+            # past capacity get a POSITIVE out-of-range sentinel so the
+            # cache write drops them (negative wraps)
             qi = jnp.arange(Q, dtype=jnp.int32)
             logical = ctx0[..., None] + qi            # [L, S, H, Q]
-            blk = jnp.take_along_axis(block_tables, logical // bs, axis=-1)
+            blk = jnp.take_along_axis(
+                block_tables, jnp.minimum(logical // bs, B - 1), axis=-1)
             sm = (blk * bs + logical % bs)            # [L, S, H, Q]
+            sm = jnp.where(logical < B * bs, sm,
+                           state.k_cache.shape[0] * bs)
             sm = jnp.transpose(sm, (0, 1, 3, 2))      # [L, S, Q, H]
 
             hidden, cache = llama.decode_multi(
@@ -928,9 +941,9 @@ class EnginePrograms:
             # roll back: keep ctx0 + (acc + 1) KVs (inputs: current +
             # accepted proposals), free blocks allocated beyond
             keep = 1 + acc
-            new_ctx = ctx0 + keep[None, :, None] * active[None, :,
-                                                          None].astype(
-                jnp.int32)
+            new_ctx = jnp.minimum(
+                ctx0 + keep[None, :, None] * active[None, :, None].astype(
+                    jnp.int32), B * bs)
             nb_keep = (new_ctx + bs - 1) // bs
             nb_full = (ctx_full + bs - 1) // bs
             blk_i = jnp.arange(B, dtype=jnp.int32)[None, None, None, :]
@@ -980,11 +993,12 @@ class EnginePrograms:
     def verify(self, state, tokens_np, positions_np, active_np, Q: int):
         """Returns (state, packed, hid): hid is the [S, Q, D] device
         export for EAGLE drafts, else None."""
-        if getattr(self, "_verify_fn", None) is None or \
-                getattr(self, "_verify_q", None) != Q:
-            self._verify_fn = self._build_verify(Q)
-            self._verify_q = Q
-        out = self._verify_fn(
+        # dict cache keyed by the static width (CLAUDE.md convention: a
+        # single-slot cache retraces mid-serving if Q ever alternates)
+        key = ("verify", Q)
+        if key not in self._decode_fns:
+            self._decode_fns[key] = self._build_verify(Q)
+        out = self._decode_fns[key](
             state, self.params, jnp.asarray(tokens_np),
             jnp.asarray(positions_np), jnp.asarray(active_np),
             self.proposer[1] if self.proposer is not None else None)

@@ -68,7 +68,8 @@ class SamplingTensors(NamedTuple):
             bias_val=jnp.asarray(bias_val),
         )
 
-    def any_penalties(self, params_list) -> bool:
+    @staticmethod
+    def any_penalties(params_list) -> bool:
         return any(
             p is not None and (p.repetition_penalty != 1.0
                                or p.presence_penalty != 0.0
@@ -148,14 +149,18 @@ def sample(
     kth = jnp.take_along_axis(sorted_desc, (k - 1)[:, None], axis=-1)
     scaled = jnp.where(scaled < kth, NEG_INF, scaled)
 
-    # top-p over the surviving distribution
-    probs_sorted = jax.nn.softmax(sorted_desc, axis=-1)
+    # top-p over the TOP-K-FILTERED renormalized distribution (reference
+    # sampler.py:418-438 masks top-k in the sorted logits before the
+    # top-p softmax; computing it on the unmasked distribution makes
+    # top-p a no-op whenever the top-k set holds less than top_p mass)
+    sorted_masked = jnp.where(sorted_desc < kth, NEG_INF, sorted_desc)
+    probs_sorted = jax.nn.softmax(sorted_masked, axis=-1)
     cum = jnp.cumsum(probs_sorted, axis=-1)
     # smallest set with cumulative prob >= top_p: cut where the cumulative
     # mass before a token already reaches top_p
     cut = (cum - probs_sorted) >= t.top_p[:, None]
-    cutoff = jnp.where(cut, -jnp.inf, sorted_desc).min(axis=-1,
-                                                       keepdims=True)
+    cutoff = jnp.where(cut, -jnp.inf, sorted_masked).min(axis=-1,
+                                                         keepdims=True)
     cutoff = jnp.where(jnp.isfinite(cutoff), cutoff, NEG_INF)
     scaled = jnp.where(scaled < cutoff, NEG_INF, scaled)
 
