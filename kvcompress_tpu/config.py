@@ -69,6 +69,8 @@ class ModelConfig:
     sliding_window_every: int = 1
     # Qwen2-style bias on QKV projections only.
     qkv_bias: bool = False
+    # dbrx/olmo-0424: clamp qkv activations to +-clip_qkv before rope
+    clip_qkv: Optional[float] = None
 
     # ---- generic-decoder architecture knobs (models/decoder.py) ----
     # These parameterize the one scan-over-layers forward so that every

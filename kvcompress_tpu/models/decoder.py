@@ -108,6 +108,13 @@ def precompute_rope(cfg: ModelConfig, positions: jax.Array
         inv_freq = np.where(is_mid, smoothed, inv_freq_l)
     elif kind == "linear":
         inv_freq = inv_freq / rs["factor"]
+    elif kind not in (None, "default"):
+        # fail-loudly contract: serving a yarn/longrope/dynamic checkpoint
+        # with base frequencies (and no mscale correction) would be
+        # silently wrong at every context length, not merely degraded
+        raise NotImplementedError(
+            f"rope_scaling type {kind!r} is not implemented "
+            "(supported: llama3, linear)")
     inv_freq = jnp.asarray(inv_freq, jnp.float32)
     freqs = positions.astype(jnp.float32)[:, None] * inv_freq[None, :]
     return jnp.cos(freqs), jnp.sin(freqs)
@@ -396,6 +403,14 @@ def init_params(cfg: ModelConfig, seed: int = 0,
             layers["shared_up"] = w(L, D, Se)
             layers["shared_down"] = w(L, Se, D)
             layers["shared_router"] = w(L, D, 1)
+        if cfg.arctic_residual:
+            # arctic hybrid reads res_norm + a residual (shared) MLP in
+            # every layer (decoder layer step arctic branch)
+            layers["res_norm"] = jnp.ones((L, D), dtype)
+            if "shared_gate" not in layers:
+                layers["shared_gate"] = w(L, D, I)
+                layers["shared_up"] = w(L, D, I)
+                layers["shared_down"] = w(L, I, D)
     elif cfg.mlp_type == "plain":
         layers["w_fc1"] = w(L, D, I)
         layers["w_fc2"] = w(L, I, D)
@@ -560,6 +575,13 @@ def _layer_step_fn(cfg: ModelConfig, T: int, cos, sin, attn_fn,
             v = proj(h, "wv")
             if "bq" in lw:
                 q, k, v = q + lw["bq"], k + lw["bk"], v + lw["bv"]
+            if cfg.clip_qkv:
+                # dbrx / olmo-0424: clamp QKV activations to +-clip_qkv
+                # (HF DbrxAttention/OlmoAttention clamp before rope)
+                c = cfg.clip_qkv
+                q = jnp.clip(q, -c, c)
+                k = jnp.clip(k, -c, c)
+                v = jnp.clip(v, -c, c)
             if cfg.qk_norm_full:  # olmo2/olmoe: norm over WHOLE projection
                 q = _norm(q, lw["q_norm"], lw.get("q_norm_b"), cfg)
                 k = _norm(k, lw["k_norm"], lw.get("k_norm_b"), cfg)

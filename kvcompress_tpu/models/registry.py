@@ -111,6 +111,22 @@ class _Loader:
         return out
 
 
+def _strip_language_model_prefix(t):
+    """Drop a multimodal wrapper's language-model prefix so the text
+    recipes see plain model.* names (transformers >= 4.52 uses
+    model.language_model.* with a bare lm_head; older checkpoints use
+    language_model.*)."""
+    if any(k.startswith("model.language_model.") for k in t):
+        pre = "model.language_model."
+        ren = {("model." + k[len(pre):]): v
+               for k, v in t.items() if k.startswith(pre)}
+        if "lm_head.weight" in t:
+            ren["lm_head.weight"] = t["lm_head.weight"]
+        return ren
+    pre = "language_model."
+    return {k[len(pre):]: v for k, v in t.items() if k.startswith(pre)}
+
+
 def _load_llama_style(
     t, cfg: ModelConfig, dtype,
     p: str = "model.layers.{}.",
@@ -204,19 +220,8 @@ def _llava():
         return cfg
 
     def load_fn(t, cfg, dtype):
-        # strip the language-model prefix (transformers >= 4.52:
-        # model.language_model.* + bare lm_head; older: language_model.*)
-        if any(k.startswith("model.language_model.") for k in t):
-            pre = "model.language_model."
-            ren = {("model." + k[len(pre):]): v
-                   for k, v in t.items() if k.startswith(pre)}
-            if "lm_head.weight" in t:
-                ren["lm_head.weight"] = t["lm_head.weight"]
-        else:
-            pre = "language_model."
-            ren = {k[len(pre):]: v
-                   for k, v in t.items() if k.startswith(pre)}
-        return _load_llama_style(ren, cfg, dtype)
+        return _load_llama_style(_strip_language_model_prefix(t), cfg,
+                                 dtype)
 
     return cfg_fn, load_fn
 
@@ -234,8 +239,13 @@ def _llama():
 @_register("Qwen2ForCausalLM")
 def _qwen2():
     def cfg_fn(hf, name):
+        # every Qwen2 config SHIPS a sliding_window value but gates it
+        # behind use_sliding_window (default False); passing it through
+        # unconditionally demoted the whole family off the pallas kernels
         return _base_cfg(hf, "Qwen2ForCausalLM", name, qkv_bias=True,
-                         sliding_window=hf.get("sliding_window"))
+                         sliding_window=(hf.get("sliding_window")
+                                         if hf.get("use_sliding_window")
+                                         else None))
     return cfg_fn, _load_llama_style
 
 
@@ -256,7 +266,7 @@ def _olmo():
     def cfg_fn(hf, name):
         # OLMo uses non-parametric layernorm; HF stores no norm weights.
         return _base_cfg(hf, "OlmoForCausalLM", name, norm_type="layernorm",
-                         rms_norm_eps=1e-5)
+                         rms_norm_eps=1e-5, clip_qkv=hf.get("clip_qkv"))
 
     def load_fn(t, cfg, dtype):
         params = _load_llama_style_olmo(t, cfg, dtype)
@@ -292,8 +302,9 @@ def _gemma():
         return _base_cfg(
             hf, "GemmaForCausalLM", name,
             head_size=hf.get("head_dim", 256),
-            hidden_act=_g(hf, "hidden_activation", "hidden_act",
-                          default="gelu_pytorch_tanh"),
+            # HF GemmaMLP IGNORES legacy configs' hidden_act="gelu" and
+            # forces tanh-gelu whenever hidden_activation is unset
+            hidden_act=hf.get("hidden_activation") or "gelu_pytorch_tanh",
             rmsnorm_offset=True, tie_word_embeddings=True,
             embedding_multiplier=hf["hidden_size"] ** 0.5)
     return cfg_fn, _load_llama_style
@@ -305,8 +316,9 @@ def _gemma2():
         return _base_cfg(
             hf, "Gemma2ForCausalLM", name,
             head_size=hf.get("head_dim", 256),
-            hidden_act=_g(hf, "hidden_activation", "hidden_act",
-                          default="gelu_pytorch_tanh"),
+            # HF GemmaMLP IGNORES legacy configs' hidden_act="gelu" and
+            # forces tanh-gelu whenever hidden_activation is unset
+            hidden_act=hf.get("hidden_activation") or "gelu_pytorch_tanh",
             rmsnorm_offset=True, tie_word_embeddings=True,
             embedding_multiplier=hf["hidden_size"] ** 0.5,
             use_post_norms=True,
@@ -336,7 +348,8 @@ def _gemma2():
 @_register("Phi3ForCausalLM")
 def _phi3():
     def cfg_fn(hf, name):
-        return _base_cfg(hf, "Phi3ForCausalLM", name)
+        return _base_cfg(hf, "Phi3ForCausalLM", name,
+                         sliding_window=hf.get("sliding_window"))
 
     def load_fn(t, cfg, dtype):
         Hq, Hkv, d = cfg.num_heads, cfg.num_kv_heads, cfg.head_size
@@ -593,7 +606,15 @@ def _internlm2():
 @_register("BaichuanForCausalLM", "BaiChuanForCausalLM")
 def _baichuan():
     def cfg_fn(hf, name):
-        # 7B variant (rope); the 13B alibi variant is unsupported.
+        # 7B variant (rope). The 13B variant shares the arch string but
+        # was trained with ALIBI and no rotary (the reference picks alibi
+        # when hidden_size != 4096, baichuan.py) - loading it through the
+        # rope recipe would serve garbage silently.
+        if hf.get("hidden_size", 4096) != 4096:
+            raise ValueError(
+                "Baichuan-13B (alibi variant, hidden_size "
+                f"{hf.get('hidden_size')}) is unsupported; only the 7B "
+                "rope variant loads")
         return _base_cfg(hf, "BaichuanForCausalLM", name)
 
     def load_fn(t, cfg, dtype):
@@ -811,6 +832,11 @@ def _falcon():
 @_register("CohereForCausalLM")
 def _cohere():
     def cfg_fn(hf, name):
+        if hf.get("use_qk_norm"):
+            raise ValueError(
+                "CohereForCausalLM with use_qk_norm (Command R+) is "
+                "unsupported: the per-head q/k layernorms would be "
+                "silently dropped")
         return _base_cfg(
             hf, "CohereForCausalLM", name,
             norm_type="layernorm", norm_bias=False,
@@ -932,17 +958,8 @@ def _fuyu():
         return cfg
 
     def load_fn(t, cfg, dtype):
-        if any(k.startswith("model.language_model.") for k in t):
-            pre = "model.language_model."      # transformers >= 4.52
-            ren = {("model." + k[len(pre):]): v
-                   for k, v in t.items() if k.startswith(pre)}
-            if "lm_head.weight" in t:
-                ren["lm_head.weight"] = t["lm_head.weight"]
-        else:                                   # older: language_model.*
-            pre = "language_model."
-            ren = {k[len(pre):]: v
-                   for k, v in t.items() if k.startswith(pre)}
-        return _REGISTRY["PersimmonForCausalLM"].load_fn(ren, cfg, dtype)
+        return _REGISTRY["PersimmonForCausalLM"].load_fn(
+            _strip_language_model_prefix(t), cfg, dtype)
 
     return cfg_fn, load_fn
 
@@ -1198,6 +1215,14 @@ def _glm4():
     # modern GLM/ChatGLM lineage: partial interleaved rotary, qkv bias,
     # fused gate_up, glm4 adds gemma2-style sandwich norms
     def cfg_fn(hf, name):
+        if "vocab_size" not in hf or "num_hidden_layers" not in hf:
+            # ORIGINAL chatglm checkpoints use padded_vocab_size /
+            # num_layers / multi_query_group_num and transformer.encoder
+            # tensor names; loading them through this recipe would
+            # KeyError mid-load instead of failing with a reason
+            raise ValueError(
+                "original ChatGLM checkpoint layout is unsupported; use "
+                "the -hf re-releases (GlmForCausalLM config layout)")
         arch = (hf.get("architectures") or ["GlmForCausalLM"])[0]
         return _base_cfg(
             hf, arch, name,
@@ -1267,6 +1292,7 @@ def _dbrx():
         return _base_cfg(
             hf, "DbrxForCausalLM", name,
             num_kv_heads=attn.get("kv_n_heads", hf.get("n_heads")),
+            clip_qkv=attn.get("clip_qkv"),
             intermediate_size=ffn.get("ffn_hidden_size", 4 * hf["d_model"]),
             num_experts=ffn.get("moe_num_experts", 4),
             num_experts_per_tok=ffn.get("moe_top_k", 1),
