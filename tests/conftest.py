@@ -19,6 +19,14 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent compilation cache: repeat suite runs on the same host skip
+# most XLA:CPU compiles (the bulk of suite wall time on this 1-core
+# image). Host-fingerprinted dir per utils/hostcache (stale caches from
+# OTHER machines spam cpu_aot_loader errors, hence the keying).
+from kvcompress_tpu.utils import hostcache  # noqa: E402
+
+hostcache.configure("cpu", "-tests")
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

@@ -31,7 +31,8 @@ def dp_cfg(dp, tp):
     return cfg
 
 
-@pytest.mark.parametrize("dp,tp", [(2, 4), (4, 1)])
+@pytest.mark.parametrize(
+    "dp,tp", [(2, 4), pytest.param(4, 1, marks=pytest.mark.full)])
 def test_dp_matches_single_replica(params, dp, tp):
     if len(jax.devices()) < dp * tp:
         pytest.skip(f"needs {dp * tp} virtual devices")

@@ -47,6 +47,7 @@ def _free_port() -> int:
     return port
 
 
+@pytest.mark.full
 def test_two_process_bootstrap_and_allgather(tmp_path):
     port = _free_port()
     env = dict(os.environ)

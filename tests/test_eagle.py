@@ -65,6 +65,7 @@ def test_eagle_exact_selfdraft_accepts(params):
     assert spec_steps <= -(-base_steps // 2), (spec_steps, base_steps)
 
 
+@pytest.mark.full
 def test_eagle_mix_fc_stays_exact(params):
     """A fc that actually mixes in the hidden stream (the real eagle
     regime) may propose badly but can never change the output."""

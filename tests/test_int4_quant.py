@@ -206,6 +206,7 @@ def test_engine_greedy_parity_q4_vs_dequant():
     assert _run(eng_q, prompts) == _run(eng_d, prompts)
 
 
+@pytest.mark.full
 def test_engine_tp4_int4_parity():
     """TP=4 with int4 weights (q4 + group scales sharded by the new mesh
     specs) matches TP=1 int4 greedy output, with compression on."""

@@ -54,6 +54,7 @@ def test_prompt_logits_match_hf(model):
     np.testing.assert_allclose(np.asarray(got), ref, rtol=2e-3, atol=2e-3)
 
 
+@pytest.mark.full
 def test_greedy_generate_matches_hf(model):
     m, cfg, params = model
     rng = np.random.default_rng(1)

@@ -188,7 +188,17 @@ def _build(family):
     return hf_model, cfg, params
 
 
-@pytest.mark.parametrize("family", sorted(FAMILIES))
+# Quick-tier flagship families (one per architectural mechanism: vanilla
+# GQA, SWA, MoE, MLA, softcapping, ALiBi); the long tail runs under
+# `pytest -m full` (VERDICT r03 item 8: default suite budget).
+QUICK_FAMILIES = {"gpt2", "qwen2", "mistral_swa", "mixtral", "gemma2",
+                  "bloom", "deepseek_v2"}
+
+
+@pytest.mark.parametrize(
+    "family",
+    [f if f in QUICK_FAMILIES else pytest.param(f, marks=pytest.mark.full)
+     for f in sorted(FAMILIES)])
 def test_prefill_parity(family):
     hf_model, cfg, params = _build(family)
     rng = np.random.default_rng(0)

@@ -131,6 +131,7 @@ def _run(params, method, proposer, spec_tokens, prompt, max_tokens=16,
     return outs[rid].outputs[0].token_ids
 
 
+@pytest.mark.full
 def test_medusa_engine_matches_plain_greedy(target_params):
     cfg = tiny_cfg()
     proposer = P.init_medusa_params(

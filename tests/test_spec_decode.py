@@ -68,6 +68,7 @@ def test_spec_accepts_and_saves_steps(params):
     assert eng.scheduler.free_blocks == eng.scheduler.total_blocks
 
 
+@pytest.mark.full
 def test_spec_random_prompts_match(params):
     rng = np.random.default_rng(2)
     for trial in range(3):

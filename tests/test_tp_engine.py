@@ -69,7 +69,8 @@ def _run(engine, prompts, max_tokens=12, compress=True):
     return [outs[r].outputs[0].token_ids for r in rids]
 
 
-@pytest.mark.parametrize("impl", ["xla", "interpret"])
+@pytest.mark.parametrize(
+    "impl", ["xla", pytest.param("interpret", marks=pytest.mark.full)])
 def test_tp4_matches_tp1_with_compression(params, impl):
     if len(jax.devices()) < TP:
         pytest.skip("needs 4 virtual devices")
