@@ -555,9 +555,7 @@ class LLMEngine:
                 outputs += self._do_prefill(prefill_seq)
         elif self.scheduler.running:
             if (self.cfg.speculative.num_speculative_tokens > 0
-                    and all(s.sampling_params.greedy
-                            and s.guided is None
-                            and not s.sampling_params.logprobs
+                    and all(self._spec_compatible(s)
                             for s in self.scheduler.running)):
                 with BENCHMARKER.range("spec_decode"):
                     outputs += self._do_decode_spec()
@@ -941,6 +939,20 @@ class LLMEngine:
         return self._process_finished(running)
 
     # ------------------------------------------------------------ speculate
+    @staticmethod
+    def _spec_compatible(s) -> bool:
+        """Speculative rounds handle greedy AND sampled requests (the
+        sampled verify implements the reference rejection-sampler
+        semantics, engine/programs.py _build_verify). Excluded: guided
+        masks and logprobs (per-token host coupling) and penalties (need
+        the token-count history tensors the verify program doesn't
+        carry) - those batches fall back to the regular decode burst."""
+        sp = s.sampling_params
+        return (s.guided is None and not sp.logprobs
+                and sp.repetition_penalty == 1.0
+                and sp.presence_penalty == 0.0
+                and sp.frequency_penalty == 0.0)
+
     def _do_decode_spec(self) -> List[RequestOutput]:
         """One n-gram speculative round: propose per sequence from its own
         token history, verify Q = gamma + 1 tokens in one device pass,
@@ -1050,8 +1062,22 @@ class LLMEngine:
                     tokens[sl, 1:1 + len(props)] = props
                     n_proposed += len(props)
 
+        # rejection-sampling verify for batches with any sampled (or
+        # logit-biased) row; pure-greedy batches keep the cheaper argmax
+        # program (sample()'s full-vocab sorts dominate small batches)
+        st = rng_key = None
+        if any(not s.sampling_params.greedy
+               or getattr(s.sampling_params, "logit_bias", None)
+               for s in running):
+            params_by_slot = [None] * S
+            for seq in running:
+                params_by_slot[seq.slot] = seq.sampling_params
+            st = SamplingTensors.from_params(
+                params_by_slot, pad_to=S,
+                vocab_size=self.cfg.model.vocab_size)
+            self._rng, rng_key = jax.random.split(self._rng)
         self.state, packed, self._eagle_hid = self.programs.verify(
-            self.state, tokens, positions0, active, Q)
+            self.state, tokens, positions0, active, Q, st=st, rng=rng_key)
         verify_snap = self._note_dispatch()
         packed = np.asarray(packed)
         greedy = packed[:S * Q].reshape(S, Q)

@@ -858,14 +858,30 @@ class EnginePrograms:
             jnp.asarray(pos0_np), jnp.asarray(wlens_np),
             jnp.asarray(active_np))
 
-    def _build_verify(self, Q: int):
+    def _build_verify(self, Q: int, sampled: bool = False):
         """Speculative verification program (reference vllm/spec_decode/:
-        proposal scoring via batch expansion + greedy acceptance): process
-        Q tokens per sequence (current + Q-1 proposals) in one pass,
-        accept the longest matching prefix, roll back the cache for the
-        rejected remainder. Greedy-only; metric recording is off on this
-        path (the reference forbids spec decode with KVC entirely;
-        compression metrics here come from prefill + regular steps).
+        proposal scoring via batch expansion): process Q tokens per
+        sequence (current + Q-1 proposals) in one pass, accept the longest
+        matching prefix, roll back the cache for the rejected remainder.
+        Metric recording is off on this path (the reference forbids spec
+        decode with KVC entirely; compression metrics here come from
+        prefill + regular steps).
+
+        sampled=True implements the reference rejection sampler's modified
+        rejection sampling (vllm/model_executor/layers/rejection_sampler.py
+        _get_accepted/_get_recovered_probs) specialized to DETERMINISTIC
+        proposers (all five of ours - ngram/draft/medusa/mlp/eagle - emit
+        argmax or lookup proposals, i.e. a one-hot draft distribution):
+        draw x_i ~ q_i (the fully-processed target distribution: logit
+        bias, temperature, top-k/p, min-p - engine/sampler.py) with the
+        SAME (seed, position)-keyed Gumbel noise as the non-speculative
+        decode path, and accept proposal t_i iff x_i == t_i. For a one-hot
+        draft p=e_t this IS min(1, q/p)-acceptance (P[x==t] = q(t)) and
+        the emitted token on rejection IS the residual sample
+        (P[x=y | x!=t] = q(y)/(1-q(t)) = norm(max(q - p, 0))), so the
+        output distribution equals non-speculative sampling exactly -
+        and for seeded rows the output STREAM is token-identical to the
+        non-speculative engine, which tests/test_spec_sampled.py asserts.
 
         When a head-based proposer (medusa / mlp_speculator) is
         configured, the NEXT round's proposals are computed here from the
@@ -882,7 +898,7 @@ class EnginePrograms:
         eagle_out = self.draft is not None and self.draft[0].eagle
 
         def verify_fn(state: CacheState, params, tokens, positions0,
-                      active, prop_params):
+                      active, prop_params, st, rng):
             L, S, H, B = state.block_tables.shape
             ctx0 = state.context_lens
 
@@ -927,11 +943,29 @@ class EnginePrograms:
                 sm, _cache_of(state), active, spec)
             logits = llama.compute_logits(
                 params, mcfg, hidden.reshape(S * Q, -1)).reshape(S, Q, -1)
-            greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # [S, Q]
+            if sampled:
+                # x_i ~ q_i with the decode path's (seed, position) noise
+                # keying; greedy rows (temperature==0) reduce to argmax
+                # inside sample(). Flattened [S*Q] with per-sequence
+                # params repeated per slot.
+                flat = logits.reshape(S * Q, -1)
+                st_exp = st._replace(
+                    **{f: (jnp.repeat(getattr(st, f), Q, axis=0))
+                       for f in st._fields})
+                flat = sampler_mod.apply_logit_bias(flat, st_exp)
+                qi_ = jnp.arange(Q, dtype=jnp.int32)
+                pos_flat = (positions0[:, None] + qi_[None, :]).reshape(-1)
+                emit = sampler_mod.sample(
+                    flat, st_exp, rng, positions=pos_flat,
+                    use_seeds=True, pre_processed=True).reshape(S, Q)
+            else:
+                emit = jnp.argmax(logits, axis=-1).astype(
+                    jnp.int32)  # [S, Q]
 
-            # acceptance: proposal i+1 accepted iff it equals greedy[i]
+            # acceptance: proposal i+1 accepted iff it equals emit[i]
+            # (greedy match, or the rejection-sampling coupling above)
             if Q > 1:
-                match = greedy[:, :-1] == tokens[:, 1:]       # [S, Q-1]
+                match = emit[:, :-1] == tokens[:, 1:]         # [S, Q-1]
                 acc = jnp.sum(jnp.cumprod(
                     match.astype(jnp.int32), axis=-1), axis=-1)  # [S]
             else:
@@ -963,20 +997,20 @@ class EnginePrograms:
             nb_alloc = (new_ctx + bs - 1) // bs
             seq_blocks = jnp.sum(nb_alloc, axis=(0, 2)).astype(jnp.int32)
             seq_kv = jnp.sum(new_ctx, axis=(0, 2)).astype(jnp.int32)
-            # packed: greedy tokens [S*Q] | n_out | blocks | kv
+            # packed: emitted tokens [S*Q] | n_out | blocks | kv
             #         | [next-round proposals S*(Q-1), proposer only]
             #         | free_top
-            parts = [greedy.reshape(-1), n_out, seq_blocks, seq_kv]
+            parts = [emit.reshape(-1), n_out, seq_blocks, seq_kv]
             if self.proposer is not None and Q > 1:
                 from kvcompress_tpu.models import proposers as prop
                 pspec, _ = self.proposer
                 hid = hidden.reshape(S, Q, -1)
-                # hidden/greedy at the last ACCEPTED input token: its
+                # hidden/emit at the last ACCEPTED input token: its
                 # output token (the bonus) is next round's first input,
                 # so head k's proposal lands at next-round offset k+1
                 h_acc = jnp.take_along_axis(
                     hid, acc[:, None, None], axis=1)[:, 0]
-                bonus = jnp.take_along_axis(greedy, acc[:, None],
+                bonus = jnp.take_along_axis(emit, acc[:, None],
                                             axis=1)[:, 0]
                 props = prop.propose(pspec, prop_params, h_acc, bonus,
                                      Q - 1)
@@ -990,18 +1024,22 @@ class EnginePrograms:
 
         return jax.jit(verify_fn, donate_argnums=(0,))
 
-    def verify(self, state, tokens_np, positions_np, active_np, Q: int):
+    def verify(self, state, tokens_np, positions_np, active_np, Q: int,
+               st=None, rng=None):
         """Returns (state, packed, hid): hid is the [S, Q, D] device
-        export for EAGLE drafts, else None."""
-        # dict cache keyed by the static width (CLAUDE.md convention: a
+        export for EAGLE drafts, else None. st (SamplingTensors) + rng
+        select the rejection-sampling verify variant; None = greedy."""
+        # dict cache keyed by ALL static flags (CLAUDE.md convention: a
         # single-slot cache retraces mid-serving if Q ever alternates)
-        key = ("verify", Q)
+        sampled = st is not None
+        key = ("verify", Q, sampled)
         if key not in self._decode_fns:
-            self._decode_fns[key] = self._build_verify(Q)
+            self._decode_fns[key] = self._build_verify(Q, sampled=sampled)
         out = self._decode_fns[key](
             state, self.params, jnp.asarray(tokens_np),
             jnp.asarray(positions_np), jnp.asarray(active_np),
-            self.proposer[1] if self.proposer is not None else None)
+            self.proposer[1] if self.proposer is not None else None,
+            st, rng)
         return out if len(out) == 3 else (*out, None)
 
     # ------------------------------------------------------------ compress
