@@ -278,10 +278,14 @@ class ParallelConfig:
 
     tensor_parallel_size: int = 1
     data_parallel_size: int = 1
+    # serving-level GPipe over the "pipe" mesh axis (parallel/pipeline.py);
+    # layer-stacked weights and the per-layer cache shard by stage
+    pipeline_parallel_size: int = 1
 
     @property
     def world_size(self) -> int:
-        return self.tensor_parallel_size * self.data_parallel_size
+        return (self.tensor_parallel_size * self.data_parallel_size
+                * self.pipeline_parallel_size)
 
 
 @dataclasses.dataclass

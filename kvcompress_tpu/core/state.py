@@ -29,7 +29,7 @@ Key differences from the reference, by design:
 from __future__ import annotations
 
 import dataclasses
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -144,15 +144,48 @@ def _push_one(stack: jax.Array, top: jax.Array, ids_flat: jax.Array,
     return stack, jnp.minimum(top + count, n)
 
 
-def _group_flatten(arr: jax.Array, head_axis: int, G: int) -> jax.Array:
-    """[..., H, ...] -> [G, rest] with the head axis split into G groups
-    leading; inverse is _group_unflatten."""
+def _group_flatten(arr: jax.Array, head_axis: int, G: int,
+                   layer_axis: Optional[int] = None,
+                   layer_groups: int = 1) -> jax.Array:
+    """[..., H, ...] -> [G, rest] with the routing axes split into G groups
+    leading; inverse is _group_unflatten.
+
+    With layer_groups > 1 (pipeline parallelism), partitions are
+    LAYER-GROUP-MAJOR: G = layer_groups * head_groups, and partition
+    g = lg * head_groups + hg owns blocks of layers in group lg and heads
+    in group hg — so each pipe stage owns one contiguous block-id range
+    [lg * (num_blocks/layer_groups), ...) (parallel/pipeline.py relies on
+    this for local-id translation inside the GPipe shard_map)."""
+    if layer_groups > 1:
+        assert layer_axis is not None
+        Gh = G // layer_groups
+        a = jnp.moveaxis(arr, (layer_axis, head_axis), (0, 1))  # [L, H, ...]
+        L, H = a.shape[0], a.shape[1]
+        rest = a.shape[2:]
+        a = a.reshape((layer_groups, L // layer_groups, Gh, H // Gh)
+                      + rest)
+        a = jnp.moveaxis(a, 2, 1)  # [Lg, Gh, L/Lg, H/Gh, ...]
+        return a.reshape(G, -1)
     H = arr.shape[head_axis]
     a = jnp.moveaxis(arr, head_axis, 0)           # [H, ...]
     return a.reshape(G, -1)                       # [G, (H/G) * rest]
 
 
-def _group_unflatten(flat: jax.Array, shape, head_axis: int) -> jax.Array:
+def _group_unflatten(flat: jax.Array, shape, head_axis: int,
+                     layer_axis: Optional[int] = None,
+                     layer_groups: int = 1) -> jax.Array:
+    if layer_groups > 1:
+        assert layer_axis is not None
+        G = flat.shape[0]
+        Gh = G // layer_groups
+        L, H = shape[layer_axis], shape[head_axis]
+        rest = [shape[i] for i in range(len(shape))
+                if i not in (layer_axis % len(shape),
+                             head_axis % len(shape))]
+        a = flat.reshape([layer_groups, Gh, L // layer_groups, H // Gh]
+                         + rest)
+        a = jnp.moveaxis(a, 1, 2).reshape([L, H] + rest)
+        return jnp.moveaxis(a, (0, 1), (layer_axis, head_axis))
     H = shape[head_axis]
     rest = [shape[i] for i in range(len(shape)) if i != head_axis]
     a = flat.reshape([H] + rest)
@@ -161,18 +194,23 @@ def _group_unflatten(flat: jax.Array, shape, head_axis: int) -> jax.Array:
 
 def stack_pop(
     free_stack: jax.Array, free_top: jax.Array, need_mask: jax.Array,
-    head_axis: int = -2,
+    head_axis: int = -2, layer_axis: Optional[int] = None,
+    layer_groups: int = 1,
 ) -> Tuple[jax.Array, jax.Array]:
     """Pop one block id for every True element of need_mask. The head axis
     (size H, H % G == 0) routes each pop to its partition's stack so blocks
-    stay shard-local under TP. Returns (block_ids, new_free_top[G]);
-    block_ids has need_mask's shape with the trash block (0) where False.
+    stay shard-local under TP; with layer_groups > 1 the layer axis
+    additionally routes by pipeline stage (layer-group-major partitions).
+    Returns (block_ids, new_free_top[G]); block_ids has need_mask's shape
+    with the trash block (0) where False.
     """
     G = free_stack.shape[0]
     head_axis = head_axis % need_mask.ndim
-    need_g = _group_flatten(need_mask, head_axis, G)
+    need_g = _group_flatten(need_mask, head_axis, G, layer_axis,
+                            layer_groups)
     ids_g, top = jax.vmap(_pop_one)(free_stack, free_top, need_g)
-    ids = _group_unflatten(ids_g, need_mask.shape, head_axis)
+    ids = _group_unflatten(ids_g, need_mask.shape, head_axis, layer_axis,
+                           layer_groups)
     return ids, top
 
 
@@ -182,12 +220,16 @@ def stack_push(
     block_ids: jax.Array,
     push_mask: jax.Array,
     head_axis: int = -2,
+    layer_axis: Optional[int] = None,
+    layer_groups: int = 1,
 ) -> Tuple[jax.Array, jax.Array]:
     """Push block_ids[push_mask] onto their partitions' stacks."""
     G = free_stack.shape[0]
     head_axis = head_axis % push_mask.ndim
-    ids_g = _group_flatten(block_ids, head_axis, G)
-    mask_g = _group_flatten(push_mask, head_axis, G)
+    ids_g = _group_flatten(block_ids, head_axis, G, layer_axis,
+                           layer_groups)
+    mask_g = _group_flatten(push_mask, head_axis, G, layer_axis,
+                            layer_groups)
     stack, top = jax.vmap(_push_one)(free_stack, free_top, ids_g, mask_g)
     return stack, top
 

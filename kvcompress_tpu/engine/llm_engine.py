@@ -104,10 +104,35 @@ class LLMEngine:
         # on the kv-head axis) - the capability the reference lists as an
         # open question (vllm/kvcompress/README.md "How to support
         # multi-GPU?"; TP hard-blocked at vllm/config.py:702-703).
+        pp = cfg.parallel.pipeline_parallel_size
+        if pp > 1:
+            # serving-level PP (parallel/pipeline.py GPipe trunks): the
+            # model forward shard_maps over the pipe axis with the XLA
+            # attention path; combinations that would silently change
+            # semantics or need per-stage plumbing are rejected loudly
+            if cfg.model.num_layers % pp:
+                raise ValueError(
+                    f"num_layers={cfg.model.num_layers} not divisible by "
+                    f"pipeline_parallel_size={pp}")
+            if cfg.speculative.num_speculative_tokens > 0:
+                raise ValueError(
+                    "speculative decoding with pipeline_parallel_size>1 "
+                    "is not supported yet")
+            if cfg.lora and cfg.lora.enable_lora:
+                raise ValueError(
+                    "LoRA with pipeline_parallel_size>1 is not supported "
+                    "yet (per-stage bank plumbing)")
+            if attn_impl == "pallas":
+                raise ValueError(
+                    "pipeline_parallel_size>1 runs the XLA attention path "
+                    "(per-stage Pallas kernels land later); pass "
+                    "attn_impl='xla' or 'auto'")
+            attn_impl = "xla"
         if mesh is None and cfg.parallel.world_size > 1:
             from kvcompress_tpu.parallel.mesh import build_mesh
             mesh = build_mesh(cfg.parallel.tensor_parallel_size,
-                              cfg.parallel.data_parallel_size)
+                              cfg.parallel.data_parallel_size,
+                              pp_size=pp)
         self.mesh = mesh
         if mesh is not None:
             from kvcompress_tpu.parallel.mesh import MODEL_AXIS, shard_params
@@ -124,9 +149,10 @@ class LLMEngine:
         self.num_blocks = num_blocks
 
         mc, sc, cc = cfg.model, cfg.scheduler, cfg.cache
-        # one allocator partition per TP shard keeps every head's blocks in
-        # that head's pool shard (see core/state.py)
-        G = max(cfg.parallel.tensor_parallel_size, 1)
+        # one allocator partition per (pipe stage, TP shard) keeps every
+        # head's blocks in that head's pool shard and every layer's blocks
+        # in its stage's shard (see core/state.py)
+        G = max(cfg.parallel.tensor_parallel_size, 1) * max(pp, 1)
         num_blocks -= num_blocks % G
         self.num_blocks = num_blocks
         cache_jdtype = {"bfloat16": jnp.bfloat16, "float16": jnp.bfloat16,
@@ -287,7 +313,8 @@ class LLMEngine:
 
         cfg = self.cfg
         mc, sc, cc, kc = cfg.model, cfg.scheduler, cfg.cache, cfg.kvcompress
-        G = max(cfg.parallel.tensor_parallel_size, 1)
+        G = (max(cfg.parallel.tensor_parallel_size, 1)
+             * max(cfg.parallel.pipeline_parallel_size, 1))
         S = sc.max_num_seqs
         L, H = mc.num_layers, mc.num_kv_heads
         bs = cc.block_size

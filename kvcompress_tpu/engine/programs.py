@@ -101,6 +101,10 @@ class EnginePrograms:
         self._compress_fns: Dict[Tuple[int, int], Any] = {}
         self._decode_fns: Dict[Any, Any] = {}
         self._free_fn = None
+        # serving PP: model trunks route through the GPipe shard_map
+        # programs (parallel/pipeline.py) and allocator pops/pushes route
+        # by (layer group, head group) so blocks stay stage-local
+        self.pp = max(cfg.parallel.pipeline_parallel_size, 1)
 
     # ------------------------------------------------------------- prefill
     def _build_prefill(self, T: int, use_seeds: bool = False,
@@ -125,7 +129,8 @@ class EnginePrograms:
                 jnp.arange(nbb, dtype=jnp.int32)[None, None, :] < nb_seq,
                 (L, H, nbb))
             ids, free_top = stack_pop(state.free_stack, state.free_top,
-                                      need, head_axis=1)
+                                      need, head_axis=1, layer_axis=0,
+                                      layer_groups=self.pp)
             block_tables = state.block_tables.at[:, slot, :, :nbb].set(ids)
             context_lens = state.context_lens.at[:, slot, :].set(
                 seq_len.astype(jnp.int32))
@@ -133,14 +138,25 @@ class EnginePrograms:
             t_idx = jnp.arange(T, dtype=jnp.int32)
 
             lora = (lora_idx, lora_scale) if use_lora else None
-            last_hidden, ks, vs, pfs = llama.prefill(
-                params, mcfg, tokens, seq_len, None,
-                _cache_of(state), buffer_len, spec, lora=lora,
-                prefix_embed=pa_embed if use_pa else None,
-                prefix_len=pa_len if use_pa else None,
-                inject_embed=mm_embed if mm_n else None,
-                inject_pos=mm_pos if mm_n else None,
-                mesh=self.mesh, write_cache=False)
+            if self.pp > 1:
+                # GPipe prompt pass (serving PP); adapters/multimodal are
+                # rejected at engine init under pp
+                assert not (use_lora or use_pa or mm_n), \
+                    "prefill features unsupported under pipeline parallel"
+                from kvcompress_tpu.parallel.pipeline import (
+                    pipeline_paged_prefill)
+                last_hidden, ks, vs, pfs = pipeline_paged_prefill(
+                    params, mcfg, self.mesh, tokens, seq_len, buffer_len,
+                    spec)
+            else:
+                last_hidden, ks, vs, pfs = llama.prefill(
+                    params, mcfg, tokens, seq_len, None,
+                    _cache_of(state), buffer_len, spec, lora=lora,
+                    prefix_embed=pa_embed if use_pa else None,
+                    prefix_len=pa_len if use_pa else None,
+                    inject_embed=mm_embed if mm_n else None,
+                    inject_pos=mm_pos if mm_n else None,
+                    mesh=self.mesh, write_cache=False)
             # Cache-write epilogue as whole-BLOCK-row scatters (the prompt
             # fills blocks contiguously, so [L,T,H] reshapes straight to
             # [L,H,nbb,bs]); per-slot flat scatters of the same bytes
@@ -460,7 +476,8 @@ class EnginePrograms:
             # block_manager.py:269-307 _append_to_sequence_batch)
             need = active[None, :, None] & (ctx % bs == 0)
             ids, free_top = stack_pop(state.free_stack, state.free_top,
-                                      need, head_axis=2)
+                                      need, head_axis=2, layer_axis=0,
+                                      layer_groups=self.pp)
             li = jnp.arange(L)[:, None, None]
             si = jnp.arange(S)[None, :, None]
             hi = jnp.arange(H)[None, None, :]
@@ -506,10 +523,18 @@ class EnginePrograms:
                 sm = jnp.take_along_axis(
                     block_tables, (last // bs)[..., None], axis=-1
                 )[..., 0] * bs + last % bs  # [L, S, H]
-                hidden, cache = llama.decode(
-                    params, mcfg, tokens, positions, block_tables, new_ctx,
-                    sm, _cache_of(state), buffer_lens, active, spec,
-                    lora=lora)
+                if self.pp > 1:
+                    from kvcompress_tpu.parallel.pipeline import (
+                        pipeline_paged_decode)
+                    hidden, cache = pipeline_paged_decode(
+                        params, mcfg, self.mesh, tokens, positions,
+                        block_tables, new_ctx, sm, _cache_of(state),
+                        buffer_lens, active, spec)
+                else:
+                    hidden, cache = llama.decode(
+                        params, mcfg, tokens, positions, block_tables,
+                        new_ctx, sm, _cache_of(state), buffer_lens, active,
+                        spec, lora=lora)
             logits = llama.compute_logits(params, mcfg, hidden)
             if use_penalties:
                 logits = sampler_mod.apply_penalties(
@@ -1055,6 +1080,7 @@ class EnginePrograms:
         fn = functools.partial(
             run_compression, nb=nb,
             moves_cap=kc.max_cache_moves_per_compression,
+            layer_groups=self.pp,
             num_sinks=kc.num_attention_sinks, use_average=kc.use_average,
             bias=bias, position_bins=position_bins,
             bias_weight=kc.kv_head_bias_weight,
@@ -1111,7 +1137,8 @@ class EnginePrograms:
             alloc = (blk < nb_alloc[..., None]) & free_mask[None, :, None,
                                                             None]
             stack, top = stack_push(state.free_stack, state.free_top,
-                                    state.block_tables, alloc, head_axis=2)
+                                    state.block_tables, alloc, head_axis=2,
+                                    layer_axis=0, layer_groups=self.pp)
             context_lens = jnp.where(free_mask[None, :, None],
                                      0, ctx)
             return CacheState(

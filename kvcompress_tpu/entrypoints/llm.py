@@ -37,6 +37,7 @@ def build_engine_config(
     record_decoding_metrics: bool = True,
     tensor_parallel_size: int = 1,
     data_parallel_size: int = 1,
+    pipeline_parallel_size: int = 1,
     enable_lora: bool = False,
     max_loras: int = 4,
     max_lora_rank: int = 16,
@@ -80,8 +81,10 @@ def build_engine_config(
         scheduler=SchedulerConfig(max_num_seqs=max_num_seqs,
                                   max_model_len=max_model_len,
                                   num_scheduler_steps=num_scheduler_steps),
-        parallel=ParallelConfig(tensor_parallel_size=tensor_parallel_size,
-                                data_parallel_size=data_parallel_size),
+        parallel=ParallelConfig(
+            tensor_parallel_size=tensor_parallel_size,
+            data_parallel_size=data_parallel_size,
+            pipeline_parallel_size=pipeline_parallel_size),
         lora=LoRAConfig(enable_lora=enable_lora, max_loras=max_loras,
                         max_lora_rank=max_lora_rank),
         speculative=SpeculativeConfig(

@@ -332,6 +332,8 @@ def run_compression(
     bias_weight: float = 1.0,
     even_layer_evict: bool = False,
     random_eviction: bool = False,
+    layer_groups: int = 1,   # pipeline stages: freed blocks route back to
+                             # their (stage, head-group) allocator partition
 ) -> Tuple[CacheState, jax.Array, jax.Array]:
     """One full compression round on device: gather -> bias -> schedule ->
     compact -> free blocks. Returns (new_state, evicted_block_count [B,L,H],
@@ -405,7 +407,8 @@ def run_compression(
         & (blk_idx < nb_alloc[..., None])
     )
     free_stack, free_top = stack_push(
-        state.free_stack, state.free_top, bt_w, freed_mask, head_axis=2
+        state.free_stack, state.free_top, bt_w, freed_mask, head_axis=2,
+        layer_axis=1, layer_groups=layer_groups,
     )
 
     new_ctx_w = ctx_w - sched.evicted_kv_count

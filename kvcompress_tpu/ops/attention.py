@@ -45,8 +45,12 @@ def write_to_cache(
     num_blocks, block_size, head_size = k_cache.shape
     T, H = slot_mapping.shape
     valid = (slot_mapping >= 0).reshape(-1)
-    # invalid writes land on the trash block (block 0)
-    flat_slots = jnp.where(valid, slot_mapping.reshape(-1), 0)
+    # invalid writes get a POSITIVE out-of-range sentinel and drop (the
+    # global trash block 0 is NOT safe here: under pipeline parallelism
+    # this runs on a stage-LOCAL pool shard where local slot 0 is a live
+    # block — tests/test_pp_engine.py caught exactly that corruption)
+    n_slots = num_blocks * block_size
+    flat_slots = jnp.where(valid, slot_mapping.reshape(-1), n_slots)
 
     if k_scale is not None:
         from kvcompress_tpu.ops.kv_quant import quantize_kv
@@ -54,19 +58,19 @@ def write_to_cache(
         vq, vs = quantize_kv(value)
         key, value = kq, vq
         k_scale = k_scale.reshape(-1).at[flat_slots].set(
-            ks.reshape(-1)).reshape(k_scale.shape)
+            ks.reshape(-1), mode="drop").reshape(k_scale.shape)
         v_scale = v_scale.reshape(-1).at[flat_slots].set(
-            vs.reshape(-1)).reshape(v_scale.shape)
+            vs.reshape(-1), mode="drop").reshape(v_scale.shape)
 
     kf = k_cache.reshape(-1, head_size).at[flat_slots].set(
-        key.reshape(-1, head_size).astype(k_cache.dtype))
+        key.reshape(-1, head_size).astype(k_cache.dtype), mode="drop")
     vf = v_cache.reshape(-1, head_size).at[flat_slots].set(
-        value.reshape(-1, head_size).astype(v_cache.dtype))
+        value.reshape(-1, head_size).astype(v_cache.dtype), mode="drop")
     mf = kv_metrics.reshape(-1).at[flat_slots].set(
-        jnp.zeros((T * H,), jnp.float32))
+        jnp.zeros((T * H,), jnp.float32), mode="drop")
     pos = jnp.broadcast_to(positions[:, None], (T, H)).reshape(-1)
     pf = kv_positions.reshape(-1).at[flat_slots].set(
-        jnp.where(valid, pos, -1))
+        jnp.where(valid, pos, -1), mode="drop")
     out = (
         kf.reshape(k_cache.shape), vf.reshape(v_cache.shape),
         mf.reshape(kv_metrics.shape), pf.reshape(kv_positions.shape),

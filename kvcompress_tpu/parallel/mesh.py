@@ -30,18 +30,25 @@ from kvcompress_tpu.core.state import CacheState
 
 DATA_AXIS = "data"
 MODEL_AXIS = "model"
+PIPE_AXIS = "pipe"
 
 
 def build_mesh(tp_size: int, dp_size: int = 1,
-               devices=None) -> Mesh:
+               devices=None, pp_size: int = 1) -> Mesh:
+    """("data", "pipe", "model") mesh. The pipe axis is present only when
+    pp_size > 1 (serving pipeline parallelism, parallel/pipeline.py);
+    existing two-axis callers are unaffected."""
     devices = devices if devices is not None else jax.devices()
-    n = tp_size * dp_size
+    n = tp_size * dp_size * pp_size
     assert len(devices) >= n, f"need {n} devices, have {len(devices)}"
+    if pp_size > 1:
+        arr = np.asarray(devices[:n]).reshape(dp_size, pp_size, tp_size)
+        return Mesh(arr, (DATA_AXIS, PIPE_AXIS, MODEL_AXIS))
     arr = np.asarray(devices[:n]).reshape(dp_size, tp_size)
     return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
 
 
-def param_specs(params: Dict[str, Any]) -> Dict[str, Any]:
+def param_specs(params: Dict[str, Any], pp: bool = False) -> Dict[str, Any]:
     """PartitionSpec pytree matching the models/decoder.py param layout:
     megatron TP - column-sharded up-projections (+ their biases),
     row-sharded down-projections, vocab-sharded embeddings, replicated
@@ -91,8 +98,14 @@ def param_specs(params: Dict[str, Any]) -> Dict[str, Any]:
         # norms, router, shared_router, bo/b_fc2/b_down: replicated
         return P(*([None] * v.ndim))
 
+    def with_pipe(spec: P) -> P:
+        # layer-stacked leaves: the leading [L] axis shards over the pipe
+        # stages (GPipe serving, parallel/pipeline.py)
+        return P(*((PIPE_AXIS,) + tuple(spec)[1:])) if pp else spec
+
     specs = {
-        "layers": {k: layer_spec(k, v) for k, v in params["layers"].items()},
+        "layers": {k: with_pipe(layer_spec(k, v))
+                   for k, v in params["layers"].items()},
     }
     vocab_sharded = {"embed", "embed_q8", "embed_scale", "lm_head",
                      "lm_head_q8", "lm_head_scale"}
@@ -106,29 +119,34 @@ def param_specs(params: Dict[str, Any]) -> Dict[str, Any]:
     return specs
 
 
-def state_specs(quantized: bool = False) -> CacheState:
+def state_specs(quantized: bool = False, pp: bool = False) -> CacheState:
     """PartitionSpec pytree for CacheState: block pool partitioned across
-    model shards; tables/context sharded on the kv-head axis."""
+    model shards (and pipe stages when pp, stage-major — matching the
+    layer-group-major allocator partition order of core/state.py);
+    tables/context shard on the layer axis over pipe and the kv-head axis
+    over model."""
     m = MODEL_AXIS
+    pool = (PIPE_AXIS, m) if pp else m
+    lx = PIPE_AXIS if pp else None
     return CacheState(
-        k_cache=P(m, None, None),
-        v_cache=P(m, None, None),
-        kv_metrics=P(m, None),
-        kv_positions=P(m, None),
-        block_tables=P(None, None, m, None),
-        context_lens=P(None, None, m),
-        # one allocator partition per TP shard (core/state.py): stacks and
-        # tops shard with their pool partition
-        free_stack=P(m, None),
-        free_top=P(m),
+        k_cache=P(pool, None, None),
+        v_cache=P(pool, None, None),
+        kv_metrics=P(pool, None),
+        kv_positions=P(pool, None),
+        block_tables=P(lx, None, m, None),
+        context_lens=P(lx, None, m),
+        # one allocator partition per (stage, TP shard) (core/state.py):
+        # stacks and tops shard with their pool partition
+        free_stack=P(pool, None),
+        free_top=P(pool),
         # int8 cache: scale planes shard with their pool partition
-        k_scale=P(m, None) if quantized else None,
-        v_scale=P(m, None) if quantized else None,
+        k_scale=P(pool, None) if quantized else None,
+        v_scale=P(pool, None) if quantized else None,
     )
 
 
 def shard_params(params: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
-    specs = param_specs(params)
+    specs = param_specs(params, pp=PIPE_AXIS in mesh.axis_names)
     return jax.tree.map(
         lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
         params, specs,
@@ -136,7 +154,8 @@ def shard_params(params: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
 
 
 def shard_state(state: CacheState, mesh: Mesh) -> CacheState:
-    specs = state_specs(quantized=state.quantized)
+    specs = state_specs(quantized=state.quantized,
+                        pp=PIPE_AXIS in mesh.axis_names)
     return jax.tree.map(
         lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
         state, specs)

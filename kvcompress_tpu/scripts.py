@@ -30,6 +30,7 @@ def add_engine_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--num-blocks", type=int, default=None,
                    help="override profiled cache size (blocks)")
     p.add_argument("--tensor-parallel-size", "-tp", type=int, default=1)
+    p.add_argument("--pipeline-parallel-size", "-pp", type=int, default=1)
     p.add_argument("--data-parallel-size", "-dp", type=int, default=1,
                    help="engine replicas on disjoint mesh slices "
                         "(parallel/data_parallel.py)")
@@ -90,6 +91,7 @@ def build_llm(args):
         kv_head_bias_weight=args.kv_head_bias_weight,
         record_decoding_metrics=not args.disable_decoding_metrics,
         tensor_parallel_size=args.tensor_parallel_size,
+        pipeline_parallel_size=args.pipeline_parallel_size,
         data_parallel_size=args.data_parallel_size,
         enable_lora=args.enable_lora,
         max_loras=args.max_loras,
