@@ -9,10 +9,11 @@ names to the HF names the registry mappings expect, and un-permute the
 q/k projections (llama.cpp stores them rope-permuted relative to HF,
 convert_hf_to_gguf.py permute()).
 
-Supported tensor types: F32, F16, Q8_0, Q4_0, Q4_1 (the formats whose
-dequant is exact block arithmetic). K-quants and IQ formats are rejected
-loudly - their superblock scales need llama.cpp's codebooks and the
-reference punts those to the gguf package too.
+Supported tensor types: F32, F16, Q8_0, Q4_0, Q4_1, and the K-quant
+super-block formats Q4_K / Q5_K / Q6_K (what real GGUF checkpoints
+actually ship; reference vllm/model_executor/layers/quantization/gguf.py
+supports them via the gguf package — here the super-block layouts are
+decoded directly). Q2_K/Q3_K and IQ formats are rejected loudly.
 """
 
 from __future__ import annotations
@@ -38,7 +39,10 @@ _SCALAR = {
 GGML_F32, GGML_F16 = 0, 1
 GGML_Q4_0, GGML_Q4_1 = 2, 3
 GGML_Q8_0 = 8
-_TYPE_NAMES = {0: "F32", 1: "F16", 2: "Q4_0", 3: "Q4_1", 8: "Q8_0"}
+GGML_Q4_K, GGML_Q5_K, GGML_Q6_K = 12, 13, 14
+_TYPE_NAMES = {0: "F32", 1: "F16", 2: "Q4_0", 3: "Q4_1", 8: "Q8_0",
+               12: "Q4_K", 13: "Q5_K", 14: "Q6_K"}
+QK_K = 256  # K-quant super-block size (ggml-quants.h)
 
 
 class _Reader:
@@ -108,10 +112,92 @@ def _dequant(raw: bytes, ggml_type: int, n: int,
         hi = (b[:, 4:] >> 4).astype(np.float32)
         q = np.concatenate([lo, hi], axis=1)
         return (d * q + m).reshape(-1)
+    if ggml_type in (GGML_Q4_K, GGML_Q5_K, GGML_Q6_K):
+        return _dequant_k(raw, ggml_type, n, offset)
     raise ValueError(
         f"unsupported ggml tensor type {ggml_type} "
-        f"({_TYPE_NAMES.get(ggml_type, 'K-quant/IQ?')}); supported: "
+        f"({_TYPE_NAMES.get(ggml_type, 'IQ/Q2_K/Q3_K?')}); supported: "
         f"{sorted(_TYPE_NAMES.values())}")
+
+
+def _scale_min_k4(sc_b: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """Unpack the 12-byte 6-bit scale/min table of Q4_K/Q5_K super-blocks
+    (ggml-quants.c get_scale_min_k4): 8 (scale, min) pairs per block."""
+    nsb = sc_b.shape[0]
+    sc = np.empty((nsb, 8), np.float32)
+    mn = np.empty((nsb, 8), np.float32)
+    for j in range(4):
+        sc[:, j] = sc_b[:, j] & 63
+        mn[:, j] = sc_b[:, j + 4] & 63
+    for j in range(4, 8):
+        sc[:, j] = (sc_b[:, j + 4] & 0xF) | ((sc_b[:, j - 4] >> 6) << 4)
+        mn[:, j] = (sc_b[:, j + 4] >> 4) | ((sc_b[:, j] >> 6) << 4)
+    return sc, mn
+
+
+def _dequant_k(raw: bytes, ggml_type: int, n: int, offset: int
+               ) -> np.ndarray:
+    """K-quant super-block dequant (ggml-quants.c dequantize_row_q{4,5,6}_K)
+    — the formats real GGUF checkpoints actually ship. Layouts:
+      Q4_K: f16 d | f16 dmin | 12B 6-bit (scale, min) x8 | 128B nibbles;
+            y = d*sc*q - dmin*m over 8 sub-blocks of 32.
+      Q5_K: Q4_K + 32B of per-element 5th bits (bit pair 2j/2j+1 selects
+            the sub-block pair sharing nibble byte rows).
+      Q6_K: 128B low nibbles | 64B high bit-pairs | 16 int8 sub-scales |
+            f16 d; y = d*sc*(q - 32) over 16 sub-blocks of 16."""
+    nsb = n // QK_K
+    if ggml_type == GGML_Q4_K:
+        b = np.frombuffer(raw, np.uint8, count=nsb * 144,
+                          offset=offset).reshape(nsb, 144)
+        d = b[:, 0:2].copy().view("<f2").astype(np.float32)[:, 0]
+        dmin = b[:, 2:4].copy().view("<f2").astype(np.float32)[:, 0]
+        sc, mn = _scale_min_k4(b[:, 4:16])
+        qs = b[:, 16:144]
+        q = np.empty((nsb, 8, 32), np.float32)
+        for p in range(4):  # nibble byte row p feeds sub-blocks 2p, 2p+1
+            row = qs[:, 32 * p:32 * p + 32]
+            q[:, 2 * p] = row & 0xF
+            q[:, 2 * p + 1] = row >> 4
+        y = (d[:, None, None] * sc[:, :, None] * q
+             - dmin[:, None, None] * mn[:, :, None])
+        return y.reshape(-1)
+    if ggml_type == GGML_Q5_K:
+        b = np.frombuffer(raw, np.uint8, count=nsb * 176,
+                          offset=offset).reshape(nsb, 176)
+        d = b[:, 0:2].copy().view("<f2").astype(np.float32)[:, 0]
+        dmin = b[:, 2:4].copy().view("<f2").astype(np.float32)[:, 0]
+        sc, mn = _scale_min_k4(b[:, 4:16])
+        qh = b[:, 16:48]    # [nsb, 32] one bit per sub-block per element
+        qs = b[:, 48:176]
+        q = np.empty((nsb, 8, 32), np.float32)
+        for p in range(4):
+            row = qs[:, 32 * p:32 * p + 32]
+            q[:, 2 * p] = (row & 0xF) + (((qh >> (2 * p)) & 1) << 4)
+            q[:, 2 * p + 1] = (row >> 4) + (((qh >> (2 * p + 1)) & 1) << 4)
+        y = (d[:, None, None] * sc[:, :, None] * q
+             - dmin[:, None, None] * mn[:, :, None])
+        return y.reshape(-1)
+    # Q6_K
+    b = np.frombuffer(raw, np.uint8, count=nsb * 210,
+                      offset=offset).reshape(nsb, 210)
+    ql = b[:, 0:128]
+    qh = b[:, 128:192]
+    scales = b[:, 192:208].copy().view(np.int8).astype(np.float32)
+    d = b[:, 208:210].copy().view("<f2").astype(np.float32)[:, 0]
+    y = np.empty((nsb, 256), np.float32)
+    li = np.arange(32)
+    for h in range(2):  # two independent 128-element halves
+        qlh = ql[:, 64 * h:64 * h + 64]
+        qhh = qh[:, 32 * h:32 * h + 32]
+        is_ = li // 16  # [32] sub-block selector within the half
+        for k, (qv, shift) in enumerate((
+                ((qlh[:, :32] & 0xF), 0), ((qlh[:, 32:] & 0xF), 2),
+                ((qlh[:, :32] >> 4), 4), ((qlh[:, 32:] >> 4), 6))):
+            q = (qv | (((qhh >> shift) & 3) << 4)).astype(np.int32) - 32
+            sc = scales[:, 8 * h + 2 * k + is_]        # [nsb, 32]
+            y[:, 128 * h + 32 * k:128 * h + 32 * k + 32] = (
+                d[:, None] * sc * q)
+    return y.reshape(-1)
 
 
 def read_gguf(path: str) -> Tuple[Dict[str, Any], Dict[str, np.ndarray]]:
