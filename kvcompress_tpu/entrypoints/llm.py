@@ -227,6 +227,19 @@ class LLM:
         if kind == "fuyu":
             patches = jnp.asarray(mm["image_patches"])
             embeds = fuyu_image_embed(vparams, patches)
+        elif kind == "llava_next":
+            # AnyRes: mm = {"image": tiles [n_tiles, 3, sz, sz] (tile 0 =
+            # base resize, as produced by LlavaNextImageProcessor),
+            # "image_size": (orig_h, orig_w)}; the merged run's length is
+            # image-size-dependent, so ONE <image> placeholder expands to
+            # the whole run
+            from kvcompress_tpu.models.vision import llava_next_image_embed
+            px = jnp.asarray(mm["image"])
+            assert px.ndim == 4, \
+                "llava-next expects tiled pixel_values [n_tiles, 3, s, s]"
+            embeds = llava_next_image_embed(
+                vparams, vcfg, px, tuple(mm["image_size"]),
+                vcfg.grid_pinpoints)
         else:
             if self._vision_jit is None:
                 # one jitted encoder for the LLM's lifetime (a fresh jit
@@ -240,7 +253,7 @@ class LLM:
                 self._vision_jit(vparams, vcfg, px[k])
                 for k in range(px.shape[0])])
         img_tok = self.llm_engine.cfg.model.image_token_index
-        n_imgs = 1 if kind == "fuyu" else px.shape[0]
+        n_imgs = 1 if kind in ("fuyu", "llava_next") else px.shape[0]
         n_per = embeds.shape[0] // n_imgs
         new_ids, positions = expand_image_tokens(prompt_ids, img_tok, n_per)
         assert len(positions) == embeds.shape[0], (

@@ -226,6 +226,32 @@ def _llava():
     return cfg_fn, load_fn
 
 
+@_register("LlavaNextForConditionalGeneration")
+def _llava_next():
+    """LLaVA-Next / LLaVA-1.6 (reference
+    vllm/model_executor/models/llava_next.py): same text tower as base
+    llava; the AnyRes tiling + spatial_unpad merge (image_newline rows)
+    happens on the vision side (models/vision.py
+    llava_next_image_embed), producing a variable-length embedding run
+    spliced at the placeholder positions like any other mm model."""
+    def cfg_fn(hf, name):
+        tc = dict(hf["text_config"])
+        arch = (tc.get("architectures") or [
+            {"mistral": "MistralForCausalLM"}.get(
+                tc.get("model_type"), "LlamaForCausalLM")])[0]
+        tc["architectures"] = [arch]
+        cfg = config_from_hf(tc, name)
+        cfg.architecture = "LlavaNextForConditionalGeneration"
+        cfg.image_token_index = hf.get("image_token_index", 32000)
+        return cfg
+
+    def load_fn(t, cfg, dtype):
+        return _load_llama_style(_strip_language_model_prefix(t), cfg,
+                                 dtype)
+
+    return cfg_fn, load_fn
+
+
 @_register("LlamaForCausalLM", "MistralForCausalLM")
 def _llama():
     def cfg_fn(hf, name):
@@ -2099,9 +2125,6 @@ _KNOWN_UNSUPPORTED: Dict[str, str] = {
     "Blip2ForConditionalGeneration": "multimodal",
     "ChameleonForConditionalGeneration": "multimodal",
     "InternVLChatModel": "multimodal",
-    "LlavaNextForConditionalGeneration":
-        "multimodal (base LlavaForConditionalGeneration is supported; "
-        "next's any-resolution patching is not)",
     "MiniCPMV": "multimodal",
     "PaliGemmaForConditionalGeneration": "multimodal",
     "Phi3VForCausalLM": "multimodal",

@@ -34,6 +34,9 @@ class VisionConfig:
     # llava defaults: features from the second-to-last layer, CLS dropped
     feature_layer: int = -2
     select_strategy: str = "default"
+    # llava-next AnyRes grid pinpoints ((h, w) tile layouts); empty for
+    # base llava
+    grid_pinpoints: tuple = ()
 
     @property
     def num_patches(self) -> int:
@@ -54,6 +57,8 @@ def config_from_hf(vc: dict, llava_cfg: Optional[dict] = None
         feature_layer=llava_cfg.get("vision_feature_layer", -2),
         select_strategy=llava_cfg.get("vision_feature_select_strategy",
                                       "default"),
+        grid_pinpoints=tuple(
+            tuple(p) for p in llava_cfg.get("image_grid_pinpoints") or ()),
     )
 
 
@@ -124,6 +129,83 @@ def llava_image_embed(params: Dict[str, Any], cfg: VisionConfig,
     y = feats @ pj["w1"] + pj["b1"]
     y = jax.nn.gelu(y, approximate=False)
     return y @ pj["w2"] + pj["b2"]
+
+
+# --------------------------------------------------------- llava-next
+# AnyRes tiling (reference vllm/model_executor/models/llava_next.py
+# _merge_image_patch_embeddings strategy="spatial_unpad" + the
+# select_best_resolution / get_anyres_image_grid_shape / unpad_image
+# helpers it imports). Runs eagerly per request (shapes depend on the
+# image size); the merged embeddings enter the engine through the same
+# mm_embed splice as base llava.
+
+def select_best_resolution(original_hw, possible_resolutions):
+    """(h, w) of the grid pinpoint that maximizes effective resolution,
+    then minimizes wasted area (transformers image_processing_llava_next
+    select_best_resolution semantics)."""
+    oh, ow = original_hw
+    best, max_eff, min_waste = None, 0, float("inf")
+    for h, w in possible_resolutions:
+        scale = min(w / ow, h / oh)
+        dw, dh = int(ow * scale), int(oh * scale)
+        eff = min(dw * dh, ow * oh)
+        waste = w * h - eff
+        if eff > max_eff or (eff == max_eff and waste < min_waste):
+            best, max_eff, min_waste = (h, w), eff, waste
+    return best
+
+
+def anyres_grid_shape(original_hw, grid_pinpoints, tile_size):
+    bh, bw = select_best_resolution(original_hw, grid_pinpoints)
+    return bh // tile_size, bw // tile_size  # (num_patch_h, num_patch_w)
+
+
+def _unpad_hw(x: np.ndarray, original_hw) -> np.ndarray:
+    """x [C, H, W]: remove the letterbox padding added when the original
+    (oh, ow) image was aspect-preserving-resized into (H, W)."""
+    oh, ow = original_hw
+    C, H, W = x.shape
+    if ow / oh > W / H:
+        new_h = int(round(oh * (W / ow), 7))
+        pad = (H - new_h) // 2
+        return x[:, pad:H - pad]
+    new_w = int(round(ow * (H / oh), 7))
+    pad = (W - new_w) // 2
+    return x[:, :, pad:W - pad]
+
+
+def llava_next_image_embed(params: Dict[str, Any], cfg: VisionConfig,
+                           pixel_values: jax.Array, image_size,
+                           grid_pinpoints) -> jax.Array:
+    """AnyRes image -> merged text-space embeddings [n_tokens, D_text].
+
+    pixel_values [n_tiles, 3, sz, sz]: tile 0 is the base (whole-image)
+    resize, tiles 1.. are the best-resolution grid crops. Each tile runs
+    the shared CLIP tower + projector; the grid features are re-assembled
+    spatially, unpadded back to the original aspect ratio, and an
+    image_newline column is appended per row (strategy "spatial_unpad").
+    """
+    n_tiles = pixel_values.shape[0]
+    feats = [np.asarray(llava_image_embed(params, cfg, pixel_values[i]))
+             for i in range(n_tiles)]
+    side = cfg.image_size // cfg.patch_size
+    base = feats[0]                                  # [side*side, D]
+    newline = np.asarray(params["image_newline"])    # [D]
+    if n_tiles == 1:
+        return jnp.asarray(np.concatenate([base, newline[None]], axis=0))
+    nph, npw = anyres_grid_shape(image_size, grid_pinpoints,
+                                 cfg.image_size)
+    other = np.stack(feats[1:1 + nph * npw])         # [np, side*side, D]
+    D = other.shape[-1]
+    # [nph, npw, side, side, D] -> [D, nph*side, npw*side]
+    g = other.reshape(nph, npw, side, side, D).transpose(4, 0, 2, 1, 3)
+    g = g.reshape(D, nph * side, npw * side)
+    g = _unpad_hw(g, image_size)
+    nl = np.broadcast_to(newline[:, None, None],
+                         (D, g.shape[1], 1)).astype(g.dtype)
+    g = np.concatenate([g, nl], axis=2)              # newline per row
+    g = g.reshape(D, -1).T                           # [rows*(cols+1), D]
+    return jnp.asarray(np.concatenate([base, g], axis=0))
 
 
 # --------------------------------------------------------------- fuyu
@@ -225,4 +307,8 @@ def params_from_hf(t: Dict[str, np.ndarray], cfg: VisionConfig,
                 np.asarray(t[mp + "linear_2.weight"]).T, dtype),
             "b2": g(mp + "linear_2.bias"),
         },
+        # llava-next: the learned row-separator embedding appended per
+        # spatial row in the AnyRes merge (absent in base llava)
+        **({"image_newline": g(pre + "image_newline")}
+           if (pre + "image_newline") in t else {}),
     }

@@ -103,4 +103,6 @@ def load_multimodal(model_dir: str, dtype=jnp.float32):
     if arch == "FuyuForCausalLM":
         return ("fuyu", None, vision.fuyu_params_from_hf(tensors, dtype))
     vcfg = vision.config_from_hf(hf_cfg["vision_config"], hf_cfg)
-    return ("llava", vcfg, vision.params_from_hf(tensors, vcfg, dtype))
+    kind = ("llava_next" if arch == "LlavaNextForConditionalGeneration"
+            else "llava")
+    return (kind, vcfg, vision.params_from_hf(tensors, vcfg, dtype))

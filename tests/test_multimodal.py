@@ -136,11 +136,114 @@ def test_engine_greedy_matches_hf_with_image(llava):
     assert outs2["0"].outputs[0].token_ids != ref
 
 
-def test_llava_next_still_rejected():
-    from kvcompress_tpu.models.registry import config_from_hf
-    with pytest.raises(ValueError, match="unsupported"):
-        config_from_hf({"architectures":
-                        ["LlavaNextForConditionalGeneration"]})
+# ------------------------------------------------------------ llava-next
+def tiny_llava_next():
+    vc = transformers.CLIPVisionConfig(
+        hidden_size=32, intermediate_size=64, num_hidden_layers=3,
+        num_attention_heads=4, image_size=28, patch_size=14)
+    tc = transformers.LlamaConfig(
+        vocab_size=128, hidden_size=48, intermediate_size=96,
+        num_hidden_layers=2, num_attention_heads=4,
+        num_key_value_heads=2, max_position_embeddings=128)
+    cfg = transformers.LlavaNextConfig(
+        vision_config=vc, text_config=tc, image_token_index=IMG_TOK,
+        vision_feature_layer=-2, vision_feature_select_strategy="default",
+        image_grid_pinpoints=[[28, 56], [56, 28], [56, 56]],
+        projector_hidden_act="gelu")
+    cfg.architectures = ["LlavaNextForConditionalGeneration"]
+    m = transformers.LlavaNextForConditionalGeneration(cfg).eval()
+    return m, cfg
+
+
+@pytest.fixture(scope="module")
+def llava_next():
+    torch.manual_seed(10)
+    return tiny_llava_next()
+
+
+def test_anyres_helpers_match_transformers():
+    from transformers.models.llava_next.image_processing_llava_next import (
+        select_best_resolution)
+    from transformers.models.llava_next.modeling_llava_next import (
+        unpad_image)
+    rng = np.random.default_rng(11)
+    pinpoints = [[28, 56], [56, 28], [56, 56], [84, 28]]
+    for _ in range(20):
+        hw = (int(rng.integers(10, 120)), int(rng.integers(10, 120)))
+        assert tuple(select_best_resolution(hw, pinpoints)) == \
+            V.select_best_resolution(hw, pinpoints), hw
+    for _ in range(10):
+        hw = (int(rng.integers(10, 120)), int(rng.integers(10, 120)))
+        x = rng.normal(size=(5, 4, 6)).astype(np.float32)
+        np.testing.assert_array_equal(
+            unpad_image(torch.tensor(x), hw).numpy(), V._unpad_hw(x, hw))
+
+
+def test_llava_next_engine_matches_hf(llava_next):
+    """AnyRes path end to end: tile the image like the HF processor
+    (base resize + best-resolution grid), merge with spatial_unpad +
+    image_newline, splice into the engine - greedy output must equal HF
+    LlavaNextForConditionalGeneration.generate."""
+    from kvcompress_tpu.config import (CacheConfig, EngineConfig,
+                                       KVCompressConfig, ParallelConfig,
+                                       SchedulerConfig)
+    from kvcompress_tpu.engine.llm_engine import LLMEngine
+    from kvcompress_tpu.models.registry import (config_from_hf,
+                                                params_from_hf_state)
+    from kvcompress_tpu.sampling_params import SamplingParams
+
+    m, cfg = llava_next
+    torch.manual_seed(12)
+    image_size = (40, 56)  # (h, w): best pinpoint (56, 56) -> 2x2 grid
+    n_tiles = 5            # base + 4 crops
+    px = torch.randn(1, n_tiles, 3, 28, 28)
+
+    state = {k: v.detach().numpy() for k, v in m.state_dict().items()}
+    vcfg = V.config_from_hf(cfg.vision_config.to_dict(), cfg.to_dict())
+    assert vcfg.grid_pinpoints == ((28, 56), (56, 28), (56, 56))
+    vparams = V.params_from_hf(state, vcfg, dtype=jnp.float32)
+    assert "image_newline" in vparams
+    embeds = V.llava_next_image_embed(
+        vparams, vcfg, jnp.asarray(px[0].numpy()), image_size,
+        vcfg.grid_pinpoints)
+    n_feat = embeds.shape[0]
+    # base 2x2=4, grid 4x4 unpadded to 2 rows x (4+newline) = 10
+    assert n_feat == 14, n_feat
+
+    prompt = [1, 5, 9] + [IMG_TOK] * n_feat + [7, 11, 2, 9]
+    with torch.no_grad():
+        hf_out = m.generate(
+            input_ids=torch.tensor([prompt]), pixel_values=px,
+            image_sizes=torch.tensor([list(image_size)]),
+            max_new_tokens=6, do_sample=False)
+    ref = hf_out[0, len(prompt):].tolist()
+
+    mcfg = config_from_hf(cfg.to_dict())
+    assert mcfg.architecture == "LlavaNextForConditionalGeneration"
+    params = params_from_hf_state(state, mcfg, dtype=jnp.float32)
+    positions = np.asarray([i for i, t in enumerate(prompt)
+                            if t == IMG_TOK], np.int32)
+    ecfg = EngineConfig(
+        model=mcfg,
+        cache=CacheConfig(block_size=4, cache_dtype="float32"),
+        kvcompress=KVCompressConfig(compression_interval=4,
+                                    max_kv_per_compression=65536,
+                                    max_cache_moves_per_compression=4096),
+        scheduler=SchedulerConfig(max_num_seqs=2, max_model_len=64,
+                                  prefill_buckets=(32,)),
+        parallel=ParallelConfig(),
+    )
+    eng = LLMEngine(ecfg, params, num_blocks=256, attn_impl="xla")
+    eng.add_request("0", prompt_token_ids=prompt,
+                    sampling_params=SamplingParams(
+                        temperature=0.0, max_tokens=6, ignore_eos=True),
+                    mm_embeds=embeds, mm_positions=positions)
+    outs = {}
+    while eng.has_unfinished_requests():
+        for o in eng.step():
+            outs[o.request_id] = o
+    got = outs["0"].outputs[0].token_ids
+    assert got == ref, (got, ref)
 
 
 def test_llm_surface_with_image_checkpoint(tmp_path, llava):
@@ -203,6 +306,69 @@ def test_llm_surface_with_image_checkpoint(tmp_path, llava):
                         SamplingParams(temperature=0.0, max_tokens=5,
                                        ignore_eos=True),
                         multi_modal_data=[{"image": px.numpy()}])
+    assert outs[0].outputs[0].token_ids == ref
+
+
+def test_llm_surface_llava_next_checkpoint(tmp_path, llava_next):
+    """Full user path for AnyRes: llava-next checkpoint on disk, LLM()
+    loads both towers, generate(multi_modal_data={"image": tiles,
+    "image_size": (h, w)}) expands the single <image> placeholder into
+    the variable-length merged run and matches HF generate."""
+    import json
+    import os
+    from safetensors.torch import save_file
+    from tokenizers import Tokenizer, models as tmodels, pre_tokenizers
+    from transformers import PreTrainedTokenizerFast
+
+    m, cfg = llava_next
+    d = str(tmp_path / "llava_next_ck")
+    os.makedirs(d)
+    hf_cfg = cfg.to_dict()
+    hf_cfg["architectures"] = ["LlavaNextForConditionalGeneration"]
+    with open(f"{d}/config.json", "w") as f:
+        json.dump(hf_cfg, f)
+    save_file({k: v.clone().contiguous()
+               for k, v in m.state_dict().items()},
+              f"{d}/model.safetensors")
+    vocab = {f"w{i:03d}": i for i in range(128)}
+    for j, w in enumerate(["hello", "what", "is", "this"]):
+        del vocab[f"w{j + 20:03d}"]
+        vocab[w] = j + 20
+    del vocab[f"w{IMG_TOK:03d}"]
+    vocab["<image>"] = IMG_TOK
+    t = Tokenizer(tmodels.WordLevel(vocab, unk_token="w001"))
+    t.pre_tokenizer = pre_tokenizers.WhitespaceSplit()
+    fast = PreTrainedTokenizerFast(tokenizer_object=t, unk_token="w001",
+                                   pad_token="w000")
+    fast.save_pretrained(d)
+
+    from kvcompress_tpu.entrypoints.llm import LLM
+    from kvcompress_tpu.sampling_params import SamplingParams
+    llm = LLM(model=d, dtype="float32", num_blocks=256, max_num_seqs=2,
+              max_model_len=96, enable_kvcompress=True)
+    assert llm._vision is not None and llm._vision[0] == "llava_next"
+
+    torch.manual_seed(13)
+    image_size = (40, 56)  # best pinpoint (56, 56) -> 2x2 grid, 5 tiles
+    px = torch.randn(5, 3, 28, 28)
+    prompt = "hello <image> what is this"
+    ids = fast.encode(prompt)
+    # merged run: base 4 + unpadded grid 2x(4+newline) = 14 features
+    expanded = []
+    for tok_ in ids:
+        expanded.extend([IMG_TOK] * 14 if tok_ == IMG_TOK else [tok_])
+    with torch.no_grad():
+        hf_out = m.generate(
+            input_ids=torch.tensor([expanded]), pixel_values=px[None],
+            image_sizes=torch.tensor([list(image_size)]),
+            max_new_tokens=5, do_sample=False)
+    ref = hf_out[0, len(expanded):].tolist()
+
+    outs = llm.generate([prompt],
+                        SamplingParams(temperature=0.0, max_tokens=5,
+                                       ignore_eos=True),
+                        multi_modal_data=[{"image": px.numpy(),
+                                           "image_size": image_size}])
     assert outs[0].outputs[0].token_ids == ref
 
 
