@@ -54,6 +54,10 @@ class ModelConfig:
     # EAGLE draft head: layer-0 input is fc([token_embed; target_hidden])
     # (set on the DRAFT ModelConfig by models/eagle.py)
     eagle: bool = False
+    # zero the fc output at position 0, matching how EAGLE checkpoints
+    # are trained (reference eagle.py:91); synthetic self-draft test
+    # constructors turn this off because their target doesn't mask
+    eagle_mask_pos0: bool = True
     # Activation / misc knobs used by non-llama families.
     hidden_act: str = "silu"
     attention_bias: bool = False

@@ -69,6 +69,18 @@ class AsyncEngine:
         self._pending.put(("add", rid, prompt, prompt_token_ids,
                            sampling_params, stream))
         self._wake.set()
+        # re-check AFTER registering: if the loop died between the entry
+        # check and the registration above, the death broadcast may have
+        # snapshotted _streams before ours was inserted, and the stream
+        # would never be finished (generate() would block forever). The
+        # loop sets self.errored BEFORE snapshotting, so exactly one of
+        # {broadcast, this check} always covers the stream.
+        if self.errored is not None and stream.error is None:
+            self._streams.pop(rid, None)
+            stream.error = EngineDeadError(
+                f"engine loop crashed: {self.errored!r}")
+            stream.done.set()
+            stream.queue.put(None)
         return stream
 
     def generate(self, prompt, prompt_token_ids,

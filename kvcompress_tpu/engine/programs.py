@@ -728,7 +728,9 @@ class EnginePrograms:
             override = None
             if eagle:
                 from kvcompress_tpu.models.eagle import fc_embed
-                override = lambda x: fc_embed(dparams, x, hid_in)  # noqa
+                mask_pos = positions if dcfg.eagle_mask_pos0 else None
+                override = lambda x: fc_embed(dparams, x, hid_in,  # noqa
+                                              mask_pos)
             hidden, _, kv = llama.forward_collect(
                 dparams, dcfg, tokens, positions, None, attn,
                 (ring["k"], ring["v"]), embed_override=override)
@@ -843,9 +845,12 @@ class EnginePrograms:
                 # zeros (quality-only; see models/eagle.py docstring)
                 from kvcompress_tpu.models.eagle import fc_embed
 
+                mask_pos = positions if dcfg.eagle_mask_pos0 else None
+
                 def override(x):
                     return fc_embed(dparams, x,
-                                    jnp.zeros_like(x, jnp.float32))
+                                    jnp.zeros_like(x, jnp.float32),
+                                    mask_pos)
             _, _, kv = llama.forward_collect(dparams, dcfg, tokens,
                                              positions, None, attn_fn, xs,
                                              embed_override=override)

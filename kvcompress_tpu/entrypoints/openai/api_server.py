@@ -100,11 +100,22 @@ class OpenAIServer:
             text, ids = prompt, None
         sp = proto.sampling_params_from_request(body)
         if stream:
+            rs = self.async_engine.submit(text, ids, sp)
+
             def gen():
-                for out in self.async_engine.submit(text, ids, sp):
+                for out in rs:
                     full = [(out.prompt or "") + o.text
                             for o in out.outputs]
                     yield (json.dumps({"text": full}) + "\0").encode()
+                # the iterator ends on error too (bad request failing in
+                # the loop thread, or a dead engine); without this the
+                # client would see HTTP 200 with an empty/truncated body
+                # and no indication anything went wrong
+                err = rs.error or (self.async_engine.errored
+                                   if rs.finished is None else None)
+                if err is not None:
+                    yield (json.dumps({"error": str(err)})
+                           + "\0").encode()
             return 200, ("raw", gen())
         out = self.async_engine.generate(text, ids, sp)
         return 200, {"text": [(out.prompt or "") + o.text
@@ -122,6 +133,14 @@ class OpenAIServer:
                 yield proto.completion_chunk(
                     rid, self.model_name, delta,
                     o.finish_reason if out.finished else None)
+        # same failure surface as the legacy path: a stream that ends
+        # without finishing (bad request / dead engine) must not look
+        # like a clean completion
+        err = stream.error or (self.async_engine.errored
+                               if stream.finished is None else None)
+        if err is not None:
+            yield {"error": {"message": str(err),
+                             "type": "internal_error"}}
 
     def _embeddings(self, body: Dict[str, Any]) -> tuple:
         import numpy as np
@@ -169,6 +188,11 @@ class OpenAIServer:
                     role="assistant" if first else None,
                     finish_reason=o.finish_reason if out.finished else None)
                 first = False
+        err = stream.error or (self.async_engine.errored
+                               if stream.finished is None else None)
+        if err is not None:
+            yield {"error": {"message": str(err),
+                             "type": "internal_error"}}
 
     # --------------------------------------------------------------- serve
     def serve(self, host: str = "0.0.0.0", port: int = 8000,

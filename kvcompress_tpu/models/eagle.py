@@ -93,7 +93,10 @@ def init_eagle_params(target_cfg: ModelConfig, target_params,
     - "mix": fc = [I/2 ; I/2] (hidden stream genuinely used)."""
     import dataclasses
     D = target_cfg.hidden_size
+    # no position-0 masking: this draft is constructed to equal the
+    # TARGET, which does not zero its position-0 input
     dcfg = dataclasses.replace(target_cfg, eagle=True,
+                               eagle_mask_pos0=False,
                                architecture="EAGLEModel")
     params = dict(target_params)
     eye = np.eye(D, dtype=np.float32)
@@ -108,10 +111,18 @@ def init_eagle_params(target_cfg: ModelConfig, target_params,
     return dcfg, params
 
 
-def fc_embed(dparams, x, hidden):
-    """The EAGLE layer-0 input transform: fc([embed ; target hidden])."""
+def fc_embed(dparams, x, hidden, positions=None):
+    """The EAGLE layer-0 input transform: fc([embed ; target hidden]).
+
+    When positions is given, the output is zeroed where positions == 0,
+    matching the reference draft's training-time behavior (reference
+    vllm/model_executor/models/eagle.py:91 `inputs_embeds[positions == 0]
+    = 0`) — there is no "previous target hidden" for the first token, and
+    checkpoints are trained with that input masked."""
     cat = jnp.concatenate([x, hidden.astype(x.dtype)], axis=-1)
     y = cat @ dparams["fc_w"].astype(x.dtype)
     if "fc_b" in dparams:
         y = y + dparams["fc_b"].astype(x.dtype)
+    if positions is not None:
+        y = jnp.where((positions == 0)[..., None], jnp.zeros_like(y), y)
     return y

@@ -50,8 +50,12 @@ def _quantize_group(w, g: int) -> Tuple:
     *lead, K, N = wf.shape
     assert K % g == 0, f"in-dim {K} not divisible by group {g}"
     grp = wf.reshape(*lead, K // g, g, N)
-    lo = jnp.min(grp, axis=-2)
-    hi = jnp.max(grp, axis=-2)
+    # widen the range to include 0 so the zero-point always lands in
+    # [0, 15]: clamping z for an all-positive (lo > 0) or all-negative
+    # (hi < 0) group would saturate one end of the int4 range and add
+    # avoidable error (GPTQ/AWQ packers quantize with 0 representable)
+    lo = jnp.minimum(jnp.min(grp, axis=-2), 0.0)
+    hi = jnp.maximum(jnp.max(grp, axis=-2), 0.0)
     scale = jnp.maximum(hi - lo, 1e-8) / 15.0
     zero = jnp.clip(jnp.round(-lo / scale), 0, 15)
     q = jnp.clip(jnp.round(grp / scale[..., None, :]) + zero[..., None, :],

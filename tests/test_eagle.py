@@ -133,3 +133,27 @@ def test_eagle_checkpoint_roundtrip(tmp_path, params):
     base, _, _ = _run(params, None, 0, prompt, max_tokens=8)
     got, _, _ = _run(params, (dcfg, dparams), 2, prompt, max_tokens=8)
     assert got == base
+
+
+def test_fc_embed_masks_position_zero():
+    """Loaded EAGLE checkpoints zero the fc output where position == 0
+    (reference eagle.py:91); the synthetic self-draft constructor opts
+    out via eagle_mask_pos0=False."""
+    from kvcompress_tpu.models.eagle import fc_embed, init_eagle_params
+    rng = np.random.default_rng(7)
+    D = 8
+    dparams = {"fc_w": jnp.asarray(rng.normal(size=(2 * D, D)),
+                                   jnp.float32)}
+    x = jnp.asarray(rng.normal(size=(3, D)), jnp.float32)
+    h = jnp.asarray(rng.normal(size=(3, D)), jnp.float32)
+    pos = jnp.asarray([0, 1, 2], jnp.int32)
+    y = np.asarray(fc_embed(dparams, x, h, pos))
+    np.testing.assert_array_equal(y[0], np.zeros(D, np.float32))
+    y_unmasked = np.asarray(fc_embed(dparams, x, h))
+    np.testing.assert_array_equal(y[1:], y_unmasked[1:])
+    assert np.abs(y_unmasked[0]).sum() > 0
+
+    mc = tiny_cfg().model
+    params = init_llama_params(mc, seed=0, dtype=jnp.float32)
+    dcfg, _ = init_eagle_params(mc, params, fc_mode="embed")
+    assert not dcfg.eagle_mask_pos0

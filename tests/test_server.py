@@ -229,3 +229,32 @@ def test_legacy_generate_endpoint(server):
     # snapshots are monotone growing full texts
     lens = [len(s["text"][0]) for s in snaps]
     assert lens == sorted(lens)
+
+
+def test_streaming_bad_request_emits_error_chunk(server):
+    """A request that fails add_request in the loop thread (over-length
+    prompt) must not yield HTTP 200 with a silently empty stream: the
+    legacy /generate stream ends with an {"error": ...} chunk, and the
+    SSE path emits an error event before [DONE]."""
+    url, _ = server
+    long_prompt = list(range(1, 101))  # > max_model_len=64
+    req = urllib.request.Request(
+        url + "/generate",
+        data=json.dumps({"prompt": long_prompt, "stream": True,
+                         "max_tokens": 4}).encode(),
+        headers={"Content-Type": "application/json"})
+    with urllib.request.urlopen(req, timeout=30) as r:
+        chunks = [json.loads(c) for c in r.read().split(b"\0") if c]
+    assert chunks and "error" in chunks[-1], chunks
+
+    req = urllib.request.Request(
+        url + "/v1/completions",
+        data=json.dumps({"prompt": long_prompt, "stream": True,
+                         "max_tokens": 4}).encode(),
+        headers={"Content-Type": "application/json"})
+    with urllib.request.urlopen(req, timeout=30) as r:
+        raw = r.read().decode()
+    datas = [l[len("data: "):] for l in raw.splitlines()
+             if l.startswith("data: ")]
+    assert datas[-1] == "[DONE]"
+    assert any("error" in json.loads(c) for c in datas[:-1]), datas
