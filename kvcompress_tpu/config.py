@@ -116,6 +116,10 @@ class ModelConfig:
     moe_routed_scaling: float = 1.0     # deepseek routed_scaling_factor
     moe_n_group: int = 1                # deepseek group-limited routing
     moe_topk_group: int = 1
+    # "grouped" = sort-based ragged_dot dispatch (T*k*d*i FLOPs, exact);
+    # "dense" = all-experts einsum (T*E*d*i FLOPs) — the fallback for
+    # cases where ragged_dot cannot be used (e.g. sharded expert dims)
+    moe_dispatch: str = "grouped"
     # Arctic dense+MoE hybrid layers (snowflake): the routed-MoE branch
     # reads the PRE-attention residual through post_attention_layernorm
     # while a parallel dense MLP (residual_mlp / per-layer dense FFN) reads

@@ -259,6 +259,48 @@ def _sparsemixer_route(scores: jax.Array, eps: float = 0.01) -> jax.Array:
             .at[rows, e1].set(w1).at[rows, e2].set(w2))
 
 
+def _moe_grouped_experts(x: jax.Array, lw: Dict[str, jax.Array],
+                         cfg: ModelConfig, weights: jax.Array
+                         ) -> jax.Array:
+    """Exact capacity-free grouped-GEMM expert dispatch (the role of
+    reference vllm/model_executor/layers/fused_moe/fused_moe.py's
+    token-sorted fused kernels, TPU-shaped): recover the top-k
+    (expert, weight) pairs from the dense routing matrix, sort the T*k
+    token rows by expert, run the three expert matmuls as
+    lax.ragged_dot over [E]-grouped rows (Mosaic lowers this to
+    MXU-tiled grouped GEMM), and scatter-add the weighted outputs back.
+    FLOPs are T*k*d*i instead of the dense path's T*E*d*i — an E/k
+    saving (4x for mixtral E=8 k=2) with no token dropping: rows whose
+    routing weight is 0 contribute exactly 0, so logits are unchanged.
+    Static shapes throughout ([T*k] rows), jit/scan-safe."""
+    T = x.shape[0]
+    E, k = cfg.num_experts, cfg.num_experts_per_tok
+    topv, topi = jax.lax.top_k(weights, k)          # [T, k] (k nonzeros)
+    flat_e = topi.reshape(-1)                        # [T*k]
+    flat_t = jnp.repeat(jnp.arange(T, dtype=jnp.int32), k)
+    order = jnp.argsort(flat_e)                      # stable
+    se = flat_e[order]                               # expert per row
+    st = flat_t[order]                               # source token per row
+    sw = topv.reshape(-1)[order]                     # routing weight
+    gs = jnp.bincount(se, length=E)                  # rows per expert
+    xs = x[st]                                       # [T*k, d]
+
+    def rmm(inp, name):
+        q = lw.get(f"{name}_q8")
+        if q is None:
+            return jax.lax.ragged_dot(inp, lw[name].astype(inp.dtype), gs)
+        y = jax.lax.ragged_dot(inp, q.astype(inp.dtype), gs)
+        # int8 scales are per-(expert, out-channel): gather per row
+        return y * lw[f"{name}_scale"][..., 0, :].astype(inp.dtype)[se]
+
+    gate = rmm(xs, "experts_gate")
+    up = rmm(xs, "experts_up")
+    h = _act(gate, cfg.hidden_act).astype(xs.dtype) * up
+    y = rmm(h, "experts_down")                       # [T*k, d]
+    return (jnp.zeros((T, x.shape[1]), jnp.float32)
+            .at[st].add(y.astype(jnp.float32) * sw[:, None]))
+
+
 def _moe_mlp(x: jax.Array, lw: Dict[str, jax.Array],
              cfg: ModelConfig) -> jax.Array:
     """Mixture-of-experts MLP (mixtral / qwen2-moe semantics: full softmax
@@ -301,20 +343,23 @@ def _moe_mlp(x: jax.Array, lw: Dict[str, jax.Array],
         weights = jnp.zeros((T, E), jnp.float32).at[
             jnp.arange(T)[:, None], topi].set(topv)               # [T, E]
 
-    def emm(inp, name, pat):
-        q = lw.get(f"{name}_q8")
-        if q is None:
-            return jnp.einsum(pat, inp, lw[name])
-        y = jnp.einsum(pat, inp, q.astype(inp.dtype))
-        return y * lw[f"{name}_scale"][..., 0, :].astype(inp.dtype)
+    if cfg.moe_dispatch == "grouped":
+        out = _moe_grouped_experts(x, lw, cfg, weights)
+    else:
+        def emm(inp, name, pat):
+            q = lw.get(f"{name}_q8")
+            if q is None:
+                return jnp.einsum(pat, inp, lw[name])
+            y = jnp.einsum(pat, inp, q.astype(inp.dtype))
+            return y * lw[f"{name}_scale"][..., 0, :].astype(inp.dtype)
 
-    gate = emm(x, "experts_gate", "td,edi->tei")
-    up = emm(x, "experts_up", "td,edi->tei")
-    h = _act(gate, cfg.hidden_act).astype(x.dtype) * up
-    y = emm(h, "experts_down", "tei,eid->ted")
-    out = jnp.einsum("ted,te->td", y.astype(jnp.float32), weights)
+        gate = emm(x, "experts_gate", "td,edi->tei")
+        up = emm(x, "experts_up", "td,edi->tei")
+        h = _act(gate, cfg.hidden_act).astype(x.dtype) * up
+        y = emm(h, "experts_down", "tei,eid->ted")
+        out = jnp.einsum("ted,te->td", y.astype(jnp.float32), weights)
     if cfg.moe_routed_scaling != 1.0:
-        out = out * cfg.moe_routed_scaling
+        out = out * jnp.asarray(cfg.moe_routed_scaling, out.dtype)
     out = out.astype(x.dtype)
 
     if cfg.moe_shared_expert_size:
