@@ -289,6 +289,13 @@ class ParallelConfig:
     # serving-level GPipe over the "pipe" mesh axis (parallel/pipeline.py);
     # layer-stacked weights and the per-layer cache shard by stage
     pipeline_parallel_size: int = 1
+    # expert parallelism: MoE expert weights shard on the EXPERT axis over
+    # the model mesh axis instead of the intermediate axis (beyond the
+    # reference, whose fused_moe only TP-shards the intermediate dim).
+    # Dense dispatch partitions via GSPMD; grouped dispatch runs a
+    # shard_map over local experts with a psum combine
+    # (models/decoder.py _moe_grouped_experts_ep)
+    enable_expert_parallel: bool = False
 
     @property
     def world_size(self) -> int:

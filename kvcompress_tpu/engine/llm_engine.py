@@ -11,6 +11,7 @@ a single XLA dispatch.
 
 from __future__ import annotations
 
+import logging
 import os
 import time
 from typing import Dict, List, Optional, Sequence as Seq, Set
@@ -41,6 +42,8 @@ from kvcompress_tpu.sequence import (CompletionOutput, RequestOutput,
 from kvcompress_tpu.utils.metrics import EngineStats
 from kvcompress_tpu.utils.profiler import BENCHMARKER
 from kvcompress_tpu.utils.tracing import TRACER
+
+logger = logging.getLogger(__name__)
 
 
 class LLMEngine:
@@ -141,11 +144,28 @@ class LLMEngine:
                 raise ValueError(
                     f"num_kv_heads={cfg.model.num_kv_heads} not divisible "
                     f"by tensor_parallel_size={tp}")
-            params = shard_params(params, mesh)
+            ep = cfg.parallel.enable_expert_parallel
+            if ep:
+                if not cfg.model.num_experts:
+                    raise ValueError(
+                        "enable_expert_parallel on a non-MoE model")
+                if cfg.model.num_experts % tp:
+                    raise ValueError(
+                        f"num_experts={cfg.model.num_experts} not "
+                        f"divisible by tensor_parallel_size={tp}")
+            from kvcompress_tpu.models import decoder as _dec
+            _dec.set_ep_mesh(mesh if ep else None)
+            params = shard_params(params, mesh, ep=ep)
+        else:
+            from kvcompress_tpu.models import decoder as _dec
+            _dec.set_ep_mesh(None)
 
         if num_blocks is None:
+            t_prof = time.monotonic()
             num_blocks = cfg.cache.num_blocks or self._profile_num_blocks(
                 params)
+            logger.info("profiled cache sizing: %d blocks in %.1fs",
+                        num_blocks, time.monotonic() - t_prof)
         self.num_blocks = num_blocks
 
         mc, sc, cc = cfg.model, cfg.scheduler, cfg.cache
@@ -328,8 +348,11 @@ class LLMEngine:
         progs = EnginePrograms(cfg, params, attn_impl=self.attn_impl,
                                mesh=self.mesh)
 
-        def temp_of(lowered) -> int:
+        def temp_of(lowered, tag="") -> int:
+            t0 = time.monotonic()
             ma = lowered.compile().memory_analysis()
+            logger.info("profile compile %s: %.1fs", tag,
+                        time.monotonic() - t0)
             if ma is None:
                 raise RuntimeError("no memory analysis")
             return int(ma.temp_size_in_bytes)
@@ -349,7 +372,7 @@ class LLMEngine:
             jnp.asarray(0, jnp.int32), z, jnp.zeros((1,), bool),
             jnp.zeros((1, 1), jnp.float32), jnp.asarray(0, jnp.int32),
             jnp.zeros((1, 1), jnp.float32),
-            jnp.full((1,), T, jnp.int32))))
+            jnp.full((1,), T, jnp.int32)), tag=f"prefill T={T}"))
         # decode burst at FULL table width (the transient regime before a
         # long prompt's first compression runs at wide buckets)
         k = self.multi_step
@@ -365,7 +388,7 @@ class LLMEngine:
             jnp.asarray([-1], jnp.int32), jnp.zeros((S,), bool),
             jnp.zeros((S,), jnp.int32), jnp.zeros((S,), jnp.int32),
             None, None, jnp.zeros((S,), jnp.int32), z,
-            jnp.zeros((1, 1), bool))))
+            jnp.zeros((1, 1), bool)), tag=f"decode nb={nb_full}"))
         if kc.enabled:
             # compression at the workspace cap: the scheduler bounds the
             # gathered workspace to max_kv_per_compression, and power-of-2
@@ -377,7 +400,7 @@ class LLMEngine:
                       1 << (nbb - 1).bit_length())
             zi = jnp.zeros((Bb,), jnp.int32)
             peaks.append(temp_of(progs._build_compress(Bb, nbb).lower(
-                nominal, zi, zi, zi, zi)))
+                nominal, zi, zi, zi, zi), tag=f"compress B={Bb} nb={nbb}"))
         return max(peaks)
 
     # ------------------------------------------------------------- requests
@@ -640,12 +663,111 @@ class LLMEngine:
         seq.first_token_time = time.monotonic()
         return self._process_finished([seq])
 
+    def _plan_prefill_chunks(self, P: int):
+        """Chunk plan for prompts longer than the largest prefill bucket:
+        [(offset, length)] with every offset block- and 128-aligned (the
+        pallas continuation kernel tiles Tk by >= 128), or None to run the
+        single-program path (prompt fits, or a gated feature combination
+        falls back to the pre-chunking behavior of compiling a bigger
+        bucket). The final chunk is kept >= the prefill metric window so
+        its metric pass covers the window without revisiting earlier
+        chunks (models/decoder.py prefill_cont contract)."""
+        sc, mc = self.cfg.scheduler, self.cfg.model
+        B = max(sc.prefill_buckets)
+        if P <= B or B % 128:
+            return None
+        from kvcompress_tpu.models.decoder import window_array
+        if (mc.alibi or window_array(mc) is not None or mc.kv_lora_rank
+                or self.mesh is not None or self.programs.pp > 1):
+            return None  # continuation not wired for these; old path works
+        window = self.cfg.kvcompress.prefill_metric_collection_window_size
+        offs = list(range(0, P, B))
+        lens = [min(B, P - o) for o in offs]
+        if lens[-1] < window:
+            shift = -(-max(window - lens[-1], 1) // 128) * 128
+            if lens[-2] > shift:
+                offs[-1] -= shift
+                lens[-1] += shift
+                lens[-2] -= shift
+            else:  # tiny buckets: merge the last two chunks instead
+                lens[-2] += lens[-1]
+                offs.pop()
+                lens.pop()
+        return list(zip(offs, lens))
+
+    def _do_prefill_chunked(self, seq: Sequence, chunks) -> None:
+        """Dispatch one prompt as sequential chunk programs over the same
+        cache slot: the donated CacheState serializes them on device, and
+        only the FINAL chunk's packed result is ever fetched, so the extra
+        chunks cost no host round-trips. Beyond-parity: the reference
+        declares chunked prefill unsupported with KVC
+        (/root/reference/vllm/config.py enable_chunked_prefill checks)."""
+        sp = seq.sampling_params
+        st = SamplingTensors.from_params(
+            [sp], pad_to=1, vocab_size=self.cfg.model.vocab_size)
+        lp_n = sp.logprobs or 0
+        bs = self.cfg.cache.block_size
+        tokens = np.asarray(seq.prompt_token_ids, np.int32)
+        base_kw = {}
+        if self.lora_bank is not None:
+            base_kw = dict(lora_idx=seq.lora_int_id,
+                           lora_scale=self.lora_bank.scale)
+        mm_e = getattr(seq, "mm_embeds", None)
+        mm_p = seq.mm_positions if mm_e is not None else None
+        packed = lp = None
+        for i, (off, ln) in enumerate(chunks):
+            final = i == len(chunks) - 1
+            self._rng, key = jax.random.split(self._rng)
+            kw = dict(base_kw)
+            if mm_e is not None:
+                msk = (mm_p >= off) & (mm_p < off + ln)
+                if msk.any():
+                    kw["mm_embed"] = mm_e[np.asarray(msk)]
+                    kw["mm_pos"] = mm_p[msk] - off
+            if i == 0:
+                if getattr(seq, "prompt_adapter_slot", 0):
+                    bank = self.prompt_adapter_bank
+                    kw["pa_embed"] = bank.embeddings[
+                        seq.prompt_adapter_slot]
+                    kw["pa_len"] = seq.prompt_adapter_virtual
+                self.state, packed, lp = self.programs.prefill(
+                    self.state, tokens[:ln], ln, seq.slot,
+                    sp.metric_collection_buffer_size, st, key,
+                    use_seeds=sp.seed is not None, logprobs_n=0, **kw)
+            else:
+                if final and seq.guided is not None:
+                    kw["allowed_mask"] = jnp.asarray(seq.guided.mask())
+                self.state, packed, lp = self.programs.prefill_cont(
+                    self.state, tokens[off:off + ln], ln, off // bs,
+                    seq.slot, sp.metric_collection_buffer_size, st, key,
+                    is_final=final, use_seeds=sp.seed is not None,
+                    logprobs_n=lp_n if final else 0, **kw)
+        self._carry = None  # batch composition changed
+        self._pending_prefill.append({
+            "seq": seq, "packed": packed, "lp": lp, "lp_n": lp_n,
+            "id": self._note_dispatch(),
+            "blocks": self.scheduler.blocks_needed_for_prefill(seq),
+        })
+
     def _do_prefill(self, seq: Sequence) -> List[RequestOutput]:
         assert self._pending is None, \
             "prefill dispatched with a decode burst in flight"
         outputs = []
         while len(self._pending_prefill) >= 2:
             outputs += self._collect_one_prefill()
+        chunks = self._plan_prefill_chunks(seq.num_prompt_tokens)
+        if chunks is not None:
+            self._do_prefill_chunked(seq, chunks)
+            self.stats.counter("prompt_tokens", seq.num_prompt_tokens)
+            self.stats.counter("generation_tokens")
+            if (self.cfg.kvcompress.enabled
+                    and (seq.sampling_params.max_cache_tokens >= 0
+                         or seq.sampling_params.target_compression_rate
+                         < 1.0)):
+                self._force_compress = True
+            if not self.pipeline_decode:
+                outputs += self._collect_prefill()
+            return outputs
         sp = seq.sampling_params
         st = SamplingTensors.from_params([sp], pad_to=1,
                                          vocab_size=self.cfg.model.vocab_size)

@@ -257,6 +257,156 @@ class EnginePrograms:
             pa_embed, jnp.asarray(pa_len, jnp.int32),
             jnp.asarray(mm_embed), jnp.asarray(mm_pos, jnp.int32))
 
+    # ------------------------------------------- chunked-prefill continuation
+    def _build_prefill_cont(self, T: int, nb_off: int, is_final: bool,
+                            use_seeds: bool = False, logprobs_n: int = 0,
+                            use_lora: bool = False, use_guided: bool = False,
+                            mm_n: int = 0):
+        """Continuation chunk of a prompt longer than the largest prefill
+        bucket: tokens [nb_off*bs, nb_off*bs + chunk_len) attend the cached
+        prefix (gathered per layer) plus themselves, write their KVs to
+        freshly popped blocks at table positions [nb_off, nb_off + T/bs),
+        and - on the final chunk - scatter the globally-windowed metric
+        rows back over the prefix blocks and sample the first token.
+        Intermediate chunks skip the metric pass and the sampler."""
+        import dataclasses
+
+        cfg, mcfg, ccfg = self.cfg, self.cfg.model, self.cfg.cache
+        bs = ccfg.block_size
+        nbb = cdiv(T, bs)
+        P = nb_off * bs
+        spec = dataclasses.replace(
+            self.prefill_spec,
+            record_metrics=self.prefill_spec.record_metrics and is_final)
+
+        def cont_fn(state: CacheState, params, tokens, chunk_len, slot,
+                    buffer_len, st: SamplingTensors, rng, lora_idx,
+                    lora_scale, allowed_mask, mm_embed, mm_pos):
+            L, S, H, B = state.block_tables.shape
+            pre_ids = state.block_tables[:, slot, :, :nb_off]  # [L, H, nb]
+            nb_seq = (chunk_len + bs - 1) // bs
+            need = jnp.broadcast_to(
+                jnp.arange(nbb, dtype=jnp.int32)[None, None, :] < nb_seq,
+                (L, H, nbb))
+            ids, free_top = stack_pop(state.free_stack, state.free_top,
+                                      need, head_axis=1, layer_axis=0,
+                                      layer_groups=self.pp)
+            block_tables = state.block_tables.at[
+                :, slot, :, nb_off:nb_off + nbb].set(ids)
+            context_lens = state.context_lens.at[:, slot, :].set(
+                (P + chunk_len).astype(jnp.int32))
+
+            lora = (lora_idx, lora_scale) if use_lora else None
+            last_hidden, ks, vs, pfs = llama.prefill_cont(
+                params, mcfg, tokens, chunk_len, pre_ids,
+                _cache_of(state), buffer_len, spec, lora=lora,
+                inject_embed=mm_embed if mm_n else None,
+                inject_pos=mm_pos if mm_n else None)
+            # fresh-row epilogue (same block-row scatters as _build_prefill)
+            assert T == nbb * bs, (T, nbb, bs)
+            d = mcfg.head_size
+            t_idx = jnp.arange(T, dtype=jnp.int32)
+            k_rows = jnp.transpose(ks, (0, 2, 1, 3)).reshape(
+                L, H, nbb, bs, d)
+            v_rows = jnp.transpose(vs, (0, 2, 1, 3)).reshape(
+                L, H, nbb, bs, d)
+            if spec.record_metrics:   # pfs: [L, P + T, H]
+                pf_rows = jnp.transpose(pfs[:, P:, :], (0, 2, 1)).reshape(
+                    L, H, nbb, bs)
+            else:
+                pf_rows = jnp.zeros((L, H, nbb, bs), jnp.float32)
+            cache = _cache_of(state)
+            k_scale, v_scale = cache.k_scale, cache.v_scale
+            if k_scale is not None:
+                from kvcompress_tpu.ops.kv_quant import quantize_kv
+                k_rows, k_sc = quantize_kv(k_rows)
+                v_rows, v_sc = quantize_kv(v_rows)
+                k_scale = k_scale.at[ids].set(k_sc)
+                v_scale = v_scale.at[ids].set(v_sc)
+            pos_row = jnp.where(t_idx < chunk_len, P + t_idx, -1).reshape(
+                nbb, bs)[None, None]
+            metrics = cache.metrics.at[ids].set(pf_rows)
+            if spec.record_metrics:
+                # final chunk: its metric pass covered the WHOLE prompt -
+                # overwrite the prefix blocks' rows (earlier chunks wrote
+                # window-relative values that are now superseded)
+                pre_rows = jnp.transpose(pfs[:, :P, :], (0, 2, 1)).reshape(
+                    L, H, nb_off, bs)
+                metrics = metrics.at[pre_ids].set(pre_rows)
+            cache = KVCache(
+                cache.k.at[ids].set(k_rows.astype(cache.k.dtype)),
+                cache.v.at[ids].set(v_rows.astype(cache.v.dtype)),
+                metrics,
+                cache.positions.at[ids].set(
+                    jnp.broadcast_to(pos_row, (L, H, nbb, bs))),
+                k_scale, v_scale)
+            if is_final:
+                logits = llama.compute_logits(params, mcfg,
+                                              last_hidden)[None]
+                logits = sampler_mod.apply_logit_bias(logits, st)
+                if use_guided:
+                    logits = jnp.where(allowed_mask[None], logits, -1e30)
+                token = sampler_mod.sample(
+                    logits, st, rng, positions=(P + chunk_len - 1)[None],
+                    use_seeds=use_seeds, pre_processed=True)[0]
+                lp = None
+                if logprobs_n > 0:
+                    lp = sampler_mod.compute_logprobs(
+                        logits, token[None], logprobs_n)
+            else:
+                token = jnp.asarray(0, jnp.int32)
+                lp = None
+            new_state = _with_cache(
+                state, cache, block_tables=block_tables,
+                context_lens=context_lens, free_stack=state.free_stack,
+                free_top=free_top)
+            return new_state, jnp.stack(
+                [token, effective_free_blocks(free_top)]), lp
+
+        return jax.jit(cont_fn, donate_argnums=(0,))
+
+    def prefill_cont(self, state, tokens_np, chunk_len: int, nb_off: int,
+                     slot: int, buffer_len: int, st: SamplingTensors, rng,
+                     is_final: bool, use_seeds: bool = False,
+                     logprobs_n: int = 0, lora_idx: int = 0,
+                     lora_scale=None, allowed_mask=None,
+                     mm_embed=None, mm_pos=None):
+        """Dispatch one continuation chunk (offset == nb_off * block_size).
+        T buckets like prefill; the program is cached by ALL static flags
+        (dict cache convention - see CLAUDE.md)."""
+        seq_len = len(tokens_np)
+        buckets = [b for b in self.cfg.scheduler.prefill_buckets
+                   if b >= seq_len]
+        T = buckets[0] if buckets else self.cfg.scheduler.max_model_len
+        bs_ = self.cfg.cache.block_size
+        cap = self.cfg.max_blocks_per_head * bs_ - nb_off * bs_
+        T = min(max(T, (seq_len + bs_ - 1) // bs_ * bs_), cap)
+        use_lora = lora_scale is not None
+        use_guided = allowed_mask is not None
+        mm_n = 0 if mm_embed is None else mm_embed.shape[0]
+        key = ("cont", T, nb_off, is_final, use_seeds, logprobs_n,
+               use_lora, use_guided, mm_n)
+        if key not in self._prefill_fns:
+            self._prefill_fns[key] = self._build_prefill_cont(
+                T, nb_off, is_final, use_seeds=use_seeds,
+                logprobs_n=logprobs_n, use_lora=use_lora,
+                use_guided=use_guided, mm_n=mm_n)
+        tokens = np.zeros((T,), np.int32)
+        tokens[:seq_len] = tokens_np
+        if lora_scale is None:
+            lora_scale = jnp.zeros((1,), jnp.float32)
+        if allowed_mask is None:
+            allowed_mask = jnp.zeros((1,), bool)
+        if mm_embed is None:
+            mm_embed = jnp.zeros((1, 1), jnp.float32)
+            mm_pos = jnp.full((1,), T, jnp.int32)  # dropped (out of range)
+        return self._prefill_fns[key](
+            state, self.params, jnp.asarray(tokens),
+            jnp.asarray(seq_len, jnp.int32), jnp.asarray(slot, jnp.int32),
+            jnp.asarray(buffer_len, jnp.int32), st, rng,
+            jnp.asarray(lora_idx, jnp.int32), lora_scale, allowed_mask,
+            jnp.asarray(mm_embed), jnp.asarray(mm_pos, jnp.int32))
+
     # -------------------------------------------------------------- decode
     def _kernel_n_pad(self, nb: Optional[int] = None) -> int:
         """Logical metric width used by the decode kernel (matches the
@@ -1110,8 +1260,15 @@ class EnginePrograms:
     def compress(self, state, slots, last_pos, protected, evict_blocks,
                  nb: int):
         B = len(slots)
-        # bucket B and nb to powers of two to bound compilations
-        Bb = 1 << (B - 1).bit_length()
+        # bucket B and nb to powers of two to bound compilations. Floor at
+        # 4: prefill-ramp rounds batch 1-3 fresh sequences depending on
+        # pipeline timing, so pow2 alone made the compiled variant set
+        # NONDETERMINISTIC run to run (a warm pass would compile (1, nb)
+        # and the measured pass then stall ~80s compiling (2, nb)). The
+        # floor keeps the documented workspace-inflation bound: 4 * 416-nb
+        # rows < the (64, 128) workspace the profile sizes temp against.
+        S_ = self.cfg.scheduler.max_num_seqs
+        Bb = min(S_, max(4, 1 << (B - 1).bit_length()))
         nbb = min(
             self.cfg.max_blocks_per_head,
             1 << (max(nb, 1) - 1).bit_length())

@@ -48,6 +48,8 @@ def build_engine_config(
     ngram_prompt_lookup_min: int = 1,
     ngram_prompt_lookup_max: int = 4,
     num_scheduler_steps: int = 0,
+    prefill_buckets: Optional[tuple] = None,
+    enable_expert_parallel: bool = False,
     seed: int = 0,
 ) -> EngineConfig:
     """Assemble an EngineConfig the way reference
@@ -80,11 +82,15 @@ def build_engine_config(
         ),
         scheduler=SchedulerConfig(max_num_seqs=max_num_seqs,
                                   max_model_len=max_model_len,
-                                  num_scheduler_steps=num_scheduler_steps),
+                                  num_scheduler_steps=num_scheduler_steps,
+                                  **({"prefill_buckets":
+                                      tuple(prefill_buckets)}
+                                     if prefill_buckets else {})),
         parallel=ParallelConfig(
             tensor_parallel_size=tensor_parallel_size,
             data_parallel_size=data_parallel_size,
-            pipeline_parallel_size=pipeline_parallel_size),
+            pipeline_parallel_size=pipeline_parallel_size,
+            enable_expert_parallel=enable_expert_parallel),
         lora=LoRAConfig(enable_lora=enable_lora, max_loras=max_loras,
                         max_lora_rank=max_lora_rank),
         speculative=SpeculativeConfig(

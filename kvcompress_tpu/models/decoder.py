@@ -259,6 +259,52 @@ def _sparsemixer_route(scores: jax.Array, eps: float = 0.01) -> jax.Array:
             .at[rows, e1].set(w1).at[rows, e2].set(w2))
 
 
+# Expert-parallel mesh (parallel/mesh.py MODEL_AXIS): set by the engine
+# when ParallelConfig.enable_expert_parallel is on; expert weights then
+# arrive sharded on the EXPERT axis and the grouped dispatch runs a
+# shard_map over local experts (dense dispatch partitions via GSPMD and
+# needs no code here). Trace-time static - safe under jit.
+_EP_MESH = None
+
+
+def set_ep_mesh(mesh) -> None:
+    global _EP_MESH
+    _EP_MESH = mesh
+
+
+def _moe_grouped_experts_ep(x: jax.Array, lw: Dict[str, jax.Array],
+                            cfg: ModelConfig, weights: jax.Array,
+                            mesh) -> jax.Array:
+    """Expert-parallel grouped dispatch: each model-axis shard holds
+    E/tp whole experts; it recovers its LOCAL top-k from its slice of the
+    dense routing matrix (rows routed to remote experts get weight-0 local
+    picks and contribute exactly zero), runs the local grouped GEMMs, and
+    a psum combines the partial token outputs. Beyond the reference
+    (fused_moe.py TP-shards the intermediate axis only)."""
+    import dataclasses as _dc
+
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from kvcompress_tpu.parallel.mesh import MODEL_AXIS
+    tp = mesh.shape[MODEL_AXIS]
+    E, k = cfg.num_experts, cfg.num_experts_per_tok
+    lcfg = _dc.replace(cfg, num_experts=E // tp,
+                       num_experts_per_tok=min(k, E // tp))
+    ew = {kk: v for kk, v in lw.items() if kk.startswith("experts_")}
+    espec = {kk: P(MODEL_AXIS, *([None] * (v.ndim - 1)))
+             for kk, v in ew.items()}
+
+    def fn(xl, ewl, wl):
+        out = _moe_grouped_experts(xl, ewl, lcfg, wl)
+        return jax.lax.psum(out, MODEL_AXIS)
+
+    return shard_map(
+        fn, mesh=mesh,
+        in_specs=(P(None, None), espec, P(None, MODEL_AXIS)),
+        out_specs=P(None, None), check_vma=False)(x, ew, weights)
+
+
 def _moe_grouped_experts(x: jax.Array, lw: Dict[str, jax.Array],
                          cfg: ModelConfig, weights: jax.Array
                          ) -> jax.Array:
@@ -344,7 +390,10 @@ def _moe_mlp(x: jax.Array, lw: Dict[str, jax.Array],
             jnp.arange(T)[:, None], topi].set(topv)               # [T, E]
 
     if cfg.moe_dispatch == "grouped":
-        out = _moe_grouped_experts(x, lw, cfg, weights)
+        if _EP_MESH is not None:
+            out = _moe_grouped_experts_ep(x, lw, cfg, weights, _EP_MESH)
+        else:
+            out = _moe_grouped_experts(x, lw, cfg, weights)
     else:
         def emm(inp, name, pat):
             q = lw.get(f"{name}_q8")
@@ -934,6 +983,90 @@ def prefill(
     cache = KVCache(kc, vc, mc, pc, ksc, vsc)
     last = jnp.take(hidden, jnp.clip(seq_len - 1, 0), axis=0)
     return last, cache
+
+
+def prefill_cont(
+    params: Dict[str, Any],
+    cfg: ModelConfig,
+    token_ids: jax.Array,      # [T] padded chunk (tokens offset..offset+len)
+    chunk_len: jax.Array,      # [] valid tokens in this chunk
+    pre_ids: jax.Array,        # [L, H_kv, NB_OFF] prefix block ids (slot's
+                               # first NB_OFF table entries; offset ==
+                               # NB_OFF * block_size exactly)
+    cache: KVCache,
+    buffer_len: jax.Array,
+    spec: AttentionSpec,
+    lora=None,
+    inject_embed=None,         # [N, D] multimodal embeds (chunk-local
+    inject_pos=None,           # positions; out-of-chunk already dropped)
+):
+    """Chunked-prefill continuation: the pass for prompt tokens
+    [offset, offset + chunk_len) whose prefix KVs are already cached.
+    Per layer, the prefix K/V block rows are gathered from the paged cache
+    and concatenated ahead of the chunk's fresh K/V; attention runs with
+    q_offset so positions/causality/metrics are global. Returns
+    (last_hidden [D], ks [L, T, H, d], vs, pfs [L, P + T, H]) - the caller
+    writes fresh rows and (on the final chunk) scatters the prefix metric
+    rows back. The reference declares chunked prefill unsupported with KVC
+    (vllm/config.py chunked_prefill_enabled checks); this is beyond-parity
+    insurance for prompts over the largest prefill bucket."""
+    T = token_ids.shape[0]
+    L, Hkv, NB_OFF = pre_ids.shape
+    bs = cache.k.shape[1]
+    P = NB_OFF * bs
+    d = cfg.head_size
+    positions = P + jnp.arange(T, dtype=jnp.int32)
+    scale = attn_scale(cfg)
+    assert not cfg.alibi and window_array(cfg) is None \
+        and not cfg.kv_lora_rank, \
+        "chunked prefill supports rope/full-attention models only"
+    use_pallas = spec.impl in ("pallas", "interpret")
+
+    def attn_fn(pre_ids_l, q, k, v, cache):
+        kp = cache.k[pre_ids_l]            # [H, NB_OFF, bs, d] block rows
+        vp = cache.v[pre_ids_l]
+        if cache.k_scale is not None:
+            kp = kp.astype(jnp.float32) * cache.k_scale[
+                pre_ids_l][..., None]
+            vp = vp.astype(jnp.float32) * cache.v_scale[
+                pre_ids_l][..., None]
+        kp = jnp.transpose(kp.reshape(Hkv, P, d), (1, 0, 2)).astype(q.dtype)
+        vp = jnp.transpose(vp.reshape(Hkv, P, d), (1, 0, 2)).astype(q.dtype)
+        k_all = jnp.concatenate([kp, k.astype(q.dtype)], axis=0)
+        v_all = jnp.concatenate([vp, v.astype(q.dtype)], axis=0)
+        if use_pallas:
+            from kvcompress_tpu.ops.pallas import (
+                prefill_attention as ppf)
+            out, pf = ppf.prefill_attention(
+                q, k_all, v_all, chunk_len, scale,
+                metric_window=spec.metric_window, buffer_len=buffer_len,
+                use_l2=spec.use_l2, use_average=spec.use_average,
+                use_maxpool=spec.use_maxpool,
+                record_metrics=spec.record_metrics,
+                logit_cap=cfg.attn_logit_softcap,
+                interpret=spec.impl == "interpret", q_offset=P)
+        else:
+            out, pf = att.prefill_attention(
+                q, k_all, v_all, chunk_len, scale,
+                metric_window=spec.metric_window,
+                metric_block=spec.metric_block, buffer_len=buffer_len,
+                use_l2=spec.use_l2, use_average=spec.use_average,
+                use_maxpool=spec.use_maxpool,
+                logit_cap=cfg.attn_logit_softcap, q_offset=P)
+        return out, cache, (k, v, pf)
+
+    embed_override = None
+    if inject_embed is not None:
+        def embed_override(x, inject_embed=inject_embed,
+                           inject_pos=inject_pos):
+            return x.at[inject_pos].set(
+                inject_embed.astype(x.dtype), mode="drop")
+
+    hidden, _, (ks, vs, pfs) = forward_collect(
+        params, cfg, token_ids, positions, cache, attn_fn, pre_ids,
+        lora=lora, embed_override=embed_override)
+    last = jnp.take(hidden, jnp.clip(chunk_len - 1, 0), axis=0)
+    return last, ks, vs, pfs
 
 
 def decode(

@@ -93,10 +93,10 @@ def _maxpool1d_k7(x: jax.Array) -> jax.Array:
 
 
 def prefill_attention(
-    query: jax.Array,   # [T, H_q, d] (padded; positions >= seq_len masked)
-    key: jax.Array,     # [T, H_kv, d]
-    value: jax.Array,   # [T, H_kv, d]
-    seq_len: jax.Array,  # [] i32 actual length
+    query: jax.Array,   # [Tq, H_q, d] (padded; positions >= seq_len masked)
+    key: jax.Array,     # [Tk, H_kv, d] (Tk >= Tq: cached prefix + chunk)
+    value: jax.Array,   # [Tk, H_kv, d]
+    seq_len: jax.Array,  # [] i32 actual length OF THE QUERY CHUNK
     scale: float,
     *,
     metric_window: int = 32,
@@ -109,39 +109,49 @@ def prefill_attention(
     logit_cap: Optional[float] = None,
     alibi: Optional[jax.Array] = None,   # [H_q] slopes (bloom/mpt)
     window: Optional[jax.Array] = None,  # [] i32 sliding window (<0 = off)
+    q_offset: jax.Array | int = 0,       # [] i32 tokens already cached
 ) -> Tuple[jax.Array, jax.Array]:
     """Causal self-attention for one prompt + per-KV prefill metrics.
 
-    Returns (output [T, H_q, d], kv_metrics [T, H_kv] f32). Metrics aggregate
-    the (squared) attention each KV receives from the last `metric_window`
-    queries, with keys within `buffer_len` of the query excluded
-    (reference flash_attn.py:1122-1211 _naive_kvc_attention).
+    Returns (output [Tq, H_q, d], kv_metrics [Tk, H_kv] f32). Metrics
+    aggregate the (squared) attention each KV receives from the last
+    `metric_window` queries, with keys within `buffer_len` of the query
+    excluded (reference flash_attn.py:1122-1211 _naive_kvc_attention).
+
+    Chunked-prefill continuation (q_offset > 0): the query rows are tokens
+    [q_offset, q_offset + seq_len) of the prompt and key/value carry the
+    full prefix (gathered from the cache) followed by the chunk's fresh
+    KVs; metrics cover ALL Tk columns. The metric window must fit inside
+    the chunk (callers split prompts so the final chunk is >= the window;
+    window queries from earlier chunks are not revisited).
     """
-    T, Hq, d = query.shape
-    _, Hkv, _ = key.shape
+    Tq, Hq, d = query.shape
+    Tk, Hkv, _ = key.shape
     qpk = Hq // Hkv
     dtype = query.dtype
+    q_offset = jnp.asarray(q_offset, jnp.int32)
+    total_len = q_offset + seq_len
 
     kt = key.astype(jnp.float32)
     qf = query.astype(jnp.float32)
 
     # --- output: chunked causal attention (flash-style over query chunks) ---
-    n_chunks = -(-T // q_chunk)
+    n_chunks = -(-Tq // q_chunk)
     qpad = n_chunks * q_chunk
 
     def attend_chunk(carry, qc_and_idx):
         qc, c0 = qc_and_idx
-        # qc: [q_chunk, Hq, d]; keys: full [T]
+        # qc: [q_chunk, Hq, d]; keys: full [Tk]
         logits = jnp.einsum("qhd,khd->hqk", qc,
                             jnp.repeat(kt, qpk, axis=1)) * scale
-        qpos = c0 + jnp.arange(q_chunk)[None, :, None]
-        kpos = jnp.arange(T)[None, None, :]
+        qpos = q_offset + c0 + jnp.arange(q_chunk)[None, :, None]
+        kpos = jnp.arange(Tk)[None, None, :]
         if alibi is not None:
             logits = logits + alibi[:, None, None] * (
                 kpos - qpos).astype(jnp.float32)
         if logit_cap:
             logits = logit_cap * jnp.tanh(logits / logit_cap)
-        mask = (kpos <= qpos) & (kpos < seq_len)
+        mask = (kpos <= qpos) & (kpos < total_len)
         if window is not None:
             mask = mask & ((window < 0) | (kpos > qpos - window))
         logits = jnp.where(mask, logits, NEG_INF)
@@ -150,34 +160,35 @@ def prefill_attention(
                          jnp.repeat(value.astype(jnp.float32), qpk, axis=1))
         return carry, out
 
-    qf_pad = jnp.pad(qf, ((0, qpad - T), (0, 0), (0, 0)))
+    qf_pad = jnp.pad(qf, ((0, qpad - Tq), (0, 0), (0, 0)))
     q_chunks = qf_pad.reshape(n_chunks, q_chunk, Hq, d)
     starts = jnp.arange(n_chunks) * q_chunk
     _, outs = jax.lax.scan(attend_chunk, None, (q_chunks, starts))
-    output = outs.reshape(qpad, Hq, d)[:T].astype(dtype)
+    output = outs.reshape(qpad, Hq, d)[:Tq].astype(dtype)
 
     # --- metrics: last `metric_window` queries, processed in blocks ---
-    w = min(metric_window, T)
+    w = min(metric_window, Tq)
     n_mblocks = -(-w // metric_block)
     mb = min(metric_block, w)
     buffer_len = jnp.asarray(buffer_len, jnp.int32)
 
     def metric_chunk(acc, i):
-        # query block i covers absolute positions [start, start+mb) where
-        # start >= 0 always; blocks tile the observed window without overlap
+        # query block i covers CHUNK positions [start, start+mb); the
+        # window's global start clamps to the chunk start (queries from
+        # earlier chunks are not revisited - see docstring)
         start = jnp.maximum(seq_len - w, 0) + i * mb
         qb = jax.lax.dynamic_slice_in_dim(
             jnp.pad(qf, ((0, mb), (0, 0), (0, 0))), start, mb, axis=0)
         logits = jnp.einsum("qhd,khd->hqk", qb,
                             jnp.repeat(kt, qpk, axis=1)) * scale
-        qpos = start + jnp.arange(mb)[None, :, None]
-        kpos = jnp.arange(T)[None, None, :]
+        qpos = q_offset + start + jnp.arange(mb)[None, :, None]
+        kpos = jnp.arange(Tk)[None, None, :]
         if alibi is not None:
             logits = logits + alibi[:, None, None] * (
                 kpos - qpos).astype(jnp.float32)
         if logit_cap:
             logits = logit_cap * jnp.tanh(logits / logit_cap)
-        causal = (kpos <= qpos) & (kpos < seq_len) & (qpos < seq_len)
+        causal = (kpos <= qpos) & (kpos < total_len) & (qpos < total_len)
         if window is not None:
             causal = causal & ((window < 0) | (kpos > qpos - window))
         logits = jnp.where(causal, logits, NEG_INF)
@@ -187,10 +198,10 @@ def prefill_attention(
             probs = probs ** 2
         # exclude keys inside the metric buffer window of each query
         rec = kpos <= qpos - buffer_len
-        m = jnp.sum(jnp.where(rec, probs, 0.0), axis=-2)  # [Hq, T]
+        m = jnp.sum(jnp.where(rec, probs, 0.0), axis=-2)  # [Hq, Tk]
         return acc + m, None
 
-    acc0 = jnp.zeros((Hq, T), jnp.float32)
+    acc0 = jnp.zeros((Hq, Tk), jnp.float32)
     acc, _ = jax.lax.scan(metric_chunk, acc0, jnp.arange(n_mblocks))
     # avg rescale and maxpool apply ONCE to the fully accumulated rows
     # (the pallas epilogue's ordering, prefill_attention.py:295-308):
@@ -199,16 +210,17 @@ def prefill_attention(
     if use_average:
         # rescale so later normalisation by query count is correct
         # (reference flash_attn.py:1196-1203); the window is the DYNAMIC
-        # min(metric_window, seq_len), matching the pallas kernel
+        # min(metric_window, total_len), matching the pallas kernel
         wq = jnp.minimum(jnp.asarray(metric_window, jnp.float32),
-                         jnp.asarray(seq_len, jnp.float32))
-        acc = acc * ((jnp.arange(T, dtype=jnp.float32)[None, :] + 1.0)
+                         total_len.astype(jnp.float32))
+        acc = acc * ((jnp.arange(Tk, dtype=jnp.float32)[None, :] + 1.0)
                      / wq)
     if use_maxpool:
         acc = _maxpool1d_k7(acc)
     # fold query heads into their kv head (reference metrics.py:413-427)
-    kv_metrics = acc.reshape(Hkv, qpk, T).sum(axis=1).T  # [T, H_kv]
-    kv_metrics = jnp.where(jnp.arange(T)[:, None] < seq_len, kv_metrics, 0.0)
+    kv_metrics = acc.reshape(Hkv, qpk, Tk).sum(axis=1).T  # [Tk, H_kv]
+    kv_metrics = jnp.where(
+        jnp.arange(Tk)[:, None] < total_len, kv_metrics, 0.0)
     return output, kv_metrics
 
 

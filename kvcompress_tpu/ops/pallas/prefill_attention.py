@@ -45,14 +45,14 @@ NEG_INF = -1e30
 
 def _kernel(
     # scalar prefetch
-    dims_ref,     # [3] i32: (seq_len, window, buffer_len)
+    dims_ref,     # [4] i32: (seq_len, window, buffer_len, q_offset)
     # inputs
     q_ref,        # [1, GH, BQ, d] VMEM (this head group, this q block)
-    k_hbm,        # [Hkv, T, d] ANY
-    v_hbm,        # [Hkv, T, d] ANY
+    k_hbm,        # [Hkv, Tk, d] ANY
+    v_hbm,        # [Hkv, Tk, d] ANY
     # outputs
     o_ref,        # [1, GH, BQ, d] VMEM
-    m_ref,        # [1, 8, T] f32 VMEM (this group's rows, sublane-padded)
+    m_ref,        # [1, 8, Tk] f32 VMEM (this group's rows, sublane-padded)
     # scratch
     kbuf,         # [2, CK, d]
     vbuf,         # [2, CK, d]
@@ -63,7 +63,7 @@ def _kernel(
     chunk: int,
     use_l2: bool,
     record_metrics: bool,
-    group: int,    # GH query heads per grid step
+    group: int,    # GH query heads per kv-head grid step
     n_sub: int,    # sub-groups per kv head (qpk // GH)
     logit_cap: float = 0.0,
 ):
@@ -76,12 +76,14 @@ def _kernel(
     G4 = GH * BQ
     d = q_ref.shape[3]
 
-    seq_len = dims_ref[0]
+    seq_len = dims_ref[0]       # valid rows of THIS query chunk
     window = dims_ref[1]
     buffer_len = dims_ref[2]
+    q_offset = dims_ref[3]      # tokens already cached before the chunk
+    total_len = q_offset + seq_len
 
     q_start = qb * BQ
-    kv_hi = jnp.minimum(q_start + BQ, seq_len)
+    kv_hi = jnp.minimum(q_offset + q_start + BQ, total_len)
     n_chunks = (kv_hi + CK - 1) // CK
 
     def k_copy(slot, j):
@@ -95,7 +97,7 @@ def _kernel(
     q = q_ref[0].reshape(G4, d)                   # head-major row stack
     row = jax.lax.broadcasted_iota(jnp.int32, (G4, CK), 0)
     colc = jax.lax.broadcasted_iota(jnp.int32, (G4, CK), 1)
-    qpos = q_start + row % BQ
+    qpos = q_offset + q_start + row % BQ          # GLOBAL query position
 
     # zero this group's metric block at its first q step (qb iterates
     # innermost, so the block stays resident across the qb sweep)
@@ -110,7 +112,7 @@ def _kernel(
         if logit_cap:
             s = logit_cap * jnp.tanh(s / logit_cap)
         col = j * CK + colc
-        causal = (col <= qpos) & (col < seq_len) & (qpos < seq_len)
+        causal = (col <= qpos) & (col < total_len) & (qpos < total_len)
         return jnp.where(causal, s, NEG_INF), col
 
     # ---------------- main pass: online-softmax flash ----------------
@@ -152,7 +154,7 @@ def _kernel(
 
         # ------------- metric pass: only in-window q blocks -------------
         if record_metrics:
-            in_window = (q_start + BQ > seq_len - window) & (
+            in_window = (q_offset + q_start + BQ > total_len - window) & (
                 q_start < seq_len)
 
             @pl.when(in_window)
@@ -171,8 +173,8 @@ def _kernel(
                     p = jnp.exp(s - m_f) / jnp.maximum(l_f, 1e-9)
                     if use_l2:
                         p = p * p
-                    rec = ((qpos >= seq_len - window)
-                           & (qpos < seq_len)
+                    rec = ((qpos >= total_len - window)
+                           & (qpos < total_len)
                            & (col <= qpos - buffer_len))
                     # per-QUERY-HEAD rows (the maxpool in the epilogue is
                     # per head, so the GQA fold stays outside)
@@ -201,10 +203,10 @@ from kvcompress_tpu.ops.attention import _maxpool1d_k7  # noqa: E402
                      "use_average", "use_maxpool", "record_metrics",
                      "q_block", "chunk", "interpret", "logit_cap"))
 def prefill_attention(
-    query: jax.Array,   # [T, H_q, d] (padded; rows >= seq_len are masked)
-    key: jax.Array,     # [T, H_kv, d]
-    value: jax.Array,   # [T, H_kv, d]
-    seq_len: jax.Array,  # [] i32 actual length
+    query: jax.Array,   # [Tq, H_q, d] (padded; rows >= seq_len are masked)
+    key: jax.Array,     # [Tk, H_kv, d] (Tk >= Tq: cached prefix + chunk)
+    value: jax.Array,   # [Tk, H_kv, d]
+    seq_len: jax.Array,  # [] i32 actual length of the query chunk
     scale: float,
     *,
     metric_window: int = 32,
@@ -218,19 +220,27 @@ def prefill_attention(
     chunk: int = 512,
     interpret: bool = False,
     logit_cap: Optional[float] = None,
+    q_offset: jax.Array | int = 0,  # [] i32 tokens already cached
 ) -> Tuple[jax.Array, jax.Array]:
     """Drop-in replacement for ops.attention.prefill_attention (same
-    output/metric contract): returns (output [T, H_q, d],
-    kv_metrics [T, H_kv] f32)."""
-    T, Hq, d = query.shape
-    _, Hkv, _ = key.shape
+    output/metric contract): returns (output [Tq, H_q, d],
+    kv_metrics [Tk, H_kv] f32). With q_offset > 0 this is a chunked-prefill
+    continuation: key/value carry the cached prefix followed by the chunk's
+    fresh KVs and metrics cover all Tk columns (the metric window must fit
+    inside the chunk - the engine splits prompts that way)."""
+    Tq, Hq, d = query.shape
+    Tk, Hkv, _ = key.shape
     qpk = Hq // Hkv
 
-    BQ = min(q_block, T)
-    CK = min(chunk, T)
-    # T must tile by BQ and CK (prefill buckets are powers of two >= 128)
-    assert T % BQ == 0 and T % CK == 0, (T, BQ, CK)
-    n_qb = T // BQ
+    BQ = min(q_block, Tq)
+    CK = min(chunk, Tk)
+    # Tq/Tk must tile by BQ/CK (prefill buckets are powers of two >= 128;
+    # a continuation's Tk = prefix + chunk may need a smaller CK, e.g.
+    # 6144 + 128 tiles by 128)
+    while CK > 128 and Tk % CK:
+        CK //= 2
+    assert Tq % BQ == 0 and Tk % CK == 0, (Tq, Tk, BQ, CK)
+    n_qb = Tq // BQ
 
     # GQA head-group size: as many q heads per step as keep the [GH*BQ, CK]
     # logits tile within the VMEM budget. Hard cap at 8: the metric output
@@ -242,14 +252,15 @@ def prefill_attention(
     n_sub = qpk // GH
 
     q4 = jnp.transpose(query, (1, 0, 2)).reshape(
-        Hkv * n_sub, GH, T, d)                    # head-major groups
-    kT = jnp.transpose(key, (1, 0, 2))            # [Hkv, T, d]
+        Hkv * n_sub, GH, Tq, d)                   # head-major groups
+    kT = jnp.transpose(key, (1, 0, 2))            # [Hkv, Tk, d]
     vT = jnp.transpose(value, (1, 0, 2))
 
     dims = jnp.stack([
         jnp.asarray(seq_len, jnp.int32),
         jnp.asarray(metric_window, jnp.int32),
-        jnp.asarray(buffer_len, jnp.int32)])
+        jnp.asarray(buffer_len, jnp.int32),
+        jnp.asarray(q_offset, jnp.int32)])
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -263,7 +274,7 @@ def prefill_attention(
         out_specs=[
             pl.BlockSpec((1, GH, BQ, d), lambda g, qb, *_: (g, 0, qb, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 8, T), lambda g, qb, *_: (g, 0, 0),
+            pl.BlockSpec((1, 8, Tk), lambda g, qb, *_: (g, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
@@ -281,29 +292,31 @@ def prefill_attention(
         kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((Hkv * n_sub, GH, T, d), query.dtype),
-            jax.ShapeDtypeStruct((Hkv * n_sub, 8, T), jnp.float32),
+            jax.ShapeDtypeStruct((Hkv * n_sub, GH, Tq, d), query.dtype),
+            jax.ShapeDtypeStruct((Hkv * n_sub, 8, Tk), jnp.float32),
         ],
         interpret=interpret,
     )(dims, q4, kT, vT)
 
     output = jnp.transpose(
-        out.reshape(Hq, T, d), (1, 0, 2))         # [T, Hq, d]
+        out.reshape(Hq, Tq, d), (1, 0, 2))        # [Tq, Hq, d]
 
     if not record_metrics:
-        return output, jnp.zeros((T, Hkv), jnp.float32)
+        return output, jnp.zeros((Tk, Hkv), jnp.float32)
 
+    total_len = jnp.asarray(q_offset, jnp.int32) + jnp.asarray(
+        seq_len, jnp.int32)
     # XLA epilogue (reference flash_attn.py:1196-1210 + metrics.py:413-427):
     # avg-mode rescale, per-query-head maxpool, GQA fold, zero the padding.
-    m = m_rows[:, :GH, :].reshape(Hq, T)
+    m = m_rows[:, :GH, :].reshape(Hq, Tk)
     if use_average:
         w = jnp.minimum(jnp.asarray(metric_window, jnp.float32),
-                        seq_len.astype(jnp.float32))
-        kpos = jnp.arange(T, dtype=jnp.float32)[None, :]
+                        total_len.astype(jnp.float32))
+        kpos = jnp.arange(Tk, dtype=jnp.float32)[None, :]
         m = m * ((kpos + 1.0) / w)
     if use_maxpool:
         m = _maxpool1d_k7(m)
-    kv_metrics = m.reshape(Hkv, qpk, T).sum(axis=1).T  # [T, Hkv]
+    kv_metrics = m.reshape(Hkv, qpk, Tk).sum(axis=1).T  # [Tk, Hkv]
     kv_metrics = jnp.where(
-        jnp.arange(T)[:, None] < seq_len, kv_metrics, 0.0)
+        jnp.arange(Tk)[:, None] < total_len, kv_metrics, 0.0)
     return output, kv_metrics

@@ -48,11 +48,16 @@ def build_mesh(tp_size: int, dp_size: int = 1,
     return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
 
 
-def param_specs(params: Dict[str, Any], pp: bool = False) -> Dict[str, Any]:
+def param_specs(params: Dict[str, Any], pp: bool = False,
+                ep: bool = False) -> Dict[str, Any]:
     """PartitionSpec pytree matching the models/decoder.py param layout:
     megatron TP - column-sharded up-projections (+ their biases),
     row-sharded down-projections, vocab-sharded embeddings, replicated
-    norms; MoE experts shard on the intermediate axis."""
+    norms; MoE experts shard on the intermediate axis (TP style, matching
+    the reference's fused_moe) or, with ep=True, on the EXPERT axis
+    (expert parallelism: each shard holds E/tp whole experts; the dense
+    dispatch partitions via GSPMD, the grouped dispatch via
+    decoder._moe_grouped_experts_ep)."""
     m = MODEL_AXIS
     # [L, in, out] column-parallel (shard out) and their [L, out] biases
     col_w = {"wq", "wk", "wv", "w_gate", "w_up", "w_fc1", "shared_gate",
@@ -81,6 +86,8 @@ def param_specs(params: Dict[str, Any], pp: bool = False) -> Dict[str, Any]:
             # scales follow the output axis of their weight: sharded for
             # column-parallel targets, replicated for row-parallel
             base = k[:-6]
+            if ep and base.startswith("experts_"):
+                return P(None, m, *([None] * (v.ndim - 2)))
             if base in col_w:
                 return P(*([None] * (v.ndim - 1) + [m]))
             return P(*([None] * v.ndim))
@@ -91,10 +98,12 @@ def param_specs(params: Dict[str, Any], pp: bool = False) -> Dict[str, Any]:
             return P(None, m)
         if k in row_w:
             return P(None, m, None)
-        if k == "experts_gate" or k == "experts_up":
+        if k in ("experts_gate", "experts_up", "experts_down"):
+            if ep:  # [L, E, in, out]: whole experts per shard
+                return P(None, m, None, None)
+            if k == "experts_down":
+                return P(None, None, m, None)
             return P(None, None, None, m)
-        if k == "experts_down":
-            return P(None, None, m, None)
         # norms, router, shared_router, bo/b_fc2/b_down: replicated
         return P(*([None] * v.ndim))
 
@@ -145,8 +154,9 @@ def state_specs(quantized: bool = False, pp: bool = False) -> CacheState:
     )
 
 
-def shard_params(params: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
-    specs = param_specs(params, pp=PIPE_AXIS in mesh.axis_names)
+def shard_params(params: Dict[str, Any], mesh: Mesh,
+                 ep: bool = False) -> Dict[str, Any]:
+    specs = param_specs(params, pp=PIPE_AXIS in mesh.axis_names, ep=ep)
     return jax.tree.map(
         lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
         params, specs,
