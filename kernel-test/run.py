@@ -13,7 +13,9 @@ Usage:  python kernel-test/run.py  [--sizes small|bench]
 from __future__ import annotations
 
 import argparse
+import json
 import sys
+import time
 
 import numpy as np
 
@@ -27,6 +29,11 @@ from kvcompress_tpu.ops.pallas import paged_attention as ppa
 from kvcompress_tpu.ops.pallas import prefill_attention as ppf
 
 FAILURES = []
+# recorded artifact (written to kernel-test/RESULTS.json unless --no-record):
+# correctness max|diff| per kernel case + on-chip perf numbers, so each
+# round leaves an auditable on-hardware validation record at HEAD
+# (reference kernel-test/run.sh equivalent, with the output committed).
+RECORD = {"checks": [], "perf": {}}
 
 
 def check(name, got, want, atol, rtol=1e-2):
@@ -35,11 +42,16 @@ def check(name, got, want, atol, rtol=1e-2):
     ok = np.allclose(np.asarray(got, np.float32),
                      np.asarray(want, np.float32), atol=atol, rtol=rtol)
     print(f"  {name}: max|diff|={diff:.5f} {'OK' if ok else 'FAIL'}")
+    RECORD["checks"].append(
+        {"case": RECORD.get("_case", ""), "name": name,
+         "max_abs_diff": float(diff), "atol": atol, "ok": ok})
     if not ok:
         FAILURES.append(name)
 
 
 def test_tail_kernel(S, Hq, Hkv, d, bs, nb, KT, dtype):
+    RECORD["_case"] = (f"tail S={S} Hq={Hq} Hkv={Hkv} d={d} bs={bs} "
+                       f"nb={nb} KT={KT} {dtype.__name__}")
     print(f"tail decode kernel S={S} Hq={Hq} Hkv={Hkv} d={d} bs={bs} "
           f"nb={nb} KT={KT} {dtype.__name__}")
     rng = np.random.default_rng(0)
@@ -60,7 +72,16 @@ def test_tail_kernel(S, Hq, Hkv, d, bs, nb, KT, dtype):
         q, tk, tv, tlen, kc, vc, bt, ctx, d ** -0.5,
         use_l2=True, record_metrics=True)
 
-    # XLA oracle: emulate via dense gather + joint softmax
+    # XLA oracle: emulate via dense gather + joint softmax. HIGHEST matmul
+    # precision: on the real MXU the default f32 einsum is a single bf16
+    # pass, which would make the ORACLE the imprecise side of the compare.
+    with jax.default_matmul_precision("highest"):
+        return _tail_oracle_check(q, tk, tv, tlen, kc, vc, bt, ctx, out,
+                                  mc, mt, S, Hq, Hkv, d, bs, nb, KT, dtype)
+
+
+def _tail_oracle_check(q, tk, tv, tlen, kc, vc, bt, ctx, out, mc, mt,
+                       S, Hq, Hkv, d, bs, nb, KT, dtype):
     n = bt.shape[-1] * bs
     phys = (bt[..., None] * bs
             + jnp.arange(bs, dtype=jnp.int32)).reshape(S, Hkv, -1)
@@ -87,13 +108,18 @@ def test_tail_kernel(S, Hq, Hkv, d, bs, nb, KT, dtype):
     oref = (jnp.einsum("shqn,shnd->shqd", pc, vg)
             + jnp.einsum("shqk,shkd->shqd", pt,
                          tv.astype(jnp.float32))).reshape(S, Hq, d)
-    atol = 2e-2 if dtype == jnp.bfloat16 else 2e-4
+    # f32 on the real MXU is a single bf16 pass inside the kernel (by
+    # design - HIGHEST precision would triple the matmul cost), so the
+    # output tolerance is bf16-grade either way; softmax-normalised
+    # metric rows stay tight.
+    atol = 2e-2
     check("out", out, oref, atol)
     check("m_cached", mc, (pc ** 2).sum(2), atol)
     check("m_tail", mt, (pt ** 2).sum(2), atol)
 
 
 def test_prefill_kernel(T, Hq, Hkv, d, dtype):
+    RECORD["_case"] = f"prefill T={T} Hq={Hq} Hkv={Hkv} d={d} {dtype.__name__}"
     print(f"prefill flash kernel T={T} Hq={Hq} Hkv={Hkv} d={d} "
           f"{dtype.__name__}")
     rng = np.random.default_rng(1)
@@ -105,18 +131,47 @@ def test_prefill_kernel(T, Hq, Hkv, d, dtype):
               use_average=False, use_maxpool=True)
     out, m = ppf.prefill_attention(q, k, v, jnp.asarray(seq_len),
                                    d ** -0.5, **kw)
-    out_ref, m_ref = att.prefill_attention(q, k, v, jnp.asarray(seq_len),
-                                           d ** -0.5, **kw)
+    with jax.default_matmul_precision("highest"):  # see _tail_oracle_check
+        out_ref, m_ref = att.prefill_attention(
+            q, k, v, jnp.asarray(seq_len), d ** -0.5, **kw)
     mask = (np.arange(T) < seq_len)[:, None, None]
-    atol = 3e-2 if dtype == jnp.bfloat16 else 3e-4
+    atol = 3e-2  # bf16-grade: see the f32-on-MXU note in test_tail_kernel
     check("out", np.asarray(out) * mask, np.asarray(out_ref) * mask, atol)
-    check("metrics", m, m_ref, atol)
+    check("metrics", m, m_ref, 3e-3)
 
 
-def perf_prefill(T=6144, Hq=32, Hkv=8, d=128, iters=8):
+def test_prefill_cont_kernel(P, Tq, Hq, Hkv, d, dtype):
+    """Chunked-prefill continuation: q_offset > 0, Tk = P + Tq > Tq."""
+    RECORD["_case"] = (f"prefill_cont P={P} Tq={Tq} Hq={Hq} Hkv={Hkv} "
+                      f"d={d} {dtype.__name__}")
+    print(f"prefill continuation kernel P={P} Tq={Tq} Hq={Hq} Hkv={Hkv} "
+          f"d={d} {dtype.__name__}")
+    rng = np.random.default_rng(4)
+    Tk = P + Tq
+    chunk_len = Tq - Tq // 5
+    q = jnp.asarray(rng.standard_normal((Tq, Hq, d)), dtype)
+    k = jnp.asarray(rng.standard_normal((Tk, Hkv, d)), dtype)
+    v = jnp.asarray(rng.standard_normal((Tk, Hkv, d)), dtype)
+    kw = dict(metric_window=32, buffer_len=jnp.asarray(2), use_l2=True,
+              use_average=False, use_maxpool=True)
+    out, m = ppf.prefill_attention(q, k, v, jnp.asarray(chunk_len),
+                                   d ** -0.5, q_offset=P, **kw)
+    with jax.default_matmul_precision("highest"):  # see _tail_oracle_check
+        out_ref, m_ref = att.prefill_attention(
+            q, k, v, jnp.asarray(chunk_len), d ** -0.5, q_offset=P, **kw)
+    mask = (np.arange(Tq) < chunk_len)[:, None, None]
+    atol = 3e-2  # bf16-grade: see the f32-on-MXU note in test_tail_kernel
+    check("out", np.asarray(out) * mask, np.asarray(out_ref) * mask, atol)
+    check("metrics", m, m_ref, 3e-3)
+
+
+def perf_prefill(T=6144, Hq=32, Hkv=8, d=128, inner=8, reps=4):
     """On-chip prefill kernel TF/s at the bench shape (VERDICT round-2
     item 2: the head-grouped rewrite must be validated on hardware).
-    Causal attention FLOPs ~= 4 * (T^2/2) * Hq * d (QK^T + PV)."""
+    Causal attention FLOPs ~= 4 * (T^2/2) * Hq * d (QK^T + PV). The
+    kernel is invoked `inner` times INSIDE one jitted scan (each call
+    consuming the previous output) so the ~25 ms tunnel dispatch+fetch
+    round trip amortises instead of dominating the measurement."""
     import time
     rng = np.random.default_rng(2)
     q = jnp.asarray(rng.standard_normal((T, Hq, d)), jnp.bfloat16)
@@ -124,23 +179,38 @@ def perf_prefill(T=6144, Hq=32, Hkv=8, d=128, iters=8):
     v = jnp.asarray(rng.standard_normal((T, Hkv, d)), jnp.bfloat16)
     kw = dict(metric_window=32, buffer_len=jnp.asarray(0), use_l2=True,
               use_average=False, use_maxpool=True)
-    fn = jax.jit(lambda q, k, v: ppf.prefill_attention(
-        q, k, v, jnp.asarray(T), d ** -0.5, **kw))
-    out, m = fn(q, k, v)
+
+    @jax.jit
+    def chained(q, k, v):
+        def body(qc, _):
+            o, _m = ppf.prefill_attention(
+                qc, k, v, jnp.asarray(T), d ** -0.5, **kw)
+            return o.astype(qc.dtype), None
+        out, _ = jax.lax.scan(body, q, None, length=inner)
+        return out
+
+    out = chained(q, k, v)
     jax.block_until_ready(out)
     best = 1e9
-    for _ in range(iters):
+    for _ in range(reps):
         t0 = time.perf_counter()
-        out, m = fn(q, k, v)
+        out = chained(q, k, v)
         jax.block_until_ready(out)
-        best = min(best, time.perf_counter() - t0)
+        best = min(best, (time.perf_counter() - t0) / inner)
     flops = 4 * (T * T / 2) * Hq * d
     print(f"prefill kernel T={T} Hq={Hq} d={d} bf16: best {best*1e3:.2f} "
           f"ms = {flops / best / 1e12:.1f} TF/s")
+    RECORD["perf"]["prefill"] = {
+        "T": T, "Hq": Hq, "Hkv": Hkv, "d": d, "dtype": "bfloat16",
+        "best_ms": round(best * 1e3, 3),
+        "tflops_per_s": round(flops / best / 1e12, 1)}
 
 
-def perf_tail(S=64, Hq=32, Hkv=8, d=128, bs=16, nb=8, KT=16, iters=8):
-    """Decode tail kernel latency at the bench's compressed table width."""
+def perf_tail(S=64, Hq=32, Hkv=8, d=128, bs=16, nb=8, KT=16, inner=64,
+              reps=4):
+    """Decode tail kernel latency at the bench's compressed table width.
+    `inner` chained invocations inside one jitted scan amortise the
+    tunnel round trip (see perf_prefill)."""
     import time
     rng = np.random.default_rng(3)
     num_blocks = S * Hkv * nb + 64
@@ -153,45 +223,86 @@ def perf_tail(S=64, Hq=32, Hkv=8, d=128, bs=16, nb=8, KT=16, iters=8):
     bt = jnp.asarray(rng.integers(1, num_blocks, size=(S, Hkv, nb)),
                      jnp.int32)
     ctx = jnp.full((S, Hkv), nb * bs, jnp.int32)
-    fn = jax.jit(lambda *a: ppa.paged_decode_attention_tail(
-        *a, d ** -0.5, use_l2=True, record_metrics=True))
-    o, mc, mt = fn(q, tk, tv, tlen, kc, vc, bt, ctx)
+
+    @jax.jit
+    def chained(q, tk, tv, tlen, kc, vc, bt, ctx):
+        def body(qc, _):
+            o, _mc, _mt = ppa.paged_decode_attention_tail(
+                qc, tk, tv, tlen, kc, vc, bt, ctx, d ** -0.5,
+                use_l2=True, record_metrics=True)
+            return o.astype(qc.dtype), None
+        out, _ = jax.lax.scan(body, q, None, length=inner)
+        return out
+
+    o = chained(q, tk, tv, tlen, kc, vc, bt, ctx)
     jax.block_until_ready(o)
     best = 1e9
-    for _ in range(iters):
+    for _ in range(reps):
         t0 = time.perf_counter()
-        o, mc, mt = fn(q, tk, tv, tlen, kc, vc, bt, ctx)
+        o = chained(q, tk, tv, tlen, kc, vc, bt, ctx)
         jax.block_until_ready(o)
-        best = min(best, time.perf_counter() - t0)
+        best = min(best, (time.perf_counter() - t0) / inner)
     kv_bytes = (S * Hkv * (nb * bs + KT) * d * 2 * 2)
     print(f"tail kernel S={S} nb={nb} bs={bs}: best {best*1e6:.0f} us, "
           f"KV read {kv_bytes / best / 1e9:.0f} GB/s")
+    RECORD["perf"]["tail_decode"] = {
+        "S": S, "Hq": Hq, "Hkv": Hkv, "d": d, "bs": bs, "nb": nb, "KT": KT,
+        "dtype": "bfloat16", "best_us": round(best * 1e6),
+        "kv_read_gb_per_s": round(kv_bytes / best / 1e9)}
 
 
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--sizes", default="small",
                    choices=["small", "bench", "perf"])
+    p.add_argument("--no-record", action="store_true",
+                   help="skip writing kernel-test/RESULTS.json")
     args = p.parse_args()
-    print(f"backend: {jax.devices()[0].platform} ({jax.devices()[0]})")
+    dev = jax.devices()[0]
+    print(f"backend: {dev.platform} ({dev})")
+    RECORD["backend"] = dev.platform
+    RECORD["device"] = str(dev)
+    RECORD["sizes"] = args.sizes
+    RECORD["git_head"] = _git_head()
+    RECORD["timestamp"] = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
 
     if args.sizes == "small":
         test_tail_kernel(2, 8, 4, 128, 16, 16, 8, jnp.float32)
         test_tail_kernel(4, 8, 2, 128, 16, 32, 16, jnp.bfloat16)
         test_prefill_kernel(256, 8, 4, 128, jnp.float32)
+        test_prefill_cont_kernel(256, 256, 8, 4, 128, jnp.float32)
     elif args.sizes == "perf":
         test_prefill_kernel(2048, 32, 8, 128, jnp.bfloat16)
         test_tail_kernel(8, 32, 8, 128, 16, 128, 16, jnp.bfloat16)
+        test_prefill_cont_kernel(6144, 1024, 32, 8, 128, jnp.bfloat16)
         perf_prefill()
         perf_tail()
     else:
         test_tail_kernel(8, 32, 8, 128, 16, 128, 16, jnp.bfloat16)
         test_prefill_kernel(2048, 32, 8, 128, jnp.bfloat16)
+        test_prefill_cont_kernel(6144, 1024, 32, 8, 128, jnp.bfloat16)
 
+    RECORD["failures"] = list(FAILURES)
+    RECORD.pop("_case", None)
+    if not args.no_record:
+        path = __file__.rsplit("/", 1)[0] + "/RESULTS.json"
+        with open(path, "w") as f:
+            json.dump(RECORD, f, indent=1)
+        print(f"recorded {path}")
     if FAILURES:
         print(f"FAILED: {FAILURES}")
         sys.exit(1)
     print("all kernels OK")
+
+
+def _git_head() -> str:
+    import subprocess
+    try:
+        return subprocess.check_output(
+            ["git", "rev-parse", "--short", "HEAD"],
+            cwd=__file__.rsplit("/", 2)[0], text=True).strip()
+    except Exception:
+        return "unknown"
 
 
 if __name__ == "__main__":
