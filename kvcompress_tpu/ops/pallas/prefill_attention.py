@@ -10,8 +10,9 @@ Grid = (kv-head groups, query blocks); each step processes GH query heads of
 ONE kv head together: their rows stack into a single [GH*BQ, d] operand so
 the MXU sees one large matmul per K chunk, the kv head's K/V stream is
 fetched once for the whole group (not once per query head), and the
-per-grid-step fixed overhead drops by the group factor - this alone took the
-kernel from 53 to >150 TF/s effective at T=6144.
+per-grid-step fixed overhead drops by the group factor - a ~3x speedup at
+T=6144 (current on-chip number: kernel-test/RESULTS.json, measured by
+kernel-test/run.py --sizes perf with tunnel-round-trip-amortised timing).
 
 Two-phase design per grid step:
 - main pass: ONLINE-softmax flash attention streaming K and V chunks
