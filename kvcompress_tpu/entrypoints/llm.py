@@ -233,6 +233,17 @@ class LLM:
         if kind == "fuyu":
             patches = jnp.asarray(mm["image_patches"])
             embeds = fuyu_image_embed(vparams, patches)
+        elif kind == "blip2":
+            from kvcompress_tpu.models.vision import blip2_image_embed
+            if self._vision_jit is None:
+                self._vision_jit = jax.jit(blip2_image_embed,
+                                           static_argnums=1)
+            px = jnp.asarray(mm["image"])
+            if px.ndim == 3:
+                px = px[None]
+            embeds = jnp.concatenate([
+                self._vision_jit(vparams, vcfg, px[k])
+                for k in range(px.shape[0])])
         elif kind == "llava_next":
             # AnyRes: mm = {"image": tiles [n_tiles, 3, sz, sz] (tile 0 =
             # base resize, as produced by LlavaNextImageProcessor),

@@ -968,6 +968,41 @@ def _mpt():
     return cfg_fn, load_fn
 
 
+@_register("Blip2ForConditionalGeneration")
+def _blip2():
+    """BLIP-2 (reference vllm/model_executor/models/blip2.py): Blip2
+    vision tower -> Q-Former over learned query tokens ->
+    language_projection, feeding an OPT text tower. The vision/Q-Former
+    side lives in models/vision.py (blip2_image_embed) and is loaded by
+    weights.load_multimodal; the reference PREPENDS the projected query
+    embeddings to the prompt - the LLM surface expands
+    `num_query_tokens` image placeholders at the same positions instead
+    (identical math under causal attention)."""
+    def cfg_fn(hf, name):
+        tc = dict(hf["text_config"])
+        arch = (tc.get("architectures") or ["OPTForCausalLM"])[0]
+        if arch != "OPTForCausalLM":
+            raise ValueError(
+                f"blip2 text tower {arch} is not supported (OPT only; "
+                "the flan-t5 variants need the encoder-decoder serving "
+                "path, which is model-level like BART)")
+        tc["architectures"] = [arch]
+        cfg = config_from_hf(tc, name)
+        cfg.architecture = "Blip2ForConditionalGeneration"
+        # HF >= 4.44 checkpoints carry an explicit image token; older
+        # blip2 checkpoints prepend without placeholders - default to
+        # the pad token as the placeholder id the LLM surface expands
+        cfg.image_token_index = hf.get(
+            "image_token_index", tc.get("pad_token_id", 1))
+        return cfg
+
+    def load_fn(t, cfg, dtype):
+        return _REGISTRY["OPTForCausalLM"].load_fn(
+            _strip_language_model_prefix(t), cfg, dtype)
+
+    return cfg_fn, load_fn
+
+
 @_register("FuyuForCausalLM")
 def _fuyu():
     """Fuyu-8B (reference vllm/model_executor/models/fuyu.py): a

@@ -247,6 +247,239 @@ def expand_image_tokens(prompt_token_ids, image_token: int, n_patches: int
     return out, np.asarray(pos, np.int32)
 
 
+# --------------------------------------------------------------- blip-2
+# Reference vllm/model_executor/models/blip2.py: Blip2VisionModel (a CLIP
+# variant: packed qkv with [q, 0, v] bias, NO pre-layernorm, post-layernorm
+# applied to the final hidden states) -> Q-Former (BERT post-LN layers over
+# `num_query_tokens` learned queries, cross-attending the image features
+# every `cross_attention_frequency` layers) -> language_projection. The
+# projected query outputs enter the prompt through the same mm_embed
+# splice as llava (the reference prepends them; the LLM surface expands
+# `num_query_tokens` image placeholders instead - same positions, same
+# math under causal attention).
+
+@dataclasses.dataclass(frozen=True)
+class Blip2Config:
+    vision: VisionConfig
+    q_hidden: int            # q-former hidden size
+    q_layers: int
+    q_heads: int
+    q_intermediate: int
+    num_query_tokens: int
+    cross_frequency: int = 2
+    layer_norm_eps: float = 1e-12
+
+
+def blip2_config_from_hf(hf: dict) -> Blip2Config:
+    vc = hf["vision_config"]
+    qc = hf["qformer_config"]
+    vis = VisionConfig(
+        hidden_size=vc["hidden_size"],
+        intermediate_size=vc["intermediate_size"],
+        num_layers=vc["num_hidden_layers"],
+        num_heads=vc["num_attention_heads"],
+        image_size=vc["image_size"],
+        patch_size=vc["patch_size"],
+        layer_norm_eps=vc.get("layer_norm_eps", 1e-6),
+        feature_layer=0,  # unused: blip2 takes the post-LN final states
+    )
+    return Blip2Config(
+        vision=vis,
+        q_hidden=qc["hidden_size"],
+        q_layers=qc["num_hidden_layers"],
+        q_heads=qc["num_attention_heads"],
+        q_intermediate=qc["intermediate_size"],
+        num_query_tokens=hf.get("num_query_tokens", 32),
+        cross_frequency=qc.get("cross_attention_frequency", 2),
+        layer_norm_eps=qc.get("layer_norm_eps", 1e-12),
+    )
+
+
+def blip2_vision_forward(params: Dict[str, Any], cfg: VisionConfig,
+                         pixel_values: jax.Array) -> jax.Array:
+    """[3, H, W] -> post-layernormed hidden states [1 + n_patches, D_v]
+    (HF Blip2VisionModel.last_hidden_state)."""
+    D, P = cfg.hidden_size, cfg.patch_size
+    C, H, W = pixel_values.shape
+    x = pixel_values.reshape(C, H // P, P, W // P, P)
+    x = jnp.transpose(x, (1, 3, 0, 2, 4)).reshape(-1, C * P * P)
+    x = x @ params["patch_embed"] + params["patch_embed_b"]
+    x = jnp.concatenate([params["class_embed"][None, :], x], axis=0)
+    x = x + params["pos_embed"]          # no pre-layernorm in blip2
+    h = cfg.num_heads
+    d = D // h
+
+    def layer(x, lw):
+        r = x
+        y = _ln(x, lw["ln1"], lw["ln1_b"], cfg.layer_norm_eps)
+        T = y.shape[0]
+        qkv = (y @ lw["qkv"] + lw["qkv_b"]).reshape(T, 3, h, d)
+        q, k, v = qkv[:, 0], qkv[:, 1], qkv[:, 2]
+        logits = jnp.einsum("qhd,khd->hqk", q.astype(jnp.float32),
+                            k.astype(jnp.float32)) * d ** -0.5
+        probs = jax.nn.softmax(logits, axis=-1)
+        o = jnp.einsum("hqk,khd->qhd", probs,
+                       v.astype(jnp.float32)).reshape(T, D)
+        x = r + (o.astype(y.dtype) @ lw["wo"] + lw["bo"])
+        r = x
+        y = _ln(x, lw["ln2"], lw["ln2_b"], cfg.layer_norm_eps)
+        y = jax.nn.gelu(y @ lw["fc1"] + lw["b1"],
+                        approximate=False) @ lw["fc2"] + lw["b2"]
+        return x + y, None
+
+    x, _ = jax.lax.scan(layer, x, params["layers"])
+    return _ln(x, params["post_ln"], params["post_ln_b"],
+               cfg.layer_norm_eps)
+
+
+def blip2_image_embed(params: Dict[str, Any], cfg: Blip2Config,
+                      pixel_values: jax.Array) -> jax.Array:
+    """Image -> projected query embeddings [num_query_tokens, D_text]
+    (HF Blip2ForConditionalGeneration.get_image_features: vision tower ->
+    Q-Former over the learned query tokens -> language_projection)."""
+    feats = blip2_vision_forward(params["vision"], cfg.vision,
+                                 pixel_values)          # [N, D_v]
+    eps = cfg.layer_norm_eps
+    h, Dq = cfg.q_heads, cfg.q_hidden
+    d = Dq // h
+    x = _ln(params["query_tokens"], params["qf_ln"], params["qf_ln_b"], eps)
+
+    def attend(q_in, kv_in, lw, pre):
+        T, S = q_in.shape[0], kv_in.shape[0]
+        q = (q_in @ lw[f"{pre}_wq"] + lw[f"{pre}_bq"]).reshape(T, h, d)
+        k = (kv_in @ lw[f"{pre}_wk"] + lw[f"{pre}_bk"]).reshape(S, h, d)
+        v = (kv_in @ lw[f"{pre}_wv"] + lw[f"{pre}_bv"]).reshape(S, h, d)
+        logits = jnp.einsum("qhd,khd->hqk", q.astype(jnp.float32),
+                            k.astype(jnp.float32)) * d ** -0.5
+        probs = jax.nn.softmax(logits, axis=-1)
+        o = jnp.einsum("hqk,khd->qhd", probs,
+                       v.astype(jnp.float32)).reshape(T, Dq)
+        o = o.astype(q_in.dtype) @ lw[f"{pre}_wo"] + lw[f"{pre}_bo"]
+        # BERT post-LN: dense -> LayerNorm(out + residual)
+        return _ln(o + q_in, lw[f"{pre}_ln"], lw[f"{pre}_ln_b"], eps)
+
+    # cross-attention layers are a static subset (layer_idx % freq == 0):
+    # python loop over per-layer param slices, traced once per image shape
+    for i in range(cfg.q_layers):
+        lw = jax.tree.map(lambda a: a[i], params["qf_layers"])
+        x = attend(x, x, lw, "self")
+        if i % cfg.cross_frequency == 0:
+            x = attend(x, feats, lw, "cross")
+        y = jax.nn.gelu(x @ lw["ff_w1"] + lw["ff_b1"], approximate=False)
+        y = y @ lw["ff_w2"] + lw["ff_b2"]
+        x = _ln(y + x, lw["ff_ln"], lw["ff_ln_b"], eps)
+
+    return x @ params["proj_w"] + params["proj_b"]
+
+
+def blip2_params_from_hf(t: Dict[str, np.ndarray], cfg: Blip2Config,
+                         dtype=jnp.float32) -> Dict[str, Any]:
+    """Map HF Blip2 tensor names (vision_model.*, qformer.*, query_tokens,
+    language_projection.*) to the layouts above."""
+    def g(key, transpose=False):
+        x = np.asarray(t[key])
+        return jnp.asarray(x.T if transpose else x, dtype)
+
+    def stack(fmt, n, transpose=False):
+        xs = [np.asarray(t[fmt.format(i)]) for i in range(n)]
+        return jnp.asarray(
+            np.stack([x.T if transpose else x for x in xs]), dtype)
+
+    nv = cfg.vision.num_layers
+    vp = "vision_model.encoder.layers.{}."
+    vision = {
+        "layers": {
+            "ln1": stack(vp + "layer_norm1.weight", nv),
+            "ln1_b": stack(vp + "layer_norm1.bias", nv),
+            "ln2": stack(vp + "layer_norm2.weight", nv),
+            "ln2_b": stack(vp + "layer_norm2.bias", nv),
+            "qkv": stack(vp + "self_attn.qkv.weight", nv, transpose=True),
+            "qkv_b": stack(vp + "self_attn.qkv.bias", nv),
+            "wo": stack(vp + "self_attn.projection.weight", nv,
+                        transpose=True),
+            "bo": stack(vp + "self_attn.projection.bias", nv),
+            "fc1": stack(vp + "mlp.fc1.weight", nv, transpose=True),
+            "b1": stack(vp + "mlp.fc1.bias", nv),
+            "fc2": stack(vp + "mlp.fc2.weight", nv, transpose=True),
+            "b2": stack(vp + "mlp.fc2.bias", nv),
+        },
+        "patch_embed": jnp.asarray(
+            np.asarray(t["vision_model.embeddings.patch_embedding.weight"]
+                       ).reshape(cfg.vision.hidden_size, -1).T, dtype),
+        "patch_embed_b": g("vision_model.embeddings.patch_embedding.bias"),
+        "class_embed": g("vision_model.embeddings.class_embedding"
+                         ).reshape(-1),
+        "pos_embed": g("vision_model.embeddings.position_embedding"
+                       ).reshape(-1, cfg.vision.hidden_size),
+        "post_ln": g("vision_model.post_layernorm.weight"),
+        "post_ln_b": g("vision_model.post_layernorm.bias"),
+    }
+    nq = cfg.q_layers
+    qp = "qformer.encoder.layer.{}."
+
+    def qstack(suffix, transpose=False):
+        return stack(qp + suffix, nq, transpose=transpose)
+
+    qf_layers = {
+        "self_wq": qstack("attention.attention.query.weight",
+                          transpose=True),
+        "self_bq": qstack("attention.attention.query.bias"),
+        "self_wk": qstack("attention.attention.key.weight", transpose=True),
+        "self_bk": qstack("attention.attention.key.bias"),
+        "self_wv": qstack("attention.attention.value.weight",
+                          transpose=True),
+        "self_bv": qstack("attention.attention.value.bias"),
+        "self_wo": qstack("attention.output.dense.weight", transpose=True),
+        "self_bo": qstack("attention.output.dense.bias"),
+        "self_ln": qstack("attention.output.LayerNorm.weight"),
+        "self_ln_b": qstack("attention.output.LayerNorm.bias"),
+        "ff_w1": qstack("intermediate_query.dense.weight", transpose=True),
+        "ff_b1": qstack("intermediate_query.dense.bias"),
+        "ff_w2": qstack("output_query.dense.weight", transpose=True),
+        "ff_b2": qstack("output_query.dense.bias"),
+        "ff_ln": qstack("output_query.LayerNorm.weight"),
+        "ff_ln_b": qstack("output_query.LayerNorm.bias"),
+    }
+    # cross-attention params exist only on every cross_frequency-th layer;
+    # absent layers carry zeros (never read - the python loop above only
+    # applies "cross" where the layer has one)
+    def cstack(suffix, transpose=False):
+        xs = []
+        for i in range(nq):
+            key = (qp + "crossattention." + suffix).format(i)
+            if key in t:
+                x = np.asarray(t[key])
+                xs.append(x.T if transpose else x)
+            else:
+                xs.append(np.zeros_like(xs[0]) if xs else None)
+        ref = next(x for x in xs if x is not None)
+        xs = [x if x is not None else np.zeros_like(ref) for x in xs]
+        return jnp.asarray(np.stack(xs), dtype)
+
+    qf_layers.update({
+        "cross_wq": cstack("attention.query.weight", transpose=True),
+        "cross_bq": cstack("attention.query.bias"),
+        "cross_wk": cstack("attention.key.weight", transpose=True),
+        "cross_bk": cstack("attention.key.bias"),
+        "cross_wv": cstack("attention.value.weight", transpose=True),
+        "cross_bv": cstack("attention.value.bias"),
+        "cross_wo": cstack("output.dense.weight", transpose=True),
+        "cross_bo": cstack("output.dense.bias"),
+        "cross_ln": cstack("output.LayerNorm.weight"),
+        "cross_ln_b": cstack("output.LayerNorm.bias"),
+    })
+    return {
+        "vision": vision,
+        "qf_layers": qf_layers,
+        "query_tokens": g("query_tokens").reshape(
+            cfg.num_query_tokens, cfg.q_hidden),
+        "qf_ln": g("qformer.layernorm.weight"),
+        "qf_ln_b": g("qformer.layernorm.bias"),
+        "proj_w": g("language_projection.weight", transpose=True),
+        "proj_b": g("language_projection.bias"),
+    }
+
+
 # ----------------------------------------------------------------- loading
 def params_from_hf(t: Dict[str, np.ndarray], cfg: VisionConfig,
                    dtype=jnp.float32) -> Dict[str, Any]:

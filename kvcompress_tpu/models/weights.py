@@ -102,6 +102,10 @@ def load_multimodal(model_dir: str, dtype=jnp.float32):
     arch = (hf_cfg.get("architectures") or [""])[0]
     if arch == "FuyuForCausalLM":
         return ("fuyu", None, vision.fuyu_params_from_hf(tensors, dtype))
+    if arch == "Blip2ForConditionalGeneration":
+        bcfg = vision.blip2_config_from_hf(hf_cfg)
+        return ("blip2", bcfg,
+                vision.blip2_params_from_hf(tensors, bcfg, dtype))
     vcfg = vision.config_from_hf(hf_cfg["vision_config"], hf_cfg)
     kind = ("llava_next" if arch == "LlavaNextForConditionalGeneration"
             else "llava")
