@@ -75,6 +75,12 @@ class ModelConfig:
     qkv_bias: bool = False
     # dbrx/olmo-0424: clamp qkv activations to +-clip_qkv before rope
     clip_qkv: Optional[float] = None
+    # PaliGemma-style prefix-LM: the WHOLE prompt (image tokens + text
+    # prefix) attends bidirectionally during prefill; generated tokens
+    # stay causal (HF modeling_paligemma._update_causal_mask inference
+    # branch). Prefill runs on the XLA attention path; decode is
+    # mask-independent and keeps the pallas kernels.
+    prefix_lm: bool = False
 
     # ---- generic-decoder architecture knobs (models/decoder.py) ----
     # These parameterize the one scan-over-layers forward so that every

@@ -678,6 +678,7 @@ class LLMEngine:
             return None
         from kvcompress_tpu.models.decoder import window_array
         if (mc.alibi or window_array(mc) is not None or mc.kv_lora_rank
+                or mc.prefix_lm
                 or self.mesh is not None or self.programs.pp > 1):
             return None  # continuation not wired for these; old path works
         window = self.cfg.kvcompress.prefill_metric_collection_window_size

@@ -233,11 +233,13 @@ class LLM:
         if kind == "fuyu":
             patches = jnp.asarray(mm["image_patches"])
             embeds = fuyu_image_embed(vparams, patches)
-        elif kind == "blip2":
-            from kvcompress_tpu.models.vision import blip2_image_embed
+        elif kind in ("blip2", "paligemma"):
+            from kvcompress_tpu.models.vision import (blip2_image_embed,
+                                                      paligemma_image_embed)
             if self._vision_jit is None:
-                self._vision_jit = jax.jit(blip2_image_embed,
-                                           static_argnums=1)
+                fn = (blip2_image_embed if kind == "blip2"
+                      else paligemma_image_embed)
+                self._vision_jit = jax.jit(fn, static_argnums=1)
             px = jnp.asarray(mm["image"])
             if px.ndim == 3:
                 px = px[None]

@@ -865,7 +865,7 @@ def prefill(
     win = window_array(cfg)
 
     if (spec.impl in ("pallas", "interpret") and not cfg.alibi
-            and win is None):
+            and win is None and not cfg.prefix_lm):
         from kvcompress_tpu.ops.pallas import prefill_attention as ppf
 
         sharded = None
@@ -905,7 +905,7 @@ def prefill(
                 use_l2=spec.use_l2, use_average=spec.use_average,
                 use_maxpool=spec.use_maxpool,
                 logit_cap=cfg.attn_logit_softcap, alibi=al,
-                window=window)
+                window=window, prefix_lm=cfg.prefix_lm)
 
     if win is None:
         def attn_fn(slot_mapping_l, q, k, v, cache):
@@ -1018,8 +1018,8 @@ def prefill_cont(
     positions = P + jnp.arange(T, dtype=jnp.int32)
     scale = attn_scale(cfg)
     assert not cfg.alibi and window_array(cfg) is None \
-        and not cfg.kv_lora_rank, \
-        "chunked prefill supports rope/full-attention models only"
+        and not cfg.kv_lora_rank and not cfg.prefix_lm, \
+        "chunked prefill supports rope/full-attention causal models only"
     use_pallas = spec.impl in ("pallas", "interpret")
 
     def attn_fn(pre_ids_l, q, k, v, cache):

@@ -252,6 +252,38 @@ def _llava_next():
     return cfg_fn, load_fn
 
 
+@_register("PaliGemmaForConditionalGeneration")
+def _paligemma():
+    """PaliGemma (reference vllm/model_executor/models/paligemma.py):
+    gemma text tower + SigLIP vision tower (models/vision.py
+    paligemma_image_embed) + single-linear projector. Unlike the
+    reference (which serves it causally), the prompt runs as a true
+    prefix-LM (cfg.prefix_lm -> bidirectional prompt attention in the
+    XLA prefill, matching HF modeling_paligemma's inference mask)."""
+    def cfg_fn(hf, name):
+        tc = dict(hf["text_config"])
+        arch = (tc.get("architectures") or [
+            {"gemma2": "Gemma2ForCausalLM"}.get(
+                tc.get("model_type"), "GemmaForCausalLM")])[0]
+        tc["architectures"] = [arch]
+        cfg = config_from_hf(tc, name)
+        if cfg.sliding_window:
+            raise ValueError(
+                "paligemma with a sliding-window text tower (paligemma2/"
+                "gemma2) is not supported: windowed masking composes "
+                "incorrectly with the bidirectional prefix")
+        cfg.architecture = "PaliGemmaForConditionalGeneration"
+        cfg.image_token_index = hf.get("image_token_index", 257152)
+        cfg.prefix_lm = True
+        return cfg
+
+    def load_fn(t, cfg, dtype):
+        return _load_llama_style(_strip_language_model_prefix(t), cfg,
+                                 dtype)
+
+    return cfg_fn, load_fn
+
+
 @_register("LlamaForCausalLM", "MistralForCausalLM")
 def _llama():
     def cfg_fn(hf, name):
@@ -2157,11 +2189,9 @@ _KNOWN_UNSUPPORTED: Dict[str, str] = {
     "compress; the reference's KVC path blesses llama-family attention "
     "only and serves jamba on its VANILLA engine - model-level jamba "
     "(HF-parity forward + stateful generation) lives in models/jamba.py",
-    "Blip2ForConditionalGeneration": "multimodal",
     "ChameleonForConditionalGeneration": "multimodal",
     "InternVLChatModel": "multimodal",
     "MiniCPMV": "multimodal",
-    "PaliGemmaForConditionalGeneration": "multimodal",
     "Phi3VForCausalLM": "multimodal",
     "QWenLMHeadModel-VL": "multimodal (text QWenLMHeadModel is supported)",
     "UltravoxModel": "audio multimodal",

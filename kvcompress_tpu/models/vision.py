@@ -480,6 +480,122 @@ def blip2_params_from_hf(t: Dict[str, np.ndarray], cfg: Blip2Config,
     }
 
 
+# ----------------------------------------------------------- paligemma
+# Reference vllm/model_executor/models/paligemma.py + siglip.py: a SigLIP
+# vision tower (patch conv WITH bias, learned positions, NO class token,
+# pre-LN layers with gelu_pytorch_tanh MLPs, post-layernorm on the final
+# states, no pooling head) followed by one linear projector. The text
+# tower is stock gemma; the prompt runs as a prefix-LM (ModelConfig
+# .prefix_lm - see ops/attention.py prefill_attention). HF divides the
+# projected features by sqrt(D_text) and the gemma embed path multiplies
+# everything by sqrt(D_text); our splice happens AFTER the embed scaling
+# and REPLACES the rows, so the raw projector output is the right value.
+
+def siglip_vision_forward(params: Dict[str, Any], cfg: VisionConfig,
+                          pixel_values: jax.Array) -> jax.Array:
+    """pixel_values [3, H, W] -> post-layernormed hidden states
+    [num_patches, D_v] (HF SiglipVisionTransformer.last_hidden_state with
+    vision_use_head=False, as paligemma configures it)."""
+    D, P = cfg.hidden_size, cfg.patch_size
+    C, H, W = pixel_values.shape
+    x = pixel_values.reshape(C, H // P, P, W // P, P)
+    x = jnp.transpose(x, (1, 3, 0, 2, 4)).reshape(-1, C * P * P)
+    x = x @ params["patch_embed"] + params["patch_embed_b"]
+    x = x + params["pos_embed"]                  # no CLS token in siglip
+    h = cfg.num_heads
+    d = D // h
+
+    def layer(x, lw):
+        r = x
+        y = _ln(x, lw["ln1"], lw["ln1_b"], cfg.layer_norm_eps)
+        T = y.shape[0]
+        q = (y @ lw["wq"] + lw["bq"]).reshape(T, h, d)
+        k = (y @ lw["wk"] + lw["bk"]).reshape(T, h, d)
+        v = (y @ lw["wv"] + lw["bv"]).reshape(T, h, d)
+        logits = jnp.einsum("qhd,khd->hqk", q.astype(jnp.float32),
+                            k.astype(jnp.float32)) * d ** -0.5
+        probs = jax.nn.softmax(logits, axis=-1)
+        o = jnp.einsum("hqk,khd->qhd", probs,
+                       v.astype(jnp.float32)).reshape(T, D)
+        x = r + (o.astype(y.dtype) @ lw["wo"] + lw["bo"])
+        r = x
+        y = _ln(x, lw["ln2"], lw["ln2_b"], cfg.layer_norm_eps)
+        # siglip hidden_act = gelu_pytorch_tanh
+        y = jax.nn.gelu(y @ lw["fc1"] + lw["b1"],
+                        approximate=True) @ lw["fc2"] + lw["b2"]
+        return x + y, None
+
+    x, _ = jax.lax.scan(layer, x, params["layers"])
+    return _ln(x, params["post_ln"], params["post_ln_b"],
+               cfg.layer_norm_eps)
+
+
+def paligemma_image_embed(params: Dict[str, Any], cfg: VisionConfig,
+                          pixel_values: jax.Array) -> jax.Array:
+    """Image -> projected embeddings [num_patches, D_text] (HF
+    PaliGemmaForConditionalGeneration.get_image_features WITHOUT the
+    1/sqrt(D_text) scale - see the module comment above: the engine
+    splice replaces post-scaled embedding rows, so HF's divide and
+    gemma's multiply cancel exactly)."""
+    feats = siglip_vision_forward(params["vision"], cfg, pixel_values)
+    return feats @ params["proj_w"] + params["proj_b"]
+
+
+def paligemma_params_from_hf(t: Dict[str, np.ndarray], cfg: VisionConfig,
+                             dtype=jnp.float32) -> Dict[str, Any]:
+    """Map HF paligemma tensor names (vision_tower.vision_model.* +
+    multi_modal_projector.linear.*, optionally "model."-prefixed) to the
+    stacked-layer layout of siglip_vision_forward."""
+    pre = "model." if any(k.startswith("model.vision_tower.")
+                          for k in t) else ""
+    vt = pre + "vision_tower.vision_model."
+    n = cfg.num_layers
+
+    def g(key, transpose=False):
+        x = np.asarray(t[key])
+        return jnp.asarray(x.T if transpose else x, dtype)
+
+    def stack(fmt, transpose=False):
+        xs = [np.asarray(t[fmt.format(i)]) for i in range(n)]
+        return jnp.asarray(
+            np.stack([x.T if transpose else x for x in xs]), dtype)
+
+    p = vt + "encoder.layers.{}."
+    layers = {
+        "ln1": stack(p + "layer_norm1.weight"),
+        "ln1_b": stack(p + "layer_norm1.bias"),
+        "ln2": stack(p + "layer_norm2.weight"),
+        "ln2_b": stack(p + "layer_norm2.bias"),
+        "wq": stack(p + "self_attn.q_proj.weight", transpose=True),
+        "bq": stack(p + "self_attn.q_proj.bias"),
+        "wk": stack(p + "self_attn.k_proj.weight", transpose=True),
+        "bk": stack(p + "self_attn.k_proj.bias"),
+        "wv": stack(p + "self_attn.v_proj.weight", transpose=True),
+        "bv": stack(p + "self_attn.v_proj.bias"),
+        "wo": stack(p + "self_attn.out_proj.weight", transpose=True),
+        "bo": stack(p + "self_attn.out_proj.bias"),
+        "fc1": stack(p + "mlp.fc1.weight", transpose=True),
+        "b1": stack(p + "mlp.fc1.bias"),
+        "fc2": stack(p + "mlp.fc2.weight", transpose=True),
+        "b2": stack(p + "mlp.fc2.bias"),
+    }
+    conv = np.asarray(t[vt + "embeddings.patch_embedding.weight"])
+    D = conv.shape[0]
+    return {
+        "vision": {
+            "layers": layers,
+            "patch_embed": jnp.asarray(conv.reshape(D, -1).T, dtype),
+            "patch_embed_b": g(vt + "embeddings.patch_embedding.bias"),
+            "pos_embed": g(vt + "embeddings.position_embedding.weight"),
+            "post_ln": g(vt + "post_layernorm.weight"),
+            "post_ln_b": g(vt + "post_layernorm.bias"),
+        },
+        "proj_w": g(pre + "multi_modal_projector.linear.weight",
+                    transpose=True),
+        "proj_b": g(pre + "multi_modal_projector.linear.bias"),
+    }
+
+
 # ----------------------------------------------------------------- loading
 def params_from_hf(t: Dict[str, np.ndarray], cfg: VisionConfig,
                    dtype=jnp.float32) -> Dict[str, Any]:

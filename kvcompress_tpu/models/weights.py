@@ -106,6 +106,10 @@ def load_multimodal(model_dir: str, dtype=jnp.float32):
         bcfg = vision.blip2_config_from_hf(hf_cfg)
         return ("blip2", bcfg,
                 vision.blip2_params_from_hf(tensors, bcfg, dtype))
+    if arch == "PaliGemmaForConditionalGeneration":
+        vcfg = vision.config_from_hf(hf_cfg["vision_config"], hf_cfg)
+        return ("paligemma", vcfg,
+                vision.paligemma_params_from_hf(tensors, vcfg, dtype))
     vcfg = vision.config_from_hf(hf_cfg["vision_config"], hf_cfg)
     kind = ("llava_next" if arch == "LlavaNextForConditionalGeneration"
             else "llava")

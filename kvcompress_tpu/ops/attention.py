@@ -110,6 +110,7 @@ def prefill_attention(
     alibi: Optional[jax.Array] = None,   # [H_q] slopes (bloom/mpt)
     window: Optional[jax.Array] = None,  # [] i32 sliding window (<0 = off)
     q_offset: jax.Array | int = 0,       # [] i32 tokens already cached
+    prefix_lm: bool = False,             # bidirectional prompt (paligemma)
 ) -> Tuple[jax.Array, jax.Array]:
     """Causal self-attention for one prompt + per-KV prefill metrics.
 
@@ -151,7 +152,13 @@ def prefill_attention(
                 kpos - qpos).astype(jnp.float32)
         if logit_cap:
             logits = logit_cap * jnp.tanh(logits / logit_cap)
-        mask = (kpos <= qpos) & (kpos < total_len)
+        if prefix_lm:
+            # prefix-LM (paligemma): every prompt query sees every prompt
+            # key (HF modeling_paligemma inference mask: the [:seq_len]
+            # square is fully unmasked); padding rows keep a nonempty mask
+            mask = jnp.broadcast_to(kpos < total_len, (Hq, q_chunk, Tk))
+        else:
+            mask = (kpos <= qpos) & (kpos < total_len)
         if window is not None:
             mask = mask & ((window < 0) | (kpos > qpos - window))
         logits = jnp.where(mask, logits, NEG_INF)
@@ -188,7 +195,11 @@ def prefill_attention(
                 kpos - qpos).astype(jnp.float32)
         if logit_cap:
             logits = logit_cap * jnp.tanh(logits / logit_cap)
-        causal = (kpos <= qpos) & (kpos < total_len) & (qpos < total_len)
+        if prefix_lm:
+            causal = jnp.broadcast_to(
+                (kpos < total_len) & (qpos < total_len), (Hq, mb, Tk))
+        else:
+            causal = (kpos <= qpos) & (kpos < total_len) & (qpos < total_len)
         if window is not None:
             causal = causal & ((window < 0) | (kpos > qpos - window))
         logits = jnp.where(causal, logits, NEG_INF)
