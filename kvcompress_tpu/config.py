@@ -108,6 +108,12 @@ class ModelConfig:
     rope_interleaved: bool = False      # gpt-j / cohere rotate-every-two
     qk_norm: bool = False               # persimmon/qwen3 per-head q/k norm
     qk_norm_full: bool = False          # olmo2/olmoe: norm over Hq*d
+    # chameleon: LAYERNORM stats over head_dim (eps fixed at 1e-5, HF
+    # ChameleonLayerNorm) with a per-(head, dim) affine weight AND bias
+    qk_norm_per_head: bool = False
+    # chameleon: token ids whose logits are masked to dtype-min at every
+    # step (image-codebook tokens are not sampled in text generation)
+    logit_suppress_tokens: Optional[tuple] = None
     no_pre_norm: bool = False           # olmo2: norm sublayer OUTPUTS only
     embed_norm: bool = False            # bloom word_embeddings_layernorm
     alibi: bool = False                 # bloom / mpt attention bias

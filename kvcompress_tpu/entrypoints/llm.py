@@ -230,6 +230,36 @@ class LLM:
         assert self._vision is not None, \
             "multi_modal_data passed but the model has no vision tower"
         kind, vcfg, vparams = self._vision
+        if kind == "chameleon":
+            # images become TEXT tokens (VQ-VAE codebook ids mapped onto
+            # the BPE vocabulary): each <image> placeholder is REPLACED
+            # by its token run - no embedding splice at all (reference
+            # chameleon.py input mapper + model.get_image_tokens)
+            from kvcompress_tpu.models.vision import chameleon_vq_indices
+            vqcfg, img2bpe = vcfg
+            if self._vision_jit is None:
+                self._vision_jit = jax.jit(chameleon_vq_indices,
+                                           static_argnums=1)
+            px = jnp.asarray(mm["image"])
+            if px.ndim == 3:
+                px = px[None]
+            runs = [img2bpe[np.asarray(
+                self._vision_jit(vparams, vqcfg, px[k]))]
+                for k in range(px.shape[0])]
+            img_tok = self.llm_engine.cfg.model.image_token_index
+            new_ids, run_i = [], 0
+            for tok in prompt_ids:
+                if tok == img_tok:
+                    assert run_i < len(runs), \
+                        "more <image> tokens than images passed"
+                    new_ids.extend(int(x) for x in runs[run_i])
+                    run_i += 1
+                else:
+                    new_ids.append(tok)
+            assert run_i == len(runs), (
+                f"prompt has {run_i} <image> tokens but {len(runs)} "
+                "images were passed")
+            return new_ids, {}
         if kind == "fuyu":
             patches = jnp.asarray(mm["image_patches"])
             embeds = fuyu_image_embed(vparams, patches)

@@ -534,6 +534,11 @@ def init_params(cfg: ModelConfig, seed: int = 0,
     elif cfg.qk_norm_full:
         layers["q_norm"] = jnp.ones((L, Hq * d), dtype)
         layers["k_norm"] = jnp.ones((L, Hkv * d), dtype)
+    elif cfg.qk_norm_per_head:
+        layers["q_norm"] = jnp.ones((L, Hq, d), dtype)
+        layers["k_norm"] = jnp.ones((L, Hkv, d), dtype)
+        layers["q_norm_b"] = jnp.zeros((L, Hq, d), dtype)
+        layers["k_norm_b"] = jnp.zeros((L, Hkv, d), dtype)
 
     params: Dict[str, Any] = {
         "embed": w(V, D, scale=0.02),
@@ -685,6 +690,18 @@ def _layer_step_fn(cfg: ModelConfig, T: int, cos, sin, attn_fn,
             if cfg.qk_norm:
                 q = _norm(q, lw["q_norm"], lw.get("q_norm_b"), cfg)
                 k = _norm(k, lw["k_norm"], lw.get("k_norm_b"), cfg)
+            if cfg.qk_norm_per_head:
+                # chameleon: layernorm stats over head_dim (eps fixed at
+                # 1e-5 in HF ChameleonLayerNorm regardless of rms_norm_eps)
+                # with per-(head, dim) affine + bias, applied BEFORE rope
+                def _head_ln(y, w, b):
+                    yf = y.astype(jnp.float32)
+                    mu = jnp.mean(yf, axis=-1, keepdims=True)
+                    var = jnp.var(yf, axis=-1, keepdims=True)
+                    yn = (yf - mu) * jax.lax.rsqrt(var + 1e-5)
+                    return (yn * w[None] + b[None]).astype(y.dtype)
+                q = _head_ln(q, lw["q_norm"], lw["q_norm_b"])
+                k = _head_ln(k, lw["k_norm"], lw["k_norm_b"])
             if cfg.pos_embedding == "rope":
                 q = apply_rope(q, cos, sin, cfg.rope_interleaved)
                 k = apply_rope(k, cos, sin, cfg.rope_interleaved)
@@ -826,6 +843,16 @@ def compute_logits(params: Dict[str, Any], cfg: ModelConfig,
         logits = logits / cfg.logits_scaling
     if cfg.logit_soft_cap:
         logits = cfg.logit_soft_cap * jnp.tanh(logits / cfg.logit_soft_cap)
+    if cfg.logit_suppress_tokens:
+        # chameleon: image-codebook tokens are never sampled in text
+        # generation (HF ChameleonForConditionalGeneration.forward and
+        # reference chameleon.py:993-995 both mask them to dtype-min)
+        ids = jnp.asarray(cfg.logit_suppress_tokens, jnp.int32)
+        fill = jnp.full(ids.shape, jnp.finfo(jnp.float32).min)
+        if logits.ndim == 1:
+            logits = logits.at[ids].set(fill)
+        else:
+            logits = logits.at[:, ids].set(fill[None])
     return logits
 
 

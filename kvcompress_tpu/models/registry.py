@@ -252,6 +252,49 @@ def _llava_next():
     return cfg_fn, load_fn
 
 
+@_register("ChameleonForConditionalGeneration")
+def _chameleon():
+    """Chameleon (reference vllm/model_executor/models/chameleon.py):
+    llama-style decoder with per-head q/k LAYERNORM (qk_norm_per_head)
+    and, for the 30B swin_norm variant, norm-after-sublayer ordering
+    (our no_pre_norm + use_post_norms composition). Images are VQ-VAE
+    tokenized into TEXT ids (models/vision.py chameleon_image_tokens) -
+    the engine never sees an embedding splice, just tokens."""
+    def cfg_fn(hf, name):
+        swin = {"no_pre_norm": True, "use_post_norms": True} \
+            if hf.get("swin_norm") else {}
+        cfg = _base_cfg(hf, "ChameleonForConditionalGeneration", name,
+                        qk_norm_per_head=True, **swin)
+        vm = hf.get("vocabulary_map") or {}
+        cfg.image_token_index = vm.get("<image>")
+        img_toks = sorted(v for k, v in vm.items()
+                          if k.startswith("IMGIMG"))
+        cfg.logit_suppress_tokens = tuple(img_toks) or None
+        return cfg
+
+    def load_fn(t, cfg, dtype):
+        params = _load_llama_style(t, cfg, dtype)
+        ld = _Loader(t, cfg, dtype)
+        p = "model.layers.{}."
+        # HF ChameleonLayerNorm weights are [H, head_dim] (per-head affine)
+        ld.stack("q_norm", p + "self_attn.q_norm.weight")
+        ld.stack("q_norm_b", p + "self_attn.q_norm.bias")
+        ld.stack("k_norm", p + "self_attn.k_norm.weight")
+        ld.stack("k_norm_b", p + "self_attn.k_norm.bias")
+        params["layers"].update(ld.params()["layers"])
+        if cfg.use_post_norms:
+            # swin ordering re-purposes the same checkpoint norms: the
+            # "input" norm is applied to the ATTENTION OUTPUT, the
+            # "post_attention" norm to the MLP OUTPUT (HF
+            # ChameleonSwinDecoderLayer.forward)
+            lay = params["layers"]
+            lay["post_attn_out_norm"] = lay.pop("input_norm")
+            lay["post_mlp_norm"] = lay.pop("post_attn_norm")
+        return params
+
+    return cfg_fn, load_fn
+
+
 @_register("PaliGemmaForConditionalGeneration")
 def _paligemma():
     """PaliGemma (reference vllm/model_executor/models/paligemma.py):
@@ -2189,7 +2232,6 @@ _KNOWN_UNSUPPORTED: Dict[str, str] = {
     "compress; the reference's KVC path blesses llama-family attention "
     "only and serves jamba on its VANILLA engine - model-level jamba "
     "(HF-parity forward + stateful generation) lives in models/jamba.py",
-    "ChameleonForConditionalGeneration": "multimodal",
     "InternVLChatModel": "multimodal",
     "MiniCPMV": "multimodal",
     "Phi3VForCausalLM": "multimodal",

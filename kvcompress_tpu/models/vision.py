@@ -596,6 +596,214 @@ def paligemma_params_from_hf(t: Dict[str, np.ndarray], cfg: VisionConfig,
     }
 
 
+# ----------------------------------------------------------- chameleon
+# Reference vllm/model_executor/models/chameleon.py: images enter the
+# TEXT vocabulary - a VQ-VAE (Make-a-Scene VQGAN) encoder tokenizes the
+# image into discrete codebook indices, which map onto BPE ids via the
+# config's vocabulary_map (IMGIMG tokens). No embedding splice at all:
+# the prompt's <image> placeholders are REPLACED by real token ids and
+# the engine serves plain text from there.
+
+@dataclasses.dataclass(frozen=True)
+class ChameleonVQConfig:
+    embed_dim: int
+    num_embeddings: int
+    base_channels: int
+    channel_multiplier: tuple
+    num_res_blocks: int
+    attn_resolutions: tuple
+    resolution: int
+    latent_channels: int
+    in_channels: int = 3
+
+
+def chameleon_vq_config_from_hf(hf: dict) -> ChameleonVQConfig:
+    vq = hf["vq_config"]
+    return ChameleonVQConfig(
+        embed_dim=vq["embed_dim"],
+        num_embeddings=vq["num_embeddings"],
+        base_channels=vq["base_channels"],
+        channel_multiplier=tuple(vq["channel_multiplier"]),
+        num_res_blocks=vq["num_res_blocks"],
+        attn_resolutions=tuple(vq.get("attn_resolutions") or ()),
+        resolution=vq["resolution"],
+        latent_channels=vq["latent_channels"],
+        in_channels=vq.get("in_channels", 3),
+    )
+
+
+def _conv2d(x, w, b, stride=1, pad=1):
+    """x [C, H, W], HF conv weight [O, I, kh, kw] -> [O, H', W']."""
+    y = jax.lax.conv_general_dilated(
+        x[None].astype(jnp.float32), w.astype(jnp.float32),
+        window_strides=(stride, stride),
+        padding=[(pad, pad), (pad, pad)] if isinstance(pad, int) else pad,
+        dimension_numbers=("NCHW", "OIHW", "NCHW"))[0]
+    return y + b[:, None, None]
+
+
+def _gn(x, w, b, groups=32, eps=1e-6):
+    """GroupNorm over [C, H, W] (HF GroupNorm(32, C, eps=1e-6))."""
+    C, H, W = x.shape
+    g = x.reshape(groups, C // groups, H, W).astype(jnp.float32)
+    mu = jnp.mean(g, axis=(1, 2, 3), keepdims=True)
+    var = jnp.var(g, axis=(1, 2, 3), keepdims=True)
+    g = (g - mu) * jax.lax.rsqrt(var + eps)
+    return g.reshape(C, H, W) * w[:, None, None] + b[:, None, None]
+
+
+def _swish(x):
+    return x * jax.nn.sigmoid(x)
+
+
+def _vq_resnet(x, p):
+    h = _conv2d(_swish(_gn(x, p["n1_w"], p["n1_b"])),
+                p["c1_w"], p["c1_b"])
+    h = _conv2d(_swish(_gn(h, p["n2_w"], p["n2_b"])),
+                p["c2_w"], p["c2_b"])
+    if "nin_w" in p:          # channel change: 1x1 shortcut
+        x = _conv2d(x, p["nin_w"], p["nin_b"], pad=0)
+    return x + h
+
+
+def _vq_attn(x, p):
+    h = _gn(x, p["n_w"], p["n_b"])
+    q = _conv2d(h, p["q_w"], p["q_b"], pad=0)
+    k = _conv2d(h, p["k_w"], p["k_b"], pad=0)
+    v = _conv2d(h, p["v_w"], p["v_b"], pad=0)
+    C, H, W = q.shape
+    logits = jnp.einsum("cq,ck->qk", q.reshape(C, H * W),
+                        k.reshape(C, H * W)) * C ** -0.5
+    probs = jax.nn.softmax(logits, axis=-1)
+    o = jnp.einsum("qk,ck->cq", probs, v.reshape(C, H * W))
+    o = _conv2d(o.reshape(C, H, W), p["o_w"], p["o_b"], pad=0)
+    return x + o
+
+
+def chameleon_vq_indices(params: Dict[str, Any], cfg: ChameleonVQConfig,
+                         pixel_values: jax.Array) -> jax.Array:
+    """[3, res, res] -> flat codebook indices [latent_h * latent_w] i32
+    (HF ChameleonVQVAE.encode: encoder -> quant_conv -> nearest-codebook
+    quantizer)."""
+    h = _conv2d(pixel_values, params["conv_in_w"], params["conv_in_b"])
+    for level in params["down"]:
+        for blk in level["blocks"]:
+            h = _vq_resnet(h, blk["res"])
+            if "attn" in blk:
+                h = _vq_attn(h, blk["attn"])
+        if "down_w" in level:
+            # asymmetric (0,1,0,1) pad + stride-2 conv (HF ConvDownsample)
+            h = jax.lax.conv_general_dilated(
+                h[None].astype(jnp.float32),
+                level["down_w"].astype(jnp.float32),
+                window_strides=(2, 2), padding=[(0, 1), (0, 1)],
+                dimension_numbers=("NCHW", "OIHW", "NCHW"))[0] \
+                + level["down_b"][:, None, None]
+    h = _vq_resnet(h, params["mid_b1"])
+    h = _vq_attn(h, params["mid_attn"])
+    h = _vq_resnet(h, params["mid_b2"])
+    h = _conv2d(_swish(_gn(h, params["out_n_w"], params["out_n_b"])),
+                params["conv_out_w"], params["conv_out_b"])
+    h = _conv2d(h, params["quant_w"], params["quant_b"], pad=0)
+    C, H, W = h.shape
+    z = h.transpose(1, 2, 0).reshape(-1, C)          # [hw, embed_dim]
+    e = params["codebook"].astype(jnp.float32)       # [n_emb, embed_dim]
+    d2 = (jnp.sum(z * z, axis=1, keepdims=True)
+          + jnp.sum(e * e, axis=1)[None] - 2.0 * z @ e.T)
+    return jnp.argmin(d2, axis=1).astype(jnp.int32)
+
+
+def chameleon_img2bpe(vocabulary_map: Dict[str, int]) -> np.ndarray:
+    """VQ codebook index -> BPE token id lookup table (HF
+    ChameleonImageVocabularyMapping: IMGIMG names encode the index with
+    A-J digit characters, last char dropped)."""
+    chr_map = {chr(ord("A") + i): str(i) for i in range(10)}
+    pairs = {}
+    for name, tok in vocabulary_map.items():
+        if name.startswith("IMGIMG"):
+            idx = int("".join(chr_map.get(c, c) for c in name[6:-1]))
+            pairs[idx] = tok
+    table = np.zeros(max(pairs) + 1, np.int32)
+    for idx, tok in pairs.items():
+        table[idx] = tok
+    return table
+
+
+def chameleon_image_tokens(params, cfg: ChameleonVQConfig,
+                           img2bpe: np.ndarray,
+                           pixel_values: jax.Array) -> np.ndarray:
+    """[3, res, res] image -> BPE token ids (the text ids the engine
+    serves; reference chameleon.py input mapper + model.get_image_tokens)."""
+    idx = np.asarray(chameleon_vq_indices(params, cfg, pixel_values))
+    return img2bpe[idx]
+
+
+def chameleon_vq_params_from_hf(t: Dict[str, np.ndarray],
+                                cfg: ChameleonVQConfig,
+                                dtype=jnp.float32) -> Dict[str, Any]:
+    """Map HF chameleon vqmodel tensor names (model.vqmodel.encoder.* +
+    quant_conv + quantize.embedding) to the pytree above."""
+    pre = ("model.vqmodel." if any(k.startswith("model.vqmodel.")
+                                   for k in t) else "vqmodel.")
+
+    def g(key):
+        return jnp.asarray(t[pre + key], dtype)
+
+    def resnet(px):
+        p = {
+            "n1_w": g(px + "norm1.weight"), "n1_b": g(px + "norm1.bias"),
+            "c1_w": g(px + "conv1.weight"), "c1_b": g(px + "conv1.bias"),
+            "n2_w": g(px + "norm2.weight"), "n2_b": g(px + "norm2.bias"),
+            "c2_w": g(px + "conv2.weight"), "c2_b": g(px + "conv2.bias"),
+        }
+        if pre + px + "nin_shortcut.weight" in t:
+            p["nin_w"] = g(px + "nin_shortcut.weight")
+            p["nin_b"] = g(px + "nin_shortcut.bias")
+        return p
+
+    def attn(px):
+        return {
+            "n_w": g(px + "norm.weight"), "n_b": g(px + "norm.bias"),
+            "q_w": g(px + "q.weight"), "q_b": g(px + "q.bias"),
+            "k_w": g(px + "k.weight"), "k_b": g(px + "k.bias"),
+            "v_w": g(px + "v.weight"), "v_b": g(px + "v.bias"),
+            "o_w": g(px + "proj_out.weight"),
+            "o_b": g(px + "proj_out.bias"),
+        }
+
+    down = []
+    curr_res = cfg.resolution
+    n_levels = len(cfg.channel_multiplier)
+    for lvl in range(n_levels):
+        blocks = []
+        for b in range(cfg.num_res_blocks):
+            blk = {"res": resnet(f"encoder.down.{lvl}.block.{b}.")}
+            if curr_res in cfg.attn_resolutions:
+                blk["attn"] = attn(f"encoder.down.{lvl}.attn.{b}.")
+            blocks.append(blk)
+        level = {"blocks": blocks}
+        if lvl != n_levels - 1:
+            level["down_w"] = g(f"encoder.down.{lvl}.downsample.conv.weight")
+            level["down_b"] = g(f"encoder.down.{lvl}.downsample.conv.bias")
+            curr_res //= 2
+        down.append(level)
+    return {
+        "conv_in_w": g("encoder.conv_in.weight"),
+        "conv_in_b": g("encoder.conv_in.bias"),
+        "down": down,
+        "mid_b1": resnet("encoder.mid.block_1."),
+        "mid_attn": attn("encoder.mid.attn_1."),
+        "mid_b2": resnet("encoder.mid.block_2."),
+        "out_n_w": g("encoder.norm_out.weight"),
+        "out_n_b": g("encoder.norm_out.bias"),
+        "conv_out_w": g("encoder.conv_out.weight"),
+        "conv_out_b": g("encoder.conv_out.bias"),
+        "quant_w": g("quant_conv.weight"),
+        "quant_b": g("quant_conv.bias"),
+        "codebook": g("quantize.embedding.weight"),
+    }
+
+
 # ----------------------------------------------------------------- loading
 def params_from_hf(t: Dict[str, np.ndarray], cfg: VisionConfig,
                    dtype=jnp.float32) -> Dict[str, Any]:

@@ -106,6 +106,11 @@ def load_multimodal(model_dir: str, dtype=jnp.float32):
         bcfg = vision.blip2_config_from_hf(hf_cfg)
         return ("blip2", bcfg,
                 vision.blip2_params_from_hf(tensors, bcfg, dtype))
+    if arch == "ChameleonForConditionalGeneration":
+        vqcfg = vision.chameleon_vq_config_from_hf(hf_cfg)
+        img2bpe = vision.chameleon_img2bpe(hf_cfg["vocabulary_map"])
+        return ("chameleon", (vqcfg, img2bpe),
+                vision.chameleon_vq_params_from_hf(tensors, vqcfg, dtype))
     if arch == "PaliGemmaForConditionalGeneration":
         vcfg = vision.config_from_hf(hf_cfg["vision_config"], hf_cfg)
         return ("paligemma", vcfg,
