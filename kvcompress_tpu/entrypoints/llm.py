@@ -263,12 +263,14 @@ class LLM:
         if kind == "fuyu":
             patches = jnp.asarray(mm["image_patches"])
             embeds = fuyu_image_embed(vparams, patches)
-        elif kind in ("blip2", "paligemma"):
+        elif kind in ("blip2", "paligemma", "internvl"):
             from kvcompress_tpu.models.vision import (blip2_image_embed,
+                                                      internvl_image_embed,
                                                       paligemma_image_embed)
             if self._vision_jit is None:
-                fn = (blip2_image_embed if kind == "blip2"
-                      else paligemma_image_embed)
+                fn = {"blip2": blip2_image_embed,
+                      "paligemma": paligemma_image_embed,
+                      "internvl": internvl_image_embed}[kind]
                 self._vision_jit = jax.jit(fn, static_argnums=1)
             px = jnp.asarray(mm["image"])
             if px.ndim == 3:

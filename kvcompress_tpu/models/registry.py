@@ -252,6 +252,30 @@ def _llava_next():
     return cfg_fn, load_fn
 
 
+@_register("InternVLForConditionalGeneration")
+def _internvl():
+    """InternVL (reference vllm/model_executor/models/internvl.py +
+    intern_vit.py; HF-native InternVLForConditionalGeneration): InternViT
+    tower + pixel-shuffle + MLP projector (models/vision.py
+    internvl_image_embed) over a stock qwen2/llama text tower."""
+    def cfg_fn(hf, name):
+        tc = dict(hf["text_config"])
+        arch = (tc.get("architectures") or [
+            {"llama": "LlamaForCausalLM"}.get(
+                tc.get("model_type"), "Qwen2ForCausalLM")])[0]
+        tc["architectures"] = [arch]
+        cfg = config_from_hf(tc, name)
+        cfg.architecture = "InternVLForConditionalGeneration"
+        cfg.image_token_index = hf.get("image_token_id", 151667)
+        return cfg
+
+    def load_fn(t, cfg, dtype):
+        return _load_llama_style(_strip_language_model_prefix(t), cfg,
+                                 dtype)
+
+    return cfg_fn, load_fn
+
+
 @_register("ChameleonForConditionalGeneration")
 def _chameleon():
     """Chameleon (reference vllm/model_executor/models/chameleon.py):
@@ -2232,7 +2256,9 @@ _KNOWN_UNSUPPORTED: Dict[str, str] = {
     "compress; the reference's KVC path blesses llama-family attention "
     "only and serves jamba on its VANILLA engine - model-level jamba "
     "(HF-parity forward + stateful generation) lives in models/jamba.py",
-    "InternVLChatModel": "multimodal",
+    "InternVLChatModel": "legacy trust_remote_code internvl export; "
+    "re-export with transformers >= 4.52 as "
+    "InternVLForConditionalGeneration (which IS supported)",
     "MiniCPMV": "multimodal",
     "Phi3VForCausalLM": "multimodal",
     "QWenLMHeadModel-VL": "multimodal (text QWenLMHeadModel is supported)",

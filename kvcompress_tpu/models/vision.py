@@ -596,6 +596,218 @@ def paligemma_params_from_hf(t: Dict[str, np.ndarray], cfg: VisionConfig,
     }
 
 
+# ------------------------------------------------------------ internvl
+# Reference vllm/model_executor/models/internvl.py + intern_vit.py:
+# InternViT (BEiT-lineage ViT: CLS token + absolute positions, pre-LN
+# layers with LAYER-SCALE lambdas, optional full-dim RMS qk-norm, no
+# final layernorm when use_mean_pooling) -> drop CLS -> pixel-shuffle
+# downsample (0.5 => 4x channel fold) -> LayerNorm+MLP projector into the
+# text space. Text tower is stock qwen2/llama; splice is the usual
+# mm_embed path.
+
+@dataclasses.dataclass(frozen=True)
+class InternVLVisionCfg:
+    hidden_size: int
+    intermediate_size: int
+    num_layers: int
+    num_heads: int
+    image_size: int
+    patch_size: int
+    layer_norm_eps: float = 1e-6
+    norm_type: str = "layer_norm"       # "layer_norm" | "rms_norm"
+    use_qk_norm: bool = False
+    downsample_ratio: float = 0.5
+    hidden_act: str = "gelu"
+
+
+def internvl_config_from_hf(hf: dict) -> InternVLVisionCfg:
+    vc = hf["vision_config"]
+    img = vc["image_size"]
+    pat = vc["patch_size"]
+    return InternVLVisionCfg(
+        hidden_size=vc["hidden_size"],
+        intermediate_size=vc["intermediate_size"],
+        num_layers=vc["num_hidden_layers"],
+        num_heads=vc["num_attention_heads"],
+        image_size=img[0] if isinstance(img, (list, tuple)) else img,
+        patch_size=pat[0] if isinstance(pat, (list, tuple)) else pat,
+        layer_norm_eps=vc.get("layer_norm_eps", 1e-6),
+        norm_type=vc.get("norm_type", "layer_norm"),
+        use_qk_norm=vc.get("use_qk_norm", False),
+        downsample_ratio=hf.get("downsample_ratio", 0.5),
+        hidden_act=vc.get("hidden_act", "gelu"),
+    )
+
+
+def _ivl_norm(x, w, b, eps, norm_type):
+    if norm_type == "rms_norm":
+        xf = x.astype(jnp.float32)
+        return (xf * jax.lax.rsqrt(
+            jnp.mean(xf * xf, axis=-1, keepdims=True) + eps)
+            * w).astype(x.dtype)
+    return _ln(x, w, b, eps)
+
+
+def internvl_vision_forward(params: Dict[str, Any],
+                            cfg: InternVLVisionCfg,
+                            pixel_values: jax.Array) -> jax.Array:
+    """[3, H, W] -> last hidden states [1 + n_patches, D_v] (HF
+    InternVLVisionModel.last_hidden_state with use_mean_pooling=True,
+    i.e. NO final layernorm)."""
+    D, P = cfg.hidden_size, cfg.patch_size
+    C, H, W = pixel_values.shape
+    x = pixel_values.reshape(C, H // P, P, W // P, P)
+    x = jnp.transpose(x, (1, 3, 0, 2, 4)).reshape(-1, C * P * P)
+    x = x @ params["patch_embed"] + params["patch_embed_b"]
+    x = jnp.concatenate([params["cls_token"][None, :], x], axis=0)
+    if "pos_embed" in params:
+        x = x + params["pos_embed"]
+    h = cfg.num_heads
+    d = D // h
+    eps, nt = cfg.layer_norm_eps, cfg.norm_type
+
+    def layer(x, lw):
+        r = x
+        y = _ivl_norm(x, lw["ln1"], lw.get("ln1_b"), eps, nt)
+        T = y.shape[0]
+        q = y @ lw["wq"]
+        k = y @ lw["wk"]
+        v = y @ lw["wv"]
+        if "bq" in lw:
+            q, k, v = q + lw["bq"], k + lw["bk"], v + lw["bv"]
+        if cfg.use_qk_norm:
+            # full-dim RMS norm BEFORE the head split (HF q_norm/k_norm)
+            q = _ivl_norm(q, lw["q_norm"], None, eps, "rms_norm")
+            k = _ivl_norm(k, lw["k_norm"], None, eps, "rms_norm")
+        q = q.reshape(T, h, d)
+        k = k.reshape(T, h, d)
+        v = v.reshape(T, h, d)
+        logits = jnp.einsum("qhd,khd->hqk", q.astype(jnp.float32),
+                            k.astype(jnp.float32)) * d ** -0.5
+        probs = jax.nn.softmax(logits, axis=-1)
+        o = jnp.einsum("hqk,khd->qhd", probs,
+                       v.astype(jnp.float32)).reshape(T, D)
+        o = o.astype(y.dtype) @ lw["wo"] + lw["bo"]
+        x = r + o * lw["lambda1"]                 # layer scale
+        r = x
+        y = _ivl_norm(x, lw["ln2"], lw.get("ln2_b"), eps, nt)
+        y = _act_gelu(y @ lw["fc1"] + lw["b1"],
+                      cfg.hidden_act) @ lw["fc2"] + lw["b2"]
+        return r + y * lw["lambda2"], None
+
+    x, _ = jax.lax.scan(layer, x, params["layers"])
+    return x
+
+
+def _act_gelu(x, name):
+    if name == "gelu_pytorch_tanh":
+        return jax.nn.gelu(x, approximate=True)
+    return jax.nn.gelu(x, approximate=False)
+
+
+def internvl_pixel_shuffle(x: jax.Array, sf: float) -> jax.Array:
+    """HF InternVLModel.pixel_shuffle on [W, H, C] (batch dropped):
+    downsamples the grid by sf and folds 1/sf^2 neighboring features
+    into the channel axis."""
+    W, H, C = x.shape
+    x = x.reshape(W, int(H * sf), int(C / sf))
+    x = jnp.transpose(x, (1, 0, 2))
+    x = x.reshape(int(H * sf), int(W * sf), int(C / sf ** 2))
+    return jnp.transpose(x, (1, 0, 2))
+
+
+def internvl_image_embed(params: Dict[str, Any], cfg: InternVLVisionCfg,
+                         pixel_values: jax.Array) -> jax.Array:
+    """Image -> projected embeddings [(side*ds)^2, D_text] (HF
+    InternVLModel.get_image_features: tower -> drop CLS -> pixel shuffle
+    -> LayerNorm + 2-layer MLP projector)."""
+    feats = internvl_vision_forward(params["vision"], cfg,
+                                    pixel_values)[1:]       # drop CLS
+    side = cfg.image_size // cfg.patch_size
+    g = feats.reshape(side, side, -1)
+    g = internvl_pixel_shuffle(g, cfg.downsample_ratio)
+    g = g.reshape(-1, g.shape[-1])
+    pj = params["projector"]
+    y = _ln(g, pj["ln"], pj["ln_b"], 1e-5)
+    y = jax.nn.gelu(y @ pj["w1"] + pj["b1"], approximate=False)
+    return y @ pj["w2"] + pj["b2"]
+
+
+def internvl_params_from_hf(t: Dict[str, np.ndarray],
+                            cfg: InternVLVisionCfg,
+                            dtype=jnp.float32) -> Dict[str, Any]:
+    """Map HF internvl tensor names (model.vision_tower.* +
+    model.multi_modal_projector.*) to the stacked layout above."""
+    pre = ("model." if any(k.startswith("model.vision_tower.")
+                           for k in t) else "")
+    vt = pre + "vision_tower."
+    mp = pre + "multi_modal_projector."
+    n = cfg.num_layers
+
+    def g(key, transpose=False):
+        x = np.asarray(t[key])
+        return jnp.asarray(x.T if transpose else x, dtype)
+
+    def stack(fmt, transpose=False):
+        xs = [np.asarray(t[fmt.format(i)]) for i in range(n)]
+        return jnp.asarray(
+            np.stack([x.T if transpose else x for x in xs]), dtype)
+
+    def stack_opt(d, name, fmt, transpose=False):
+        if fmt.format(0) in t:
+            d[name] = stack(fmt, transpose)
+
+    p = vt + "encoder.layer.{}."
+    layers = {
+        "ln1": stack(p + "layernorm_before.weight"),
+        "ln2": stack(p + "layernorm_after.weight"),
+        "wq": stack(p + "attention.q_proj.weight", transpose=True),
+        "wk": stack(p + "attention.k_proj.weight", transpose=True),
+        "wv": stack(p + "attention.v_proj.weight", transpose=True),
+        "wo": stack(p + "attention.projection_layer.weight",
+                    transpose=True),
+        "bo": stack(p + "attention.projection_layer.bias"),
+        "fc1": stack(p + "mlp.fc1.weight", transpose=True),
+        "b1": stack(p + "mlp.fc1.bias"),
+        "fc2": stack(p + "mlp.fc2.weight", transpose=True),
+        "b2": stack(p + "mlp.fc2.bias"),
+        "lambda1": stack(p + "lambda_1"),
+        "lambda2": stack(p + "lambda_2"),
+    }
+    stack_opt(layers, "ln1_b", p + "layernorm_before.bias")
+    stack_opt(layers, "ln2_b", p + "layernorm_after.bias")
+    stack_opt(layers, "bq", p + "attention.q_proj.bias")
+    stack_opt(layers, "bk", p + "attention.k_proj.bias")
+    stack_opt(layers, "bv", p + "attention.v_proj.bias")
+    if cfg.use_qk_norm:
+        layers["q_norm"] = stack(p + "attention.q_norm.weight")
+        layers["k_norm"] = stack(p + "attention.k_norm.weight")
+    conv = np.asarray(
+        t[vt + "embeddings.patch_embeddings.projection.weight"])
+    D = conv.shape[0]
+    vision = {
+        "layers": layers,
+        "patch_embed": jnp.asarray(conv.reshape(D, -1).T, dtype),
+        "patch_embed_b": g(
+            vt + "embeddings.patch_embeddings.projection.bias"),
+        "cls_token": g(vt + "embeddings.cls_token").reshape(-1),
+    }
+    if vt + "embeddings.position_embeddings" in t:
+        vision["pos_embed"] = g(
+            vt + "embeddings.position_embeddings").reshape(-1, D)
+    return {
+        "vision": vision,
+        "projector": {
+            "ln": g(mp + "layer_norm.weight"),
+            "ln_b": g(mp + "layer_norm.bias"),
+            "w1": g(mp + "linear_1.weight", transpose=True),
+            "b1": g(mp + "linear_1.bias"),
+            "w2": g(mp + "linear_2.weight", transpose=True),
+            "b2": g(mp + "linear_2.bias"),
+        },
+    }
+
+
 # ----------------------------------------------------------- chameleon
 # Reference vllm/model_executor/models/chameleon.py: images enter the
 # TEXT vocabulary - a VQ-VAE (Make-a-Scene VQGAN) encoder tokenizes the

@@ -106,6 +106,10 @@ def load_multimodal(model_dir: str, dtype=jnp.float32):
         bcfg = vision.blip2_config_from_hf(hf_cfg)
         return ("blip2", bcfg,
                 vision.blip2_params_from_hf(tensors, bcfg, dtype))
+    if arch == "InternVLForConditionalGeneration":
+        ivcfg = vision.internvl_config_from_hf(hf_cfg)
+        return ("internvl", ivcfg,
+                vision.internvl_params_from_hf(tensors, ivcfg, dtype))
     if arch == "ChameleonForConditionalGeneration":
         vqcfg = vision.chameleon_vq_config_from_hf(hf_cfg)
         img2bpe = vision.chameleon_img2bpe(hf_cfg["vocabulary_map"])
