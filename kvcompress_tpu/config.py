@@ -51,6 +51,9 @@ class ModelConfig:
     # multimodal (llava-style): the placeholder token id expanded into
     # projected image embeddings; None = text-only model
     image_token_index: Optional[int] = None
+    # audio multimodal (ultravox): the <|audio|> placeholder expanded
+    # into projected whisper-encoder embeddings
+    audio_token_index: Optional[int] = None
     # EAGLE draft head: layer-0 input is fc([token_embed; target_hidden])
     # (set on the DRAFT ModelConfig by models/eagle.py)
     eagle: bool = False

@@ -157,7 +157,8 @@ class LLM:
 
         self._vision = None
         self._vision_jit = None
-        if model_cfg.image_token_index is not None:
+        if (model_cfg.image_token_index is not None
+                or model_cfg.audio_token_index is not None):
             from kvcompress_tpu.models.weights import load_multimodal
             self._vision = load_multimodal(model, dtype=jdtype)
 
@@ -230,6 +231,30 @@ class LLM:
         assert self._vision is not None, \
             "multi_modal_data passed but the model has no vision tower"
         kind, vcfg, vparams = self._vision
+        if kind == "ultravox":
+            # audio: mm = {"audio_features": mel [num_mel_bins, T] (as
+            # produced by WhisperFeatureExtractor) or [k, bins, T]};
+            # each <|audio|> placeholder expands to one clip's projected
+            # frame run
+            from kvcompress_tpu.models.vision import ultravox_audio_embed
+            if self._vision_jit is None:
+                self._vision_jit = jax.jit(ultravox_audio_embed,
+                                           static_argnums=1)
+            mel = jnp.asarray(mm["audio_features"])
+            if mel.ndim == 2:
+                mel = mel[None]
+            embeds = jnp.concatenate([
+                self._vision_jit(vparams, vcfg, mel[k])
+                for k in range(mel.shape[0])])
+            aud_tok = self.llm_engine.cfg.model.audio_token_index
+            n_per = embeds.shape[0] // mel.shape[0]
+            new_ids, positions = expand_image_tokens(prompt_ids, aud_tok,
+                                                     n_per)
+            assert len(positions) == embeds.shape[0], (
+                f"prompt has {len(positions) // n_per} audio tokens but "
+                f"{mel.shape[0]} clips were passed")
+            return new_ids, {"mm_embeds": embeds,
+                             "mm_positions": np.asarray(positions)}
         if kind == "chameleon":
             # images become TEXT tokens (VQ-VAE codebook ids mapped onto
             # the BPE vocabulary): each <image> placeholder is REPLACED

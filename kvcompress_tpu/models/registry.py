@@ -252,6 +252,32 @@ def _llava_next():
     return cfg_fn, load_fn
 
 
+@_register("UltravoxModel")
+def _ultravox():
+    """Ultravox (reference vllm/model_executor/models/ultravox.py): the
+    AUDIO modality - whisper encoder + stack-frames projector
+    (models/vision.py ultravox_audio_embed) over a stock llama text
+    tower; <|audio|> placeholders (audio_token_index) splice the
+    projected frames through the same mm_embed path as images."""
+    def cfg_fn(hf, name):
+        tc = dict(hf["text_config"])
+        arch = (tc.get("architectures") or [
+            {"mistral": "MistralForCausalLM",
+             "qwen2": "Qwen2ForCausalLM"}.get(
+                tc.get("model_type"), "LlamaForCausalLM")])[0]
+        tc["architectures"] = [arch]
+        cfg = config_from_hf(tc, name)
+        cfg.architecture = "UltravoxModel"
+        cfg.audio_token_index = hf.get("audio_token_index", 32000)
+        return cfg
+
+    def load_fn(t, cfg, dtype):
+        return _load_llama_style(_strip_language_model_prefix(t), cfg,
+                                 dtype)
+
+    return cfg_fn, load_fn
+
+
 @_register("InternVLForConditionalGeneration")
 def _internvl():
     """InternVL (reference vllm/model_executor/models/internvl.py +
@@ -2262,7 +2288,6 @@ _KNOWN_UNSUPPORTED: Dict[str, str] = {
     "MiniCPMV": "multimodal",
     "Phi3VForCausalLM": "multimodal",
     "QWenLMHeadModel-VL": "multimodal (text QWenLMHeadModel is supported)",
-    "UltravoxModel": "audio multimodal",
     "EAGLEModel": "speculative proposer; use speculative.method instead",
     "MedusaModel": "speculative proposer; use speculative.method='medusa'",
     "MLPSpeculatorPreTrainedModel":

@@ -596,6 +596,178 @@ def paligemma_params_from_hf(t: Dict[str, np.ndarray], cfg: VisionConfig,
     }
 
 
+# ----------------------------------------------------------- ultravox
+# Reference vllm/model_executor/models/ultravox.py: audio mel features ->
+# Whisper ENCODER (conv1 s1 + conv2 s2, sliced positional embeddings,
+# pre-LN layers, final layernorm - the reference's ModifiedWhisperEncoder)
+# -> UltravoxProjector (stack stack_factor frames into the channel axis,
+# RMSNorm, linear, FLIPPED SwiGLU, linear, RMSNorm) -> splice at the
+# <|audio|> placeholders (audio_token_index) through the same mm_embed
+# path as the image towers. This is the AUDIO modality of the zoo.
+
+@dataclasses.dataclass(frozen=True)
+class UltravoxAudioCfg:
+    d_model: int
+    num_layers: int
+    num_heads: int
+    ffn_dim: int
+    num_mel_bins: int
+    max_source_positions: int
+    stack_factor: int = 8
+    projector_act: str = "swiglu"
+    text_hidden: int = 0
+
+
+def ultravox_config_from_hf(hf: dict) -> UltravoxAudioCfg:
+    ac = hf["audio_config"]
+    return UltravoxAudioCfg(
+        d_model=ac["d_model"],
+        num_layers=ac["encoder_layers"],
+        num_heads=ac["encoder_attention_heads"],
+        ffn_dim=ac["encoder_ffn_dim"],
+        num_mel_bins=ac["num_mel_bins"],
+        max_source_positions=ac["max_source_positions"],
+        stack_factor=hf.get("stack_factor", 8),
+        projector_act=hf.get("projector_act", "swiglu"),
+        text_hidden=hf["text_config"]["hidden_size"],
+    )
+
+
+def _conv1d(x, w, b, stride=1, pad=1):
+    """x [C, T], HF Conv1d weight [O, I, k] -> [O, T']."""
+    y = jax.lax.conv_general_dilated(
+        x[None].astype(jnp.float32), w.astype(jnp.float32),
+        window_strides=(stride,), padding=[(pad, pad)],
+        dimension_numbers=("NCH", "OIH", "NCH"))[0]
+    return y + b[:, None]
+
+
+def whisper_encoder_forward(params: Dict[str, Any], cfg: UltravoxAudioCfg,
+                            input_features: jax.Array) -> jax.Array:
+    """Mel features [num_mel_bins, T] -> encoded frames [T // 2, d_model]
+    (HF WhisperEncoder with the reference's sliced-positions relaxation
+    for audio shorter than 30 s)."""
+    x = jax.nn.gelu(_conv1d(input_features, params["conv1_w"],
+                            params["conv1_b"]), approximate=False)
+    x = jax.nn.gelu(_conv1d(x, params["conv2_w"], params["conv2_b"],
+                            stride=2), approximate=False)
+    x = x.T                                           # [T', d]
+    x = x + params["pos_embed"][:x.shape[0]]
+    h = cfg.num_heads
+    d = cfg.d_model // h
+
+    def layer(x, lw):
+        r = x
+        y = _ln(x, lw["ln1"], lw["ln1_b"], 1e-5)
+        T = y.shape[0]
+        # whisper: q/v/out carry biases, k does NOT
+        q = (y @ lw["wq"] + lw["bq"]).reshape(T, h, d)
+        k = (y @ lw["wk"]).reshape(T, h, d)
+        v = (y @ lw["wv"] + lw["bv"]).reshape(T, h, d)
+        logits = jnp.einsum("qhd,khd->hqk", q.astype(jnp.float32),
+                            k.astype(jnp.float32)) * d ** -0.5
+        probs = jax.nn.softmax(logits, axis=-1)
+        o = jnp.einsum("hqk,khd->qhd", probs,
+                       v.astype(jnp.float32)).reshape(T, cfg.d_model)
+        x = r + (o.astype(y.dtype) @ lw["wo"] + lw["bo"])
+        r = x
+        y = _ln(x, lw["ln2"], lw["ln2_b"], 1e-5)
+        y = jax.nn.gelu(y @ lw["fc1"] + lw["b1"],
+                        approximate=False) @ lw["fc2"] + lw["b2"]
+        return x + y, None
+
+    x, _ = jax.lax.scan(layer, x, params["layers"])
+    return _ln(x, params["post_ln"], params["post_ln_b"], 1e-5)
+
+
+def _rms(x, w, eps=1e-6):
+    xf = x.astype(jnp.float32)
+    return (xf * jax.lax.rsqrt(jnp.mean(xf * xf, axis=-1, keepdims=True)
+                               + eps) * w).astype(x.dtype)
+
+
+def ultravox_audio_embed(params: Dict[str, Any], cfg: UltravoxAudioCfg,
+                         input_features: jax.Array) -> jax.Array:
+    """Mel [num_mel_bins, T] -> text-space embeddings
+    [ceil(T/2/stack_factor), D_text] (reference UltravoxProjector:
+    stack -> RMSNorm -> linear -> flipped SwiGLU -> linear -> RMSNorm)."""
+    feats = whisper_encoder_forward(params["audio"], cfg, input_features)
+    T, C = feats.shape
+    sf = cfg.stack_factor
+    T_pad = -(-T // sf) * sf
+    feats = jnp.pad(feats, ((0, T_pad - T), (0, 0)))
+    feats = feats.reshape(T_pad // sf, C * sf)
+    pj = params["projector"]
+    y = _rms(feats, pj["ln_pre"])
+    y = y @ pj["w1"]
+    if cfg.projector_act == "swiglu":
+        # ultravox trains SwiGLU with FLIPPED halves: silu(b) * a
+        a, b = jnp.split(y, 2, axis=-1)
+        y = jax.nn.silu(b) * a
+    else:
+        y = jax.nn.gelu(y, approximate=False)
+    y = y @ pj["w2"]
+    return _rms(y, pj["ln_post"])
+
+
+def ultravox_params_from_hf(t: Dict[str, np.ndarray],
+                            cfg: UltravoxAudioCfg,
+                            dtype=jnp.float32) -> Dict[str, Any]:
+    """Map ultravox checkpoint names (audio_tower.* whisper encoder +
+    multi_modal_projector.*) to the layout above."""
+    at = "audio_tower."
+    if not any(k.startswith(at) for k in t):
+        at = "model.audio_tower."
+    mp = at.replace("audio_tower.", "multi_modal_projector.")
+    n = cfg.num_layers
+
+    def g(key, transpose=False):
+        x = np.asarray(t[key])
+        return jnp.asarray(x.T if transpose else x, dtype)
+
+    def stack(fmt, transpose=False):
+        xs = [np.asarray(t[fmt.format(i)]) for i in range(n)]
+        return jnp.asarray(
+            np.stack([x.T if transpose else x for x in xs]), dtype)
+
+    p = at + "layers.{}."
+    layers = {
+        "ln1": stack(p + "self_attn_layer_norm.weight"),
+        "ln1_b": stack(p + "self_attn_layer_norm.bias"),
+        "ln2": stack(p + "final_layer_norm.weight"),
+        "ln2_b": stack(p + "final_layer_norm.bias"),
+        "wq": stack(p + "self_attn.q_proj.weight", transpose=True),
+        "bq": stack(p + "self_attn.q_proj.bias"),
+        "wk": stack(p + "self_attn.k_proj.weight", transpose=True),
+        "wv": stack(p + "self_attn.v_proj.weight", transpose=True),
+        "bv": stack(p + "self_attn.v_proj.bias"),
+        "wo": stack(p + "self_attn.out_proj.weight", transpose=True),
+        "bo": stack(p + "self_attn.out_proj.bias"),
+        "fc1": stack(p + "fc1.weight", transpose=True),
+        "b1": stack(p + "fc1.bias"),
+        "fc2": stack(p + "fc2.weight", transpose=True),
+        "b2": stack(p + "fc2.bias"),
+    }
+    return {
+        "audio": {
+            "layers": layers,
+            "conv1_w": g(at + "conv1.weight"),
+            "conv1_b": g(at + "conv1.bias"),
+            "conv2_w": g(at + "conv2.weight"),
+            "conv2_b": g(at + "conv2.bias"),
+            "pos_embed": g(at + "embed_positions.weight"),
+            "post_ln": g(at + "layer_norm.weight"),
+            "post_ln_b": g(at + "layer_norm.bias"),
+        },
+        "projector": {
+            "ln_pre": g(mp + "ln_pre.weight"),
+            "w1": g(mp + "linear_1.weight", transpose=True),
+            "w2": g(mp + "linear_2.weight", transpose=True),
+            "ln_post": g(mp + "ln_post.weight"),
+        },
+    }
+
+
 # ------------------------------------------------------------ internvl
 # Reference vllm/model_executor/models/internvl.py + intern_vit.py:
 # InternViT (BEiT-lineage ViT: CLS token + absolute positions, pre-LN
