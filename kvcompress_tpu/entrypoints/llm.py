@@ -303,6 +303,17 @@ class LLM:
             embeds = jnp.concatenate([
                 self._vision_jit(vparams, vcfg, px[k])
                 for k in range(px.shape[0])])
+        elif kind == "phi3v":
+            # HD transform: mm = {"image": tiles [1 + n_crops, 3, s, s]
+            # (tile 0 = global resize, Phi3VImageProcessor layout),
+            # "image_size": (padded_h, padded_w) in multiples of 336};
+            # ONE <image> placeholder expands to the whole merged run
+            from kvcompress_tpu.models.vision import phi3v_image_embed
+            px = jnp.asarray(mm["image"])
+            assert px.ndim == 4, \
+                "phi3v expects tiled pixel_values [1 + n_crops, 3, s, s]"
+            embeds = phi3v_image_embed(vparams, vcfg, px,
+                                       tuple(mm["image_size"]))
         elif kind == "llava_next":
             # AnyRes: mm = {"image": tiles [n_tiles, 3, sz, sz] (tile 0 =
             # base resize, as produced by LlavaNextImageProcessor),
@@ -329,7 +340,8 @@ class LLM:
                 self._vision_jit(vparams, vcfg, px[k])
                 for k in range(px.shape[0])])
         img_tok = self.llm_engine.cfg.model.image_token_index
-        n_imgs = 1 if kind in ("fuyu", "llava_next") else px.shape[0]
+        n_imgs = 1 if kind in ("fuyu", "llava_next", "phi3v") \
+            else px.shape[0]
         n_per = embeds.shape[0] // n_imgs
         new_ids, positions = expand_image_tokens(prompt_ids, img_tok, n_per)
         assert len(positions) == embeds.shape[0], (

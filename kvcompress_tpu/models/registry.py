@@ -252,6 +252,29 @@ def _llava_next():
     return cfg_fn, load_fn
 
 
+@_register("Phi3VForCausalLM")
+def _phi3v():
+    """Phi-3-Vision (reference vllm/model_executor/models/phi3v.py): the
+    phi3 text tower with a CLIP + HD-transform image side
+    (models/vision.py phi3v_image_embed). The checkpoint keeps the text
+    fields at the TOP level (phi3 schema), so the text recipe runs on
+    the same dict; image placeholder id is the reference's fixed 32044."""
+    def cfg_fn(hf, name):
+        tc = dict(hf)
+        tc["architectures"] = ["Phi3ForCausalLM"]
+        cfg = config_from_hf(tc, name)
+        cfg.architecture = "Phi3VForCausalLM"
+        # reference phi3v.py:56 _IMAGE_TOKEN_ID (fixed for real
+        # checkpoints; overridable so tiny test checkpoints fit)
+        cfg.image_token_index = hf.get("image_token_index", 32044)
+        return cfg
+
+    def load_fn(t, cfg, dtype):
+        return _REGISTRY["Phi3ForCausalLM"].load_fn(t, cfg, dtype)
+
+    return cfg_fn, load_fn
+
+
 @_register("UltravoxModel")
 def _ultravox():
     """Ultravox (reference vllm/model_executor/models/ultravox.py): the
@@ -2286,7 +2309,6 @@ _KNOWN_UNSUPPORTED: Dict[str, str] = {
     "re-export with transformers >= 4.52 as "
     "InternVLForConditionalGeneration (which IS supported)",
     "MiniCPMV": "multimodal",
-    "Phi3VForCausalLM": "multimodal",
     "QWenLMHeadModel-VL": "multimodal (text QWenLMHeadModel is supported)",
     "EAGLEModel": "speculative proposer; use speculative.method instead",
     "MedusaModel": "speculative proposer; use speculative.method='medusa'",

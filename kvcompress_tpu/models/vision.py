@@ -596,6 +596,136 @@ def paligemma_params_from_hf(t: Dict[str, np.ndarray], cfg: VisionConfig,
     }
 
 
+# -------------------------------------------------------------- phi3v
+# Reference vllm/model_executor/models/phi3v.py (Phi3HDImageEmbedding,
+# adapted from microsoft/Phi-3-vision image_embedding_phi3_v.py): a
+# CLIP-L/14-336 tower truncated at layer_idx (-2), per-tile features
+# 2x2-merged into 4x channels (the "HD transform"), arranged
+# [sub-crops + sub_GN newlines, glb_GN, global + newlines]
+# (hd_transform_order='sub_glb'), then a 2-layer GELU projector. The
+# reference hardcodes the CLIP-L/14-336 shape; we read overrides from
+# the config's img_processor dict so tiny checkpoints test the math.
+
+def phi3v_config_from_hf(hf: dict) -> VisionConfig:
+    ip = hf.get("img_processor") or {}
+    return VisionConfig(
+        hidden_size=ip.get("hidden_size", 1024),
+        intermediate_size=ip.get("intermediate_size", 4096),
+        num_layers=ip.get("num_hidden_layers", 24),
+        num_heads=ip.get("num_attention_heads", 16),
+        image_size=ip.get("image_size", 336),
+        patch_size=ip.get("patch_size", 14),
+        layer_norm_eps=ip.get("layer_norm_eps", 1e-5),
+        feature_layer=ip.get("layer_idx", -2),
+        select_strategy="default",
+    )
+
+
+def _phi3v_hd_2x2(f: jax.Array, h_crop: int, w_crop: int) -> jax.Array:
+    """[N, side*side, C] tile features -> [h_crop*side/2, w_crop*side/2,
+    4C] spatial grid (reference reshape_hd_patches_2x2merge)."""
+    N, L, C = f.shape
+    H = int(round(L ** 0.5))
+    f = f.reshape(N, H, H, C).reshape(N, H // 2, 2, H // 2, 2, C)
+    f = jnp.transpose(f, (0, 1, 3, 2, 4, 5)).reshape(N, -1, 4 * C)
+    f = f.reshape(h_crop, w_crop, H // 2, H // 2, 4 * C)
+    f = jnp.transpose(f, (0, 2, 1, 3, 4))
+    return f.reshape(h_crop * H // 2, w_crop * H // 2, 4 * C)
+
+
+def _phi3v_newline(g: jax.Array, sub_gn: jax.Array) -> jax.Array:
+    """Append the sub_GN separator per spatial row and flatten
+    (reference add_image_newline)."""
+    h = g.shape[0]
+    nl = jnp.broadcast_to(sub_gn[None, None, :], (h, 1, g.shape[-1]))
+    return jnp.concatenate([g, nl], axis=1).reshape(-1, g.shape[-1])
+
+
+def phi3v_image_embed(params: Dict[str, Any], cfg: VisionConfig,
+                      pixel_values: jax.Array, image_size,
+                      tile_size: int = 336) -> jax.Array:
+    """HD image -> projected embeddings [n_tokens, D_text].
+
+    pixel_values [1 + n_crops, 3, s, s]: tile 0 is the GLOBAL resize,
+    tiles 1.. the grid crops (Phi3VImageProcessor layout); image_size
+    (padded_h, padded_w) in multiples of tile_size determines the crop
+    grid. Order 'sub_glb': [crops+newlines, glb_GN, global+newlines]."""
+    n_tiles = pixel_values.shape[0]
+    feats = [clip_vision_forward(params["vision"], cfg,
+                                 pixel_values[i])[1:]     # drop CLS
+             for i in range(n_tiles)]
+    feats = jnp.stack(feats)                              # [N, L, C]
+    h, w = image_size
+    h_crop, w_crop = h // tile_size, w // tile_size
+    glb = _phi3v_newline(_phi3v_hd_2x2(feats[:1], 1, 1),
+                         params["sub_gn"])
+    sub = _phi3v_newline(
+        _phi3v_hd_2x2(feats[1:1 + h_crop * w_crop], h_crop, w_crop),
+        params["sub_gn"])
+    emb = jnp.concatenate([sub, params["glb_gn"][None, :], glb])
+    pj = params["projector"]
+    y = jax.nn.gelu(emb @ pj["w1"] + pj["b1"], approximate=False)
+    return y @ pj["w2"] + pj["b2"]
+
+
+def phi3v_params_from_hf(t: Dict[str, np.ndarray], cfg: VisionConfig,
+                         dtype=jnp.float32) -> Dict[str, Any]:
+    """Map phi3v tensor names (model.vision_embed_tokens.img_processor.
+    vision_model.* CLIP + glb_GN/sub_GN + img_projection.{0,2}) onto the
+    clip_vision_forward layout."""
+    ve = "model.vision_embed_tokens."
+    vt = ve + "img_processor.vision_model."
+
+    def g(key, transpose=False):
+        x = np.asarray(t[key])
+        return jnp.asarray(x.T if transpose else x, dtype)
+
+    def stack(fmt, transpose=False):
+        xs = [np.asarray(t[fmt.format(i)]) for i in range(cfg.num_layers)]
+        return jnp.asarray(
+            np.stack([x.T if transpose else x for x in xs]), dtype)
+
+    p = vt + "encoder.layers.{}."
+    layers = {
+        "ln1": stack(p + "layer_norm1.weight"),
+        "ln1_b": stack(p + "layer_norm1.bias"),
+        "ln2": stack(p + "layer_norm2.weight"),
+        "ln2_b": stack(p + "layer_norm2.bias"),
+        "wq": stack(p + "self_attn.q_proj.weight", transpose=True),
+        "bq": stack(p + "self_attn.q_proj.bias"),
+        "wk": stack(p + "self_attn.k_proj.weight", transpose=True),
+        "bk": stack(p + "self_attn.k_proj.bias"),
+        "wv": stack(p + "self_attn.v_proj.weight", transpose=True),
+        "bv": stack(p + "self_attn.v_proj.bias"),
+        "wo": stack(p + "self_attn.out_proj.weight", transpose=True),
+        "bo": stack(p + "self_attn.out_proj.bias"),
+        "fc1": stack(p + "mlp.fc1.weight", transpose=True),
+        "b1": stack(p + "mlp.fc1.bias"),
+        "fc2": stack(p + "mlp.fc2.weight", transpose=True),
+        "b2": stack(p + "mlp.fc2.bias"),
+    }
+    conv = np.asarray(t[vt + "embeddings.patch_embedding.weight"])
+    D = conv.shape[0]
+    return {
+        "vision": {
+            "layers": layers,
+            "patch_embed": jnp.asarray(conv.reshape(D, -1).T, dtype),
+            "class_embed": g(vt + "embeddings.class_embedding").reshape(-1),
+            "pos_embed": g(vt + "embeddings.position_embedding.weight"),
+            "pre_ln": g(vt + "pre_layrnorm.weight"),
+            "pre_ln_b": g(vt + "pre_layrnorm.bias"),
+        },
+        "sub_gn": g(ve + "sub_GN").reshape(-1),
+        "glb_gn": g(ve + "glb_GN").reshape(-1),
+        "projector": {
+            "w1": g(ve + "img_projection.0.weight", transpose=True),
+            "b1": g(ve + "img_projection.0.bias"),
+            "w2": g(ve + "img_projection.2.weight", transpose=True),
+            "b2": g(ve + "img_projection.2.bias"),
+        },
+    }
+
+
 # ----------------------------------------------------------- ultravox
 # Reference vllm/model_executor/models/ultravox.py: audio mel features ->
 # Whisper ENCODER (conv1 s1 + conv2 s2, sliced positional embeddings,

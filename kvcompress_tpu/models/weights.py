@@ -106,6 +106,10 @@ def load_multimodal(model_dir: str, dtype=jnp.float32):
         bcfg = vision.blip2_config_from_hf(hf_cfg)
         return ("blip2", bcfg,
                 vision.blip2_params_from_hf(tensors, bcfg, dtype))
+    if arch == "Phi3VForCausalLM":
+        pvcfg = vision.phi3v_config_from_hf(hf_cfg)
+        return ("phi3v", pvcfg,
+                vision.phi3v_params_from_hf(tensors, pvcfg, dtype))
     if arch == "UltravoxModel":
         ucfg = vision.ultravox_config_from_hf(hf_cfg)
         return ("ultravox", ucfg,
