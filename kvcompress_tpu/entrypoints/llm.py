@@ -303,6 +303,17 @@ class LLM:
             embeds = jnp.concatenate([
                 self._vision_jit(vparams, vcfg, px[k])
                 for k in range(px.shape[0])])
+        elif kind == "minicpmv":
+            # perceiver resampler: each image yields exactly query_num
+            # embeddings regardless of resolution
+            from kvcompress_tpu.models.vision import minicpmv_image_embed
+            scfg, n_heads = vcfg
+            px = jnp.asarray(mm["image"])
+            if px.ndim == 3:
+                px = px[None]
+            embeds = jnp.concatenate([
+                minicpmv_image_embed(vparams, scfg, n_heads, px[k])
+                for k in range(px.shape[0])])
         elif kind == "phi3v":
             # HD transform: mm = {"image": tiles [1 + n_crops, 3, s, s]
             # (tile 0 = global resize, Phi3VImageProcessor layout),

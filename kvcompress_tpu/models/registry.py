@@ -252,6 +252,34 @@ def _llava_next():
     return cfg_fn, load_fn
 
 
+@_register("MiniCPMV")
+def _minicpmv():
+    """MiniCPM-V 2.5/2.6 (reference vllm/model_executor/models/
+    minicpmv.py): SigLIP "vpm" tower + perceiver resampler
+    (models/vision.py minicpmv_resample) over a llama3 (2.5) or qwen2
+    (2.6) text tower; the text fields live at the TOP level of the
+    checkpoint config (reference get_version_by_config)."""
+    def cfg_fn(hf, name):
+        ver = str(hf.get("version", "2.5"))
+        arch = ("Qwen2ForCausalLM" if ver.split(".")[:2] >= ["2", "6"]
+                else "LlamaForCausalLM")
+        tc = dict(hf)
+        tc["architectures"] = [arch]
+        cfg = config_from_hf(tc, name)
+        cfg.architecture = "MiniCPMV"
+        cfg.image_token_index = hf.get("image_token_index",
+                                       hf.get("unk_token_id", 0))
+        return cfg
+
+    def load_fn(t, cfg, dtype):
+        # text tower lives under llm.* (llm.model.layers..., llm.lm_head)
+        stripped = {k[len("llm."):]: v for k, v in t.items()
+                    if k.startswith("llm.")}
+        return _load_llama_style(stripped, cfg, dtype)
+
+    return cfg_fn, load_fn
+
+
 @_register("Phi3VForCausalLM")
 def _phi3v():
     """Phi-3-Vision (reference vllm/model_executor/models/phi3v.py): the
@@ -2308,7 +2336,6 @@ _KNOWN_UNSUPPORTED: Dict[str, str] = {
     "InternVLChatModel": "legacy trust_remote_code internvl export; "
     "re-export with transformers >= 4.52 as "
     "InternVLForConditionalGeneration (which IS supported)",
-    "MiniCPMV": "multimodal",
     "QWenLMHeadModel-VL": "multimodal (text QWenLMHeadModel is supported)",
     "EAGLEModel": "speculative proposer; use speculative.method instead",
     "MedusaModel": "speculative proposer; use speculative.method='medusa'",

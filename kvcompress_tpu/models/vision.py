@@ -596,6 +596,136 @@ def paligemma_params_from_hf(t: Dict[str, np.ndarray], cfg: VisionConfig,
     }
 
 
+# ------------------------------------------------------------ minicpmv
+# Reference vllm/model_executor/models/minicpmv.py (Resampler2_5, the
+# 2.5/2.6 shape): a SigLIP tower ("vpm") feeds a perceiver RESAMPLER -
+# `query_num` learned queries cross-attend the patch features, whose
+# KEYS carry a 2D sin-cos position embedding computed for the patch grid
+# (MAE get_2d_sincos_pos_embed, version 2.5) - then ln_post + proj into
+# the text space. Text tower is qwen2 (2.6) or llama3 (2.5).
+
+def minicpmv_pos_2d(embed_dim: int, h: int, w: int) -> np.ndarray:
+    """[h, w, embed_dim] 2D sin-cos positions (reference
+    get_2d_sincos_pos_embed version (2,5); the MAE convention feeds the
+    W coordinates to the 'h' half - reproduced exactly)."""
+    grid_w, grid_h = np.meshgrid(np.arange(w, dtype=np.float32),
+                                 np.arange(h, dtype=np.float32))
+
+    def emb_1d(dim, pos):
+        omega = np.arange(dim // 2, dtype=np.float32) / (dim / 2.0)
+        omega = 1.0 / 10000 ** omega
+        out = np.einsum("hw,d->hwd", pos, omega)
+        return np.concatenate([np.sin(out), np.cos(out)], axis=-1)
+
+    return np.concatenate([emb_1d(embed_dim // 2, grid_w),
+                           emb_1d(embed_dim // 2, grid_h)], axis=-1)
+
+
+def minicpmv_resample(params: Dict[str, Any], num_heads: int,
+                      feats: jax.Array, tgt_hw) -> jax.Array:
+    """[L, kv_dim] patch features -> [query_num, D_text] (reference
+    Resampler2_5.forward: kv_proj -> ln_kv; keys + 2D pos; torch
+    nn.MultiheadAttention with packed in_proj; ln_post; @proj)."""
+    D = params["query"].shape[1]
+    h, w = tgt_hw
+    pos = jnp.asarray(minicpmv_pos_2d(D, h, w).reshape(-1, D),
+                      feats.dtype)
+    kv = feats @ params["kv_w"]
+    kv = _ln(kv, params["ln_kv"], params["ln_kv_b"], 1e-5)
+    q_in = _ln(params["query"], params["ln_q"], params["ln_q_b"], 1e-5)
+
+    wq, wk, wv = jnp.split(params["in_proj_w"], 3, axis=0)   # [D, D] each
+    bq, bk, bv = jnp.split(params["in_proj_b"], 3)
+    d = D // num_heads
+    Q = q_in.shape[0]
+    L = kv.shape[0]
+    q = (q_in @ wq.T + bq).reshape(Q, num_heads, d)
+    k = ((kv + pos) @ wk.T + bk).reshape(L, num_heads, d)
+    v = (kv @ wv.T + bv).reshape(L, num_heads, d)
+    logits = jnp.einsum("qhd,khd->hqk", q.astype(jnp.float32),
+                        k.astype(jnp.float32)) * d ** -0.5
+    probs = jax.nn.softmax(logits, axis=-1)
+    o = jnp.einsum("hqk,khd->qhd", probs,
+                   v.astype(jnp.float32)).reshape(Q, D)
+    o = o.astype(q_in.dtype) @ params["out_w"] + params["out_b"]
+    o = _ln(o, params["ln_post"], params["ln_post_b"], 1e-5)
+    return o @ params["proj"]
+
+
+def minicpmv_image_embed(params: Dict[str, Any], cfg: VisionConfig,
+                         num_heads: int,
+                         pixel_values: jax.Array) -> jax.Array:
+    """Image -> resampled embeddings [query_num, D_text]."""
+    feats = siglip_vision_forward(params["vision"], cfg, pixel_values)
+    side_h = pixel_values.shape[1] // cfg.patch_size
+    side_w = pixel_values.shape[2] // cfg.patch_size
+    return minicpmv_resample(params["resampler"], num_heads, feats,
+                             (side_h, side_w))
+
+
+def minicpmv_params_from_hf(t: Dict[str, np.ndarray], cfg: VisionConfig,
+                            dtype=jnp.float32) -> Dict[str, Any]:
+    """Map minicpmv tensor names (vpm.* siglip tower + resampler.*) to
+    the siglip_vision_forward + minicpmv_resample layouts."""
+    n = cfg.num_layers
+
+    def g(key, transpose=False):
+        x = np.asarray(t[key])
+        return jnp.asarray(x.T if transpose else x, dtype)
+
+    def stack(fmt, transpose=False):
+        xs = [np.asarray(t[fmt.format(i)]) for i in range(n)]
+        return jnp.asarray(
+            np.stack([x.T if transpose else x for x in xs]), dtype)
+
+    p = "vpm.encoder.layers.{}."
+    layers = {
+        "ln1": stack(p + "layer_norm1.weight"),
+        "ln1_b": stack(p + "layer_norm1.bias"),
+        "ln2": stack(p + "layer_norm2.weight"),
+        "ln2_b": stack(p + "layer_norm2.bias"),
+        "wq": stack(p + "self_attn.q_proj.weight", transpose=True),
+        "bq": stack(p + "self_attn.q_proj.bias"),
+        "wk": stack(p + "self_attn.k_proj.weight", transpose=True),
+        "bk": stack(p + "self_attn.k_proj.bias"),
+        "wv": stack(p + "self_attn.v_proj.weight", transpose=True),
+        "bv": stack(p + "self_attn.v_proj.bias"),
+        "wo": stack(p + "self_attn.out_proj.weight", transpose=True),
+        "bo": stack(p + "self_attn.out_proj.bias"),
+        "fc1": stack(p + "mlp.fc1.weight", transpose=True),
+        "b1": stack(p + "mlp.fc1.bias"),
+        "fc2": stack(p + "mlp.fc2.weight", transpose=True),
+        "b2": stack(p + "mlp.fc2.bias"),
+    }
+    conv = np.asarray(t["vpm.embeddings.patch_embedding.weight"])
+    D = conv.shape[0]
+    return {
+        "vision": {
+            "layers": layers,
+            "patch_embed": jnp.asarray(conv.reshape(D, -1).T, dtype),
+            "patch_embed_b": g("vpm.embeddings.patch_embedding.bias"),
+            "pos_embed": g("vpm.embeddings.position_embedding.weight"),
+            "post_ln": g("vpm.post_layernorm.weight"),
+            "post_ln_b": g("vpm.post_layernorm.bias"),
+        },
+        "resampler": {
+            "query": g("resampler.query"),
+            "kv_w": g("resampler.kv_proj.weight", transpose=True),
+            "ln_q": g("resampler.ln_q.weight"),
+            "ln_q_b": g("resampler.ln_q.bias"),
+            "ln_kv": g("resampler.ln_kv.weight"),
+            "ln_kv_b": g("resampler.ln_kv.bias"),
+            "ln_post": g("resampler.ln_post.weight"),
+            "ln_post_b": g("resampler.ln_post.bias"),
+            "in_proj_w": g("resampler.attn.in_proj_weight"),
+            "in_proj_b": g("resampler.attn.in_proj_bias"),
+            "out_w": g("resampler.attn.out_proj.weight", transpose=True),
+            "out_b": g("resampler.attn.out_proj.bias"),
+            "proj": g("resampler.proj"),
+        },
+    }
+
+
 # -------------------------------------------------------------- phi3v
 # Reference vllm/model_executor/models/phi3v.py (Phi3HDImageEmbedding,
 # adapted from microsoft/Phi-3-vision image_embedding_phi3_v.py): a

@@ -106,6 +106,12 @@ def load_multimodal(model_dir: str, dtype=jnp.float32):
         bcfg = vision.blip2_config_from_hf(hf_cfg)
         return ("blip2", bcfg,
                 vision.blip2_params_from_hf(tensors, bcfg, dtype))
+    if arch == "MiniCPMV":
+        vcfg = vision.config_from_hf(hf_cfg["vision_config"], hf_cfg)
+        n_heads = hf_cfg.get("resampler_num_heads",
+                             max(1, hf_cfg["hidden_size"] // 128))
+        return ("minicpmv", (vcfg, n_heads),
+                vision.minicpmv_params_from_hf(tensors, vcfg, dtype))
     if arch == "Phi3VForCausalLM":
         pvcfg = vision.phi3v_config_from_hf(hf_cfg)
         return ("phi3v", pvcfg,
