@@ -270,6 +270,15 @@ class SpeculativeConfig:
     num_speculative_tokens: int = 0  # 0 = disabled
     # "ngram" | "draft" | "medusa" | "mlp_speculator" | "eagle"
     method: str = "ngram"
+    # temperature>0 acceptance rule (reference spec_decode_base_sampler
+    # subclasses): "rejection_sampler" couples the target sample to the
+    # proposal (distribution-preserving); "typical_acceptance_sampler"
+    # accepts t_i iff p_target(t_i) > min(eps, alpha * exp(-H(p_target)))
+    # (Medusa 3.3.1 - longer acceptances, deterministic approximation,
+    # reference typical_acceptance_sampler.py)
+    acceptance_method: str = "rejection_sampler"
+    typical_acceptance_sampler_posterior_threshold: float = 0.09
+    typical_acceptance_sampler_posterior_alpha: float = 0.3
     ngram_prompt_lookup_min: int = 1
     ngram_prompt_lookup_max: int = 4
     draft_model: Optional[str] = None  # HF dir for the draft (LLM surface)

@@ -1038,7 +1038,8 @@ class EnginePrograms:
             jnp.asarray(pos0_np), jnp.asarray(wlens_np),
             jnp.asarray(active_np))
 
-    def _build_verify(self, Q: int, sampled: bool = False):
+    def _build_verify(self, Q: int, sampled: bool = False,
+                      typical=None):
         """Speculative verification program (reference vllm/spec_decode/:
         proposal scoring via batch expansion): process Q tokens per
         sequence (current + Q-1 proposals) in one pass, accept the longest
@@ -1123,7 +1124,37 @@ class EnginePrograms:
                 sm, _cache_of(state), active, spec)
             logits = llama.compute_logits(
                 params, mcfg, hidden.reshape(S * Q, -1)).reshape(S, Q, -1)
-            if sampled:
+            match_override = None
+            if typical is not None:
+                # typical acceptance (reference
+                # typical_acceptance_sampler.py _evaluate_accepted_tokens,
+                # Medusa 3.3.1): accept proposal t_i iff
+                # p_target(t_i) > min(eps, alpha * exp(-H(p_target))),
+                # p_target = softmax of processed logits at the row's
+                # temperature; temperature==0 rows degenerate to one-hot
+                # p so the rule reduces to greedy equality. On rejection
+                # we emit the target ARGMAX at the reject position (the
+                # reference substitutes argmax only at position 0 and
+                # emits nothing for later rejects - our always-emit
+                # variant is a strict superset of its acceptances).
+                thr_eps, alpha = typical
+                flat = logits.reshape(S * Q, -1)
+                st_exp = st._replace(
+                    **{f: (jnp.repeat(getattr(st, f), Q, axis=0))
+                       for f in st._fields})
+                flat = sampler_mod.apply_logit_bias(flat, st_exp)
+                temp = jnp.maximum(st_exp.temperature, 1e-6)[:, None]
+                p = jax.nn.softmax(flat.astype(jnp.float32) / temp,
+                                   axis=-1).reshape(S, Q, -1)
+                # recovery/bonus = target argmax over the PROCESSED
+                # (biased) logits, consistent with how temp==0 rows
+                # degenerate to greedy
+                emit = jnp.argmax(flat, axis=-1).astype(
+                    jnp.int32).reshape(S, Q)
+                if Q > 1:
+                    match_override = sampler_mod.typical_accept_mask(
+                        p[:, :-1], tokens[:, 1:], thr_eps, alpha)
+            elif sampled:
                 # x_i ~ q_i with the decode path's (seed, position) noise
                 # keying; greedy rows (temperature==0) reduce to argmax
                 # inside sample(). Flattened [S*Q] with per-sequence
@@ -1143,9 +1174,11 @@ class EnginePrograms:
                     jnp.int32)  # [S, Q]
 
             # acceptance: proposal i+1 accepted iff it equals emit[i]
-            # (greedy match, or the rejection-sampling coupling above)
+            # (greedy match, or the rejection-sampling coupling above),
+            # or passes the typical-acceptance threshold
             if Q > 1:
-                match = emit[:, :-1] == tokens[:, 1:]         # [S, Q-1]
+                match = (match_override if match_override is not None
+                         else emit[:, :-1] == tokens[:, 1:])  # [S, Q-1]
                 acc = jnp.sum(jnp.cumprod(
                     match.astype(jnp.int32), axis=-1), axis=-1)  # [S]
             else:
@@ -1212,9 +1245,20 @@ class EnginePrograms:
         # dict cache keyed by ALL static flags (CLAUDE.md convention: a
         # single-slot cache retraces mid-serving if Q ever alternates)
         sampled = st is not None
-        key = ("verify", Q, sampled)
+        sc = self.cfg.speculative
+        typical = None
+        if sampled and sc.acceptance_method == "typical_acceptance_sampler":
+            typical = (sc.typical_acceptance_sampler_posterior_threshold,
+                       sc.typical_acceptance_sampler_posterior_alpha)
+        elif sampled and sc.acceptance_method != "rejection_sampler":
+            raise ValueError(
+                f"unknown speculative acceptance_method "
+                f"{sc.acceptance_method!r} (rejection_sampler | "
+                "typical_acceptance_sampler)")
+        key = ("verify", Q, sampled, typical)
         if key not in self._decode_fns:
-            self._decode_fns[key] = self._build_verify(Q, sampled=sampled)
+            self._decode_fns[key] = self._build_verify(
+                Q, sampled=sampled, typical=typical)
         out = self._decode_fns[key](
             state, self.params, jnp.asarray(tokens_np),
             jnp.asarray(positions_np), jnp.asarray(active_np),

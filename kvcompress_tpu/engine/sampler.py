@@ -116,6 +116,26 @@ def compute_logprobs(
     return chosen_lp, top_vals, top_ids.astype(jnp.int32)
 
 
+def typical_accept_mask(probs: jax.Array, proposals: jax.Array,
+                        posterior_threshold: float,
+                        posterior_alpha: float) -> jax.Array:
+    """Typical-acceptance rule (reference
+    typical_acceptance_sampler.py _evaluate_accepted_tokens, Medusa
+    3.3.1): accept proposal t iff
+    p(t) > min(posterior_threshold, alpha * exp(-H(p))).
+
+    probs [..., V] target probabilities, proposals [...] i32 token ids;
+    returns a boolean mask of the same leading shape.
+    """
+    pf = probs.astype(jnp.float32)
+    cand = jnp.take_along_axis(pf, proposals[..., None].astype(jnp.int32),
+                               axis=-1)[..., 0]
+    entropy = -jnp.sum(pf * jnp.log(pf + 1e-5), axis=-1)
+    threshold = jnp.minimum(posterior_threshold,
+                            posterior_alpha * jnp.exp(-entropy))
+    return cand > threshold
+
+
 def sample(
     logits: jax.Array,  # [S, V] f32
     t: SamplingTensors,

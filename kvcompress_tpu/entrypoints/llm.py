@@ -45,6 +45,9 @@ def build_engine_config(
     speculative_method: str = "ngram",
     speculative_draft_model: Optional[str] = None,
     speculative_draft_window: int = 64,
+    spec_decoding_acceptance_method: str = "rejection_sampler",
+    typical_acceptance_sampler_posterior_threshold: float = 0.09,
+    typical_acceptance_sampler_posterior_alpha: float = 0.3,
     ngram_prompt_lookup_min: int = 1,
     ngram_prompt_lookup_max: int = 4,
     num_scheduler_steps: int = 0,
@@ -98,6 +101,11 @@ def build_engine_config(
             method=speculative_method,
             draft_model=speculative_draft_model,
             draft_window=speculative_draft_window,
+            acceptance_method=spec_decoding_acceptance_method,
+            typical_acceptance_sampler_posterior_threshold=(
+                typical_acceptance_sampler_posterior_threshold),
+            typical_acceptance_sampler_posterior_alpha=(
+                typical_acceptance_sampler_posterior_alpha),
             ngram_prompt_lookup_min=ngram_prompt_lookup_min,
             ngram_prompt_lookup_max=ngram_prompt_lookup_max),
         seed=seed,

@@ -60,6 +60,15 @@ def add_engine_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--speculative-draft-model", default=None,
                    help="draft/proposer checkpoint dir for methods other "
                         "than ngram")
+    # reference --spec-decoding-acceptance-method (arg_utils.py)
+    p.add_argument("--spec-decoding-acceptance-method",
+                   default="rejection_sampler",
+                   choices=["rejection_sampler",
+                            "typical_acceptance_sampler"])
+    p.add_argument("--typical-acceptance-sampler-posterior-threshold",
+                   type=float, default=0.09)
+    p.add_argument("--typical-acceptance-sampler-posterior-alpha",
+                   type=float, default=0.3)
     p.add_argument("--ngram-prompt-lookup-min", type=int, default=1)
     p.add_argument("--ngram-prompt-lookup-max", type=int, default=4)
     # --- multi-step scheduling (reference --num-scheduler-steps) ---
@@ -99,6 +108,11 @@ def build_llm(args):
         num_speculative_tokens=args.num_speculative_tokens,
         speculative_method=args.speculative_method,
         speculative_draft_model=args.speculative_draft_model,
+        spec_decoding_acceptance_method=args.spec_decoding_acceptance_method,
+        typical_acceptance_sampler_posterior_threshold=(
+            args.typical_acceptance_sampler_posterior_threshold),
+        typical_acceptance_sampler_posterior_alpha=(
+            args.typical_acceptance_sampler_posterior_alpha),
         ngram_prompt_lookup_min=args.ngram_prompt_lookup_min,
         ngram_prompt_lookup_max=args.ngram_prompt_lookup_max,
         num_scheduler_steps=args.num_scheduler_steps,

@@ -114,6 +114,88 @@ def test_sampled_spec_with_compression(params):
     assert eng.scheduler.total_evicted_kvs > 0
 
 
+def _typical_engine(params, spec_tokens, thr=0.09, alpha=0.3):
+    cfg = tiny_cfg(compression_interval=16)
+    cfg.kvcompress.enabled = False
+    cfg.speculative = SpeculativeConfig(
+        num_speculative_tokens=spec_tokens,
+        acceptance_method="typical_acceptance_sampler",
+        typical_acceptance_sampler_posterior_threshold=thr,
+        typical_acceptance_sampler_posterior_alpha=alpha)
+    eng = LLMEngine(cfg, params, num_blocks=512, attn_impl="xla")
+    eng.multi_step = 1
+    return eng
+
+
+def test_typical_acceptance_temp0_degenerates_to_greedy(params):
+    """temperature==0 rows make p_target one-hot, so the typical rule
+    reduces to greedy equality: output must match the plain greedy
+    stream exactly (logit_bias forces the sampled verify variant so the
+    typical program actually runs)."""
+    prompt = _rep_prompt(2)
+    bias = {3: 1.5}
+    sp = lambda: SamplingParams(  # noqa: E731
+        temperature=0.0, logit_bias=dict(bias), max_tokens=16,
+        ignore_eos=True)
+    plain = _gen(_engine(params, 0), [(prompt, sp())])[0]
+    typ = _gen(_typical_engine(params, 3), [(prompt, sp())])[0]
+    assert typ == plain
+
+
+def test_typical_accept_mask_matches_torch_oracle():
+    """The acceptance rule matches an independent torch implementation
+    of the reference formula (typical_acceptance_sampler.py
+    _evaluate_accepted_tokens), including the 1e-5 entropy epsilon."""
+    import torch
+    import jax.numpy as jnp
+    from kvcompress_tpu.engine.sampler import typical_accept_mask
+
+    rng = np.random.default_rng(9)
+    B, K, V = 4, 3, 32
+    logits = rng.normal(scale=3.0, size=(B, K, V)).astype(np.float32)
+    probs = np.exp(logits) / np.exp(logits).sum(-1, keepdims=True)
+    proposals = rng.integers(0, V, size=(B, K)).astype(np.int32)
+    thr_eps, alpha = 0.09, 0.3
+
+    tp = torch.tensor(probs)
+    cand = torch.gather(tp, dim=-1,
+                        index=torch.tensor(proposals)[..., None].long()
+                        ).squeeze(-1)
+    ent = -torch.sum(tp * torch.log(tp + 1e-5), dim=-1)
+    thr = torch.minimum(torch.full_like(ent, thr_eps),
+                        torch.exp(-ent) * alpha)
+    ref = (cand > thr).numpy()
+
+    ours = np.asarray(typical_accept_mask(
+        jnp.asarray(probs), jnp.asarray(proposals), thr_eps, alpha))
+    np.testing.assert_array_equal(ours, ref)
+    assert ref.any() and not ref.all()  # the case exercises both sides
+
+
+def test_typical_acceptance_serves_sampled_requests(params):
+    """Engine smoke at temperature>0: the typical variant compiles,
+    serves, and emits max_tokens per request (its acceptances and
+    recovery tokens keep the stream flowing)."""
+    prompt = _rep_prompt(3, n=25)
+    eng = _typical_engine(params, 3)
+    sp = SamplingParams(temperature=1.0, max_tokens=16, ignore_eos=True)
+    out = _gen(eng, [(prompt, sp)])[0]
+    assert len(out) == 16
+
+
+def test_unknown_acceptance_method_rejected(params):
+    prompt = _rep_prompt(4)
+    cfg = tiny_cfg()
+    cfg.kvcompress.enabled = False
+    cfg.speculative = SpeculativeConfig(
+        num_speculative_tokens=3, acceptance_method="nope")
+    eng = LLMEngine(cfg, params, num_blocks=512, attn_impl="xla")
+    eng.multi_step = 1
+    sp = SamplingParams(temperature=0.9, max_tokens=8, ignore_eos=True)
+    with pytest.raises(ValueError, match="acceptance_method"):
+        _gen(eng, [(prompt, sp)])
+
+
 @pytest.mark.full
 def test_unseeded_sampled_distribution_chi2(params):
     """Unseeded rows: first-token distribution over repeated spec runs
