@@ -55,7 +55,8 @@ class AsyncEngine:
         self._thread.start()
 
     def submit(self, prompt: Optional[str], prompt_token_ids,
-               sampling_params: SamplingParams) -> RequestStream:
+               sampling_params: SamplingParams,
+               mm_kwargs: Optional[dict] = None) -> RequestStream:
         if self.errored is not None:
             raise EngineDeadError(
                 f"engine loop crashed: {self.errored!r}") \
@@ -67,7 +68,7 @@ class AsyncEngine:
         stream = RequestStream(rid)
         self._streams[rid] = stream
         self._pending.put(("add", rid, prompt, prompt_token_ids,
-                           sampling_params, stream))
+                           sampling_params, stream, mm_kwargs))
         self._wake.set()
         # re-check AFTER registering: if the loop died between the entry
         # check and the registration above, the death broadcast may have
@@ -84,8 +85,9 @@ class AsyncEngine:
         return stream
 
     def generate(self, prompt, prompt_token_ids,
-                 sampling_params) -> RequestOutput:
-        stream = self.submit(prompt, prompt_token_ids, sampling_params)
+                 sampling_params, mm_kwargs=None) -> RequestOutput:
+        stream = self.submit(prompt, prompt_token_ids, sampling_params,
+                             mm_kwargs=mm_kwargs)
         stream.done.wait()
         if stream.error is not None:
             raise stream.error
@@ -122,11 +124,12 @@ class AsyncEngine:
                     stream.done.set()
                     stream.queue.put(None)
                 continue
-            _, rid, prompt, ids, sp, stream = item
+            _, rid, prompt, ids, sp, stream, mm_kwargs = item
             try:
                 self.engine.add_request(rid, prompt=prompt,
                                         prompt_token_ids=ids,
-                                        sampling_params=sp)
+                                        sampling_params=sp,
+                                        **(mm_kwargs or {}))
             except Exception as e:  # noqa: BLE001
                 # a BAD REQUEST (over-length prompt, invalid guided
                 # schema, ...) fails ONLY its own stream - treating it as

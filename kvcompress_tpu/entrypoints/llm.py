@@ -127,6 +127,7 @@ class LLM:
         from kvcompress_tpu.models.weights import load_model
 
         jdtype = jnp.bfloat16 if dtype == "bfloat16" else jnp.float32
+        self.model_dir = model
         model_cfg, params = load_model(model, dtype=jdtype)
         if quantization is None and model_cfg.checkpoint_quantization:
             # AWQ/GPTQ checkpoints serve int4 unless overridden

@@ -29,11 +29,18 @@ def _apply_chat_template(tokenizer, messages) -> str:
 
 
 class OpenAIServer:
-    def __init__(self, engine, model_name: str = "model"):
+    def __init__(self, engine, model_name: str = "model", llm=None):
+        """llm: the entrypoints.llm.LLM wrapper, when available - enables
+        image content parts in /v1/chat/completions (reference
+        entrypoints/chat_utils.py parse_image; base64 data URLs only:
+        this deployment is zero-egress, remote image fetch is rejected
+        loudly rather than hanging)."""
         self.async_engine = AsyncEngine(engine)
         self.engine = engine
         self.model_name = model_name
         self.tokenizer = engine.tokenizer
+        self.llm = llm
+        self._image_processor = None
         self._httpd: Optional[ThreadingHTTPServer] = None
 
     # ------------------------------------------------------------ handlers
@@ -162,13 +169,90 @@ class OpenAIServer:
                      "usage": {"prompt_tokens": total_tokens,
                                "total_tokens": total_tokens}}
 
+    def _decode_data_url(self, url: str):
+        """data:image/...;base64,<payload> -> PIL image. Remote URLs are
+        rejected (zero-egress deployment; the reference fetches them -
+        entrypoints/chat_utils.py get_and_parse_image)."""
+        import base64
+        import io
+        if not url.startswith("data:"):
+            raise ValueError(
+                "only base64 data URLs are supported for image_url "
+                "(this deployment cannot fetch remote images)")
+        payload = url.split(",", 1)[1]
+        from PIL import Image
+        return Image.open(io.BytesIO(base64.b64decode(payload))).convert(
+            "RGB")
+
+    def _chat_multimodal(self, messages):
+        """Flatten OpenAI content-part messages: text parts concatenate,
+        image_url parts become one <image-token> literal in the text and
+        a CLIP/SigLIP-processed pixel tensor in mm data (reference
+        chat_utils.py _parse_chat_message_content_parts)."""
+        images = []
+        placeholder = None
+        flat = []
+        for m in messages:
+            content = m.get("content")
+            if not isinstance(content, list):
+                flat.append(m)
+                continue
+            pieces = []
+            for part in content:
+                if part.get("type") == "text":
+                    pieces.append(part["text"])
+                elif part.get("type") == "image_url":
+                    if self.llm is None or self.llm._vision is None:
+                        raise ValueError(
+                            "this model has no vision tower; image "
+                            "content parts are not supported")
+                    if placeholder is None:
+                        placeholder = self.tokenizer.decode(
+                            [self.engine.cfg.model.image_token_index])
+                    images.append(self._decode_data_url(
+                        part["image_url"]["url"]))
+                    pieces.append(placeholder)
+                else:
+                    raise ValueError(
+                        f"unsupported content part type "
+                        f"{part.get('type')!r}")
+            flat.append({**m, "content": " ".join(pieces)})
+        return flat, images
+
+    def _process_images(self, images):
+        """PIL images -> model pixel tensor via the checkpoint's HF image
+        processor; -> (token ids transform) happens in LLM._encode_images."""
+        if self._image_processor is None:
+            from transformers import AutoImageProcessor
+            self._image_processor = AutoImageProcessor.from_pretrained(
+                self.llm.model_dir)
+        kind = self.llm._vision[0]
+        if kind not in ("llava", "blip2", "paligemma", "internvl",
+                        "minicpmv", "chameleon"):
+            raise ValueError(
+                f"server-side image input is not wired for the "
+                f"{kind!r} tower's tiled/patch preprocessing; use the "
+                "LLM batch API with preprocessed pixel values")
+        px = self._image_processor(images=images,
+                                   return_tensors="np")["pixel_values"]
+        return {"image": px}
+
     def _chat(self, body: Dict[str, Any]) -> tuple:
-        prompt = _apply_chat_template(self.tokenizer, body["messages"])
+        messages, images = self._chat_multimodal(body["messages"])
+        prompt = _apply_chat_template(self.tokenizer, messages)
         sp = proto.sampling_params_from_request(body)
+        mm_kwargs = None
+        ids = None
+        if images:
+            ids = self.tokenizer.encode(prompt)
+            ids, mm_kwargs = self.llm._encode_images(
+                ids, self._process_images(images))
         if body.get("stream"):
-            stream = self.async_engine.submit(prompt, None, sp)
+            stream = self.async_engine.submit(prompt, ids, sp,
+                                              mm_kwargs=mm_kwargs)
             return 200, ("sse", self._sse_chat(stream))
-        out = self.async_engine.generate(prompt, None, sp)
+        out = self.async_engine.generate(prompt, ids, sp,
+                                         mm_kwargs=mm_kwargs)
         n_prompt = len(out.prompt_token_ids)
         return 200, proto.chat_response(self.model_name, n_prompt,
                                         out.outputs, self.tokenizer)

@@ -123,7 +123,7 @@ def build_llm(args):
 def cmd_serve(args) -> None:
     from kvcompress_tpu.entrypoints.openai.api_server import OpenAIServer
     llm = build_llm(args)
-    server = OpenAIServer(llm.llm_engine, model_name=args.model)
+    server = OpenAIServer(llm.llm_engine, model_name=args.model, llm=llm)
     print(f"kvcompress-tpu serving {args.model} on "
           f"{args.host}:{args.port}", flush=True)
     server.serve(host=args.host, port=args.port)

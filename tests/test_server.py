@@ -258,3 +258,95 @@ def test_streaming_bad_request_emits_error_chunk(server):
              if l.startswith("data: ")]
     assert datas[-1] == "[DONE]"
     assert any("error" in json.loads(c) for c in datas[:-1]), datas
+
+
+def test_chat_with_image_matches_hf(tmp_path):
+    """Image content parts in /v1/chat/completions (reference
+    entrypoints/chat_utils.py parse_image): a base64 data-URL image runs
+    the checkpoint's HF image processor + vision tower server-side, and
+    the chat output equals HF LlavaForConditionalGeneration.generate on
+    the identical pixel values."""
+    import base64
+    import io
+    import os
+
+    transformers = pytest.importorskip("transformers")
+    import torch
+    from PIL import Image
+    from safetensors.torch import save_file
+    from tokenizers import Tokenizer, models as tmodels, pre_tokenizers
+    from transformers import PreTrainedTokenizerFast
+
+    from tests.test_multimodal import tiny_llava, IMG_TOK
+
+    torch.manual_seed(90)
+    m, cfg = tiny_llava()
+    d = str(tmp_path / "llava_srv_ck")
+    os.makedirs(d)
+    hf_cfg = cfg.to_dict()
+    hf_cfg["architectures"] = ["LlavaForConditionalGeneration"]
+    with open(f"{d}/config.json", "w") as f:
+        json.dump(hf_cfg, f)
+    save_file({k: v.clone().contiguous()
+               for k, v in m.state_dict().items()},
+              f"{d}/model.safetensors")
+    proc = transformers.CLIPImageProcessor(
+        size={"shortest_edge": 28}, crop_size={"height": 28, "width": 28})
+    proc.save_pretrained(d)
+    vocab = {f"w{i:03d}": i for i in range(128)}
+    for j, w in enumerate(["hello", "what", "is", "this"]):
+        del vocab[f"w{j + 20:03d}"]
+        vocab[w] = j + 20
+    del vocab[f"w{IMG_TOK:03d}"]
+    vocab["<image>"] = IMG_TOK
+    t = Tokenizer(tmodels.WordLevel(vocab, unk_token="w001"))
+    t.pre_tokenizer = pre_tokenizers.WhitespaceSplit()
+    fast = PreTrainedTokenizerFast(tokenizer_object=t, unk_token="w001",
+                                   pad_token="w000")
+    fast.save_pretrained(d)
+
+    rng = np.random.default_rng(91)
+    img = Image.fromarray(
+        rng.integers(0, 255, size=(28, 28, 3), dtype=np.uint8))
+    buf = io.BytesIO()
+    img.save(buf, format="PNG")
+    data_url = ("data:image/png;base64,"
+                + base64.b64encode(buf.getvalue()).decode())
+
+    from kvcompress_tpu.entrypoints.llm import LLM
+    llm = LLM(model=d, dtype="float32", num_blocks=256, max_num_seqs=2,
+              max_model_len=64, enable_kvcompress=True)
+    srv = OpenAIServer(llm.llm_engine, model_name="tiny-llava", llm=llm)
+    httpd = srv.serve(host="127.0.0.1", port=0, background=True)
+    url = f"http://127.0.0.1:{httpd.server_address[1]}"
+    try:
+        body = {
+            "model": "tiny-llava",
+            "messages": [{"role": "user", "content": [
+                {"type": "text", "text": "hello"},
+                {"type": "image_url", "image_url": {"url": data_url}},
+                {"type": "text", "text": "what is this"},
+            ]}],
+            "max_tokens": 5, "temperature": 0.0, "ignore_eos": True,
+        }
+        resp = _post(url, "/v1/chat/completions", body)
+        got = resp["choices"][0]["message"]["content"]
+
+        # HF reference on the SAME template text + processed pixels
+        messages = [{"role": "user",
+                     "content": "hello <image> what is this"}]
+        text = "user: hello <image> what is this"
+        ids = fast.encode(text)
+        expanded = []
+        for tok in ids:
+            expanded.extend([IMG_TOK] * 4 if tok == IMG_TOK else [tok])
+        px = proc(images=[img], return_tensors="pt")["pixel_values"]
+        with torch.no_grad():
+            hf_out = m.generate(input_ids=torch.tensor([expanded]),
+                                pixel_values=px, max_new_tokens=5,
+                                do_sample=False)
+        ref_ids = hf_out[0, len(expanded):].tolist()
+        ref = fast.decode(ref_ids, skip_special_tokens=True)
+        assert got == ref, (got, ref)
+    finally:
+        srv.close()
