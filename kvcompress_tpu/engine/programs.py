@@ -1137,6 +1137,11 @@ class EnginePrograms:
                 # reference substitutes argmax only at position 0 and
                 # emits nothing for later rejects - our always-emit
                 # variant is a strict superset of its acceptances).
+                # ACCEPTED positions must emit the PROPOSAL token, not
+                # the argmax: typical acceptance admits non-argmax
+                # proposals, and the cache keeps the proposal KVs
+                # (reference spec_decode_base_sampler._create_output
+                # emits draft_token_ids at accepted slots).
                 thr_eps, alpha = typical
                 flat = logits.reshape(S * Q, -1)
                 st_exp = st._replace(
@@ -1154,6 +1159,8 @@ class EnginePrograms:
                 if Q > 1:
                     match_override = sampler_mod.typical_accept_mask(
                         p[:, :-1], tokens[:, 1:], thr_eps, alpha)
+                    emit = emit.at[:, :-1].set(jnp.where(
+                        match_override, tokens[:, 1:], emit[:, :-1]))
             elif sampled:
                 # x_i ~ q_i with the decode path's (seed, position) noise
                 # keying; greedy rows (temperature==0) reduce to argmax

@@ -237,8 +237,10 @@ class LLM:
         from kvcompress_tpu.models.vision import (expand_image_tokens,
                                                   fuyu_image_embed,
                                                   llava_image_embed)
-        assert self._vision is not None, \
-            "multi_modal_data passed but the model has no vision tower"
+        if self._vision is None:
+            raise ValueError(
+                "multi_modal_data passed but the model has no vision "
+                "tower")
         kind, vcfg, vparams = self._vision
         if kind == "ultravox":
             # audio: mm = {"audio_features": mel [num_mel_bins, T] (as
@@ -259,9 +261,10 @@ class LLM:
             n_per = embeds.shape[0] // mel.shape[0]
             new_ids, positions = expand_image_tokens(prompt_ids, aud_tok,
                                                      n_per)
-            assert len(positions) == embeds.shape[0], (
-                f"prompt has {len(positions) // n_per} audio tokens but "
-                f"{mel.shape[0]} clips were passed")
+            if len(positions) != embeds.shape[0]:
+                raise ValueError(
+                    f"prompt has {len(positions) // n_per} audio tokens "
+                    f"but {mel.shape[0]} clips were passed")
             return new_ids, {"mm_embeds": embeds,
                              "mm_positions": np.asarray(positions)}
         if kind == "chameleon":
@@ -284,15 +287,17 @@ class LLM:
             new_ids, run_i = [], 0
             for tok in prompt_ids:
                 if tok == img_tok:
-                    assert run_i < len(runs), \
-                        "more <image> tokens than images passed"
+                    if run_i >= len(runs):
+                        raise ValueError(
+                            "more <image> tokens than images passed")
                     new_ids.extend(int(x) for x in runs[run_i])
                     run_i += 1
                 else:
                     new_ids.append(tok)
-            assert run_i == len(runs), (
-                f"prompt has {run_i} <image> tokens but {len(runs)} "
-                "images were passed")
+            if run_i != len(runs):
+                raise ValueError(
+                    f"prompt has {run_i} <image> tokens but {len(runs)} "
+                    "images were passed")
             return new_ids, {}
         if kind == "fuyu":
             patches = jnp.asarray(mm["image_patches"])
@@ -330,8 +335,9 @@ class LLM:
             # ONE <image> placeholder expands to the whole merged run
             from kvcompress_tpu.models.vision import phi3v_image_embed
             px = jnp.asarray(mm["image"])
-            assert px.ndim == 4, \
-                "phi3v expects tiled pixel_values [1 + n_crops, 3, s, s]"
+            if px.ndim != 4:
+                raise ValueError("phi3v expects tiled pixel_values "
+                                 "[1 + n_crops, 3, s, s]")
             embeds = phi3v_image_embed(vparams, vcfg, px,
                                        tuple(mm["image_size"]))
         elif kind == "llava_next":
@@ -342,8 +348,9 @@ class LLM:
             # the whole run
             from kvcompress_tpu.models.vision import llava_next_image_embed
             px = jnp.asarray(mm["image"])
-            assert px.ndim == 4, \
-                "llava-next expects tiled pixel_values [n_tiles, 3, s, s]"
+            if px.ndim != 4:
+                raise ValueError("llava-next expects tiled pixel_values "
+                                 "[n_tiles, 3, s, s]")
             embeds = llava_next_image_embed(
                 vparams, vcfg, px, tuple(mm["image_size"]),
                 vcfg.grid_pinpoints)
@@ -364,9 +371,10 @@ class LLM:
             else px.shape[0]
         n_per = embeds.shape[0] // n_imgs
         new_ids, positions = expand_image_tokens(prompt_ids, img_tok, n_per)
-        assert len(positions) == embeds.shape[0], (
-            f"prompt has {len(positions) // n_per} <image> tokens but "
-            f"{n_imgs} images were passed")
+        if len(positions) != embeds.shape[0]:
+            raise ValueError(
+                f"prompt has {len(positions) // n_per} <image> tokens "
+                f"but {n_imgs} images were passed")
         return new_ids, {"mm_embeds": embeds,
                          "mm_positions": np.asarray(positions)}
 

@@ -261,7 +261,11 @@ def _minicpmv():
     checkpoint config (reference get_version_by_config)."""
     def cfg_fn(hf, name):
         ver = str(hf.get("version", "2.5"))
-        arch = ("Qwen2ForCausalLM" if ver.split(".")[:2] >= ["2", "6"]
+        try:  # numeric compare: '2.10' > '2.6' (string compare misroutes)
+            ver_t = tuple(int(x) for x in ver.split(".")[:2])
+        except ValueError:
+            ver_t = (2, 6)
+        arch = ("Qwen2ForCausalLM" if ver_t >= (2, 6)
                 else "LlamaForCausalLM")
         tc = dict(hf)
         tc["architectures"] = [arch]

@@ -1367,7 +1367,9 @@ def chameleon_img2bpe(vocabulary_map: Dict[str, int]) -> np.ndarray:
         if name.startswith("IMGIMG"):
             idx = int("".join(chr_map.get(c, c) for c in name[6:-1]))
             pairs[idx] = tok
-    table = np.zeros(max(pairs) + 1, np.int32)
+    # unmapped codebook indices are -1 so a quantizer output missing from
+    # vocabulary_map fails loudly instead of splicing token id 0
+    table = np.full(max(pairs) + 1, -1, np.int32)
     for idx, tok in pairs.items():
         table[idx] = tok
     return table
@@ -1379,7 +1381,13 @@ def chameleon_image_tokens(params, cfg: ChameleonVQConfig,
     """[3, res, res] image -> BPE token ids (the text ids the engine
     serves; reference chameleon.py input mapper + model.get_image_tokens)."""
     idx = np.asarray(chameleon_vq_indices(params, cfg, pixel_values))
-    return img2bpe[idx]
+    toks = img2bpe[idx]
+    if (toks < 0).any():
+        bad = np.unique(idx[toks < 0])[:8]
+        raise ValueError(
+            f"chameleon VQ indices {bad.tolist()} missing from "
+            "vocabulary_map (img2bpe table has no BPE id for them)")
+    return toks
 
 
 def chameleon_vq_params_from_hf(t: Dict[str, np.ndarray],

@@ -34,6 +34,7 @@ def host_fingerprint() -> str:
 
 def default_cache_dir(platform: str, tag: str = "") -> str:
     """$KVC_COMPILATION_CACHE, else a backend-appropriate directory.
+    KVC_COMPILATION_CACHE=off disables the persistent cache (returns "").
 
     TPU compilation results are host-independent, so every host shares
     ~/.cache/kvc_xla (cache keys include the platform, so CPU entries in
@@ -41,7 +42,7 @@ def default_cache_dir(platform: str, tag: str = "") -> str:
     needs host-keyed isolation for its AOT entries."""
     env = os.environ.get("KVC_COMPILATION_CACHE")
     if env:
-        return env
+        return "" if env.lower() in ("off", "none", "0") else env
     if platform in ("tpu", "axon"):
         return os.path.expanduser("~/.cache/kvc_xla")
     return os.path.expanduser(
@@ -53,6 +54,8 @@ def configure(platform: str, tag: str = "") -> str:
     Safe to call more than once; returns the directory chosen."""
     import jax
     d = default_cache_dir(platform, tag)
+    if not d:  # KVC_COMPILATION_CACHE=off
+        return d
     try:  # pragma: no cover
         jax.config.update("jax_compilation_cache_dir", d)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

@@ -183,6 +183,51 @@ def test_typical_acceptance_serves_sampled_requests(params):
     assert len(out) == 16
 
 
+def test_typical_acceptance_emits_accepted_proposals(params):
+    """Accepted positions must emit the PROPOSAL token, not the target
+    argmax (reference spec_decode_base_sampler._create_output emits
+    draft_token_ids at accepted slots): typical acceptance admits
+    non-argmax proposals while the cache keeps the proposal KVs, so
+    emitting argmax would diverge the token history from the cached
+    sequence state. The invariant is checked directly on the verify
+    program's packed output: for every verify call, the first
+    (n_out - 1) emitted tokens of each row must equal the row's
+    accepted proposals (tokens[1 : n_out]). A huge temperature
+    flattens p_target so the entropy threshold accepts near-uniform
+    ngram proposals that are rarely the argmax."""
+    prompt = _rep_prompt(6, n=25)
+    eng = _typical_engine(params, 3)
+    orig_verify = eng.programs.verify
+    accepted_total = 0
+    mismatches = []
+
+    def spy(state, tokens_np, positions_np, active_np, Q, st=None,
+            rng=None):
+        nonlocal accepted_total
+        out = orig_verify(state, tokens_np, positions_np, active_np, Q,
+                          st=st, rng=rng)
+        packed = np.asarray(out[1])
+        S = len(active_np)
+        emit = packed[:S * Q].reshape(S, Q)
+        n_out = packed[S * Q:S * Q + S]
+        for s in range(S):
+            if not active_np[s]:
+                continue
+            acc = int(n_out[s]) - 1
+            accepted_total += max(acc, 0)
+            for i in range(acc):
+                if int(emit[s, i]) != int(tokens_np[s, 1 + i]):
+                    mismatches.append(
+                        (s, i, int(emit[s, i]), int(tokens_np[s, 1 + i])))
+        return out
+
+    eng.programs.verify = spy
+    sp = SamplingParams(temperature=100.0, max_tokens=12, ignore_eos=True)
+    _gen(eng, [(prompt, sp)])
+    assert accepted_total > 0  # the threshold actually accepted proposals
+    assert not mismatches, mismatches[:5]
+
+
 def test_unknown_acceptance_method_rejected(params):
     prompt = _rep_prompt(4)
     cfg = tiny_cfg()
