@@ -29,9 +29,43 @@ PROMPT_TEMPLATES = {
 DATASET_MAX_GEN = {"narrativeqa": 128, "qasper": 128, "default": 64}
 
 
+def find_real_checkpoint():
+    """Locate a real pretrained decoder checkpoint on local disk, if one
+    ever lands on this (zero-egress) image: $KVC_LONGBENCH_MODEL, else
+    the first directory under the common local model roots that holds a
+    config.json + weights. Returns None when nothing is found."""
+    import glob
+    env = os.environ.get("KVC_LONGBENCH_MODEL")
+    if env and os.path.isfile(os.path.join(env, "config.json")):
+        return env
+    roots = ["/root/models", "/models", "/data/models",
+             os.path.expanduser("~/models"),
+             os.path.expanduser("~/.cache/huggingface/hub")]
+    for root in roots:
+        for cfg_path in sorted(glob.glob(
+                os.path.join(root, "**", "config.json"), recursive=True)):
+            d = os.path.dirname(cfg_path)
+            has_weights = any(
+                glob.glob(os.path.join(d, pat))
+                for pat in ("*.safetensors", "*.bin", "*.gguf", "*.pt"))
+            if not has_weights:
+                continue
+            try:
+                with open(cfg_path) as f:
+                    archs = json.load(f).get("architectures") or []
+            except (OSError, json.JSONDecodeError):
+                continue
+            if archs:
+                return d
+    return None
+
+
 def main(argv=None):
     p = argparse.ArgumentParser()
-    p.add_argument("--model", required=True)
+    p.add_argument("--model", required=True,
+                   help="checkpoint dir, or 'auto' to use the first real "
+                        "pretrained checkpoint found on local disk "
+                        "($KVC_LONGBENCH_MODEL or common model roots)")
     p.add_argument("--data-dir", required=True)
     p.add_argument("--datasets", nargs="+", default=["narrativeqa"])
     p.add_argument("--out-dir", default="longbench_preds")
@@ -54,6 +88,14 @@ def main(argv=None):
     p.add_argument("--dtype", default="bfloat16",
                    choices=["bfloat16", "float32"])
     args = p.parse_args(argv)
+    if args.model == "auto":
+        found = find_real_checkpoint()
+        if found is None:
+            raise SystemExit(
+                "--model auto: no pretrained checkpoint on local disk "
+                "(set KVC_LONGBENCH_MODEL or place one under /root/models)")
+        print(f"[longbench] auto-detected checkpoint: {found}")
+        args.model = found
 
     from kvcompress_tpu.entrypoints.llm import LLM
     from kvcompress_tpu.sampling_params import SamplingParams

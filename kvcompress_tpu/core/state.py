@@ -235,8 +235,22 @@ def stack_push(
 
 
 def effective_free_blocks(free_top: jax.Array) -> jax.Array:
-    """Conservative scalar free-block count for host scheduling: the
-    minimum partition fill times the partition count (allocation demand is
-    symmetric across heads, so partitions drift apart only through uneven
-    compression)."""
+    """Scalar free-block count for host scheduling: min partition fill
+    times partition count.
+
+    min*G - not sum(free_top) - is the correct admission/preemption
+    scalar under SKEWED partitions (uneven per-head eviction): every
+    allocation draws uniformly from ALL partitions (each appended token
+    needs a block in every head's shard-local pool, and worst-case burst
+    demand is cdiv(steps, block_size) crossings PER HEAD regardless of
+    per-head fill offsets), so capacity is bound by the emptiest
+    partition. sum() would admit work the starved partition cannot
+    serve; its pops would then hand out the trash block (id 0,
+    _pop_one underflow guard) and silently drop those heads' KVs - a
+    correctness loss, vs min*G's bounded conservatism (at most the skew
+    delta, transient because compression targets re-balance; plus a
+    constant G-1 because the reserved trash block lives in partition
+    0's range). tests/test_allocator_skew.py pins both directions.
+    Reference analog: the single free-block counter of
+    vllm/core/block_manager.py (no partitions to skew there)."""
     return jnp.min(free_top) * free_top.shape[0]

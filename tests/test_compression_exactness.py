@@ -62,6 +62,40 @@ def copier_model_config():
         tie_word_embeddings=True, dtype="float32")
 
 
+# ---- LONG-context copier (paper-grid CR sweep, experiments/
+# run_longbench_filler.py --grid paper): same arch, contexts up to ~1.9k
+# tokens so CR=64 budgets still hold the answer digits + window ----
+LONG_PAD_T = 1984
+
+
+def long_copier_model_config():
+    cfg = copier_model_config()
+    import dataclasses
+    return dataclasses.replace(cfg, max_model_len=LONG_PAD_T + 64)
+
+
+def _long_filler_batch(rng, B, T):
+    """Filler length sampled across the whole long range so the copier
+    learns to ignore arbitrarily long prefixes (same task as
+    _filler_batch, stretched)."""
+    toks = np.zeros((B, T), np.int64)
+    w = np.zeros((B, T), np.float32)
+    for b in range(B):
+        n = int(rng.integers(8, 41))
+        f = int(rng.integers(100, T - 2 * n - 2))
+        filler = rng.integers(FILLER_LO, FILLER_HI, size=f)
+        d = rng.choice(DIGIT_HI - DIGIT_LO, size=n, replace=False) \
+            + DIGIT_LO
+        seq = np.concatenate([[BOS], filler, d, [SEP], d])
+        toks[b, :len(seq)] = seq
+        w[b, 1 + f + n + 1:len(seq)] = 1.0
+    return toks, w
+
+
+_ARTIFACT_LONG = os.path.join(os.path.dirname(__file__), "artifacts",
+                              "filler_copier_long.npz")
+
+
 _ARTIFACT = os.path.join(os.path.dirname(__file__), "artifacts",
                          "filler_copier.npz")
 
