@@ -62,6 +62,13 @@ class LLMEngine:
     ):
         self.cfg = cfg
         self.tokenizer = tokenizer
+        # pooled detokenization (KVC_TOKENIZER_POOL_SIZE>0 moves per-seq
+        # detok off the serving thread; reference tokenizer_group/)
+        self.tokenizer_group = None
+        if tokenizer is not None:
+            from kvcompress_tpu.transformers_utils.tokenizer_group import \
+                TokenizerGroup
+            self.tokenizer_group = TokenizerGroup(tokenizer)
         self.eos_token_ids = set(eos_token_ids or ())
         if tokenizer is not None and tokenizer.eos_token_id is not None:
             self.eos_token_ids.add(tokenizer.eos_token_id)
@@ -198,10 +205,10 @@ class LLMEngine:
                 else jnp.float32)
         # artificial preemption fault injection (reference
         # VLLM_TEST_ENABLE_ARTIFICIAL_PREEMPT, core/scheduler.py:388-396)
-        self._artificial_preempt = os.environ.get(
-            "KVC_TEST_ENABLE_ARTIFICIAL_PREEMPT") == "1"
-        self._artificial_preempt_rate = float(os.environ.get(
-            "KVC_TEST_ARTIFICIAL_PREEMPT_RATE", "0.1"))
+        from kvcompress_tpu import envs
+        self._artificial_preempt = envs.KVC_TEST_ENABLE_ARTIFICIAL_PREEMPT
+        self._artificial_preempt_rate = \
+            envs.KVC_TEST_ARTIFICIAL_PREEMPT_RATE
         self.lora_bank = None
         if cfg.lora and cfg.lora.enable_lora:
             from kvcompress_tpu.lora.models import LoRABank
@@ -301,8 +308,8 @@ class LLMEngine:
         dev = jax.devices()[0]
         stats = getattr(dev, "memory_stats", lambda: None)() or {}
         # the axon tunnel device reports no memory_stats; v5e default 16 GB
-        total = stats.get("bytes_limit", 0) or int(
-            os.environ.get("KVC_HBM_BYTES", 16 << 30))
+        from kvcompress_tpu import envs
+        total = stats.get("bytes_limit", 0) or envs.KVC_HBM_BYTES
         budget = int(total * cc.gpu_memory_utilization)
         params_bytes = sum(
             int(np.prod(x.shape)) * x.dtype.itemsize
@@ -1348,15 +1355,39 @@ class LLMEngine:
         return entry
 
     def _update_text(self, seq: Sequence) -> str:
-        """Incrementally detokenize new output tokens; returns the delta."""
+        """Incrementally detokenize new output tokens; returns the delta.
+        A delta precomputed by _batch_update_text (tokenizer pool) is
+        consumed instead of re-decoding."""
         if self.tokenizer is None or seq.stop_reason is not None:
             return ""
-        if seq.detokenizer is None:
-            seq.detokenizer = IncrementalDetokenizer(
-                self.tokenizer, seq.sampling_params.skip_special_tokens)
-        delta = seq.detokenizer.update(seq.output_token_ids)
+        if seq.pending_delta is not None:
+            delta, seq.pending_delta = seq.pending_delta, None
+        else:
+            if seq.detokenizer is None:
+                seq.detokenizer = IncrementalDetokenizer(
+                    self.tokenizer, seq.sampling_params.skip_special_tokens)
+            delta = seq.detokenizer.update(seq.output_token_ids)
         seq.output_text = seq.detokenizer.text
         return delta
+
+    def _batch_update_text(self, seqs: List[Sequence]) -> None:
+        """Detokenize all sequences' new tokens through the tokenizer
+        group (thread pool when KVC_TOKENIZER_POOL_SIZE>0); deltas park
+        on seq.pending_delta for _update_text to consume."""
+        if self.tokenizer is None:
+            return
+        jobs, job_seqs = [], []
+        for seq in seqs:
+            if seq.stop_reason is not None or seq.pending_delta is not None:
+                continue
+            if seq.detokenizer is None:
+                seq.detokenizer = IncrementalDetokenizer(
+                    self.tokenizer, seq.sampling_params.skip_special_tokens)
+            jobs.append((seq.detokenizer, seq.output_token_ids))
+            job_seqs.append(seq)
+        for seq, delta in zip(job_seqs,
+                              self.tokenizer_group.batch_update(jobs)):
+            seq.pending_delta = delta
 
     def _check_stop(self, seq: Sequence) -> Optional[SequenceStatus]:
         sp = seq.sampling_params
@@ -1398,6 +1429,7 @@ class LLMEngine:
     def _process_finished(self, seqs: List[Sequence]) -> List[RequestOutput]:
         outputs = []
         freed_slots = []
+        self._batch_update_text(seqs)
         for seq in seqs:
             status = self._check_stop(seq)
             if status is not None:

@@ -161,6 +161,11 @@ def main(argv=None) -> None:
     gen.add_argument("--compress-once", action="store_true")
     gen.set_defaults(fn=cmd_generate)
 
+    env = sub.add_parser(
+        "env-help", help="list every KVC_* environment knob")
+    env.set_defaults(fn=lambda a: print(
+        __import__("kvcompress_tpu.envs", fromlist=["x"]).document()))
+
     args = parser.parse_args(argv)
     args.fn(args)
 

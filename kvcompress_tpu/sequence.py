@@ -57,6 +57,8 @@ class Sequence:
     # Incremental text / logprobs (populated by the engine).
     output_text: str = ""
     detokenizer: Optional[object] = None
+    # text delta precomputed by the pooled detokenizer, awaiting consumption
+    pending_delta: Optional[str] = None
     logprobs: Optional[List[dict]] = None   # per-token {id: logprob, ...}
     stop_reason: Optional[str] = None       # matched stop string
     # index into output_token_ids of tokens already emitted to streams

@@ -18,8 +18,9 @@ import numpy as np
 
 class Checkpointer:
     def __init__(self):
-        self.save_dir: Optional[str] = os.environ.get("KVC_SAVE_CHECKPOINT")
-        self.load_dir: Optional[str] = os.environ.get("KVC_LOAD_CHECKPOINT")
+        from kvcompress_tpu import envs
+        self.save_dir: Optional[str] = envs.KVC_SAVE_CHECKPOINT or None
+        self.load_dir: Optional[str] = envs.KVC_LOAD_CHECKPOINT or None
         self._counts: Dict[str, int] = {}
         self._manifest: Dict[str, int] = {}
         self.condition: Callable[[], bool] = lambda: True

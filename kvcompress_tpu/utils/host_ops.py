@@ -32,7 +32,8 @@ def _load() -> Optional[ctypes.CDLL]:
     if _LIB is not None or _TRIED:
         return _LIB
     _TRIED = True
-    if os.environ.get("KVC_DISABLE_NATIVE") == "1":
+    from kvcompress_tpu import envs
+    if envs.KVC_DISABLE_NATIVE:
         return None
     src = os.path.join(_csrc_dir(), "kvc_host.cpp")
     try:

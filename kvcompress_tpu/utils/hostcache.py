@@ -40,7 +40,8 @@ def default_cache_dir(platform: str, tag: str = "") -> str:
     ~/.cache/kvc_xla (cache keys include the platform, so CPU entries in
     the same directory are never loaded by TPU runs). Only the CPU backend
     needs host-keyed isolation for its AOT entries."""
-    env = os.environ.get("KVC_COMPILATION_CACHE")
+    from kvcompress_tpu import envs
+    env = envs.KVC_COMPILATION_CACHE
     if env:
         return "" if env.lower() in ("off", "none", "0") else env
     if platform in ("tpu", "axon"):

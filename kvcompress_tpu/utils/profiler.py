@@ -33,7 +33,8 @@ class _Node:
 
 class Benchmarker:
     def __init__(self):
-        self.enabled = os.environ.get("KVC_PROFILE") == "1"
+        from kvcompress_tpu import envs
+        self.enabled = envs.KVC_PROFILE
         self.root = _Node("root")
         self._stack: List[_Node] = [self.root]
 

@@ -42,7 +42,8 @@ class Tracer:
     """Collects request spans; flushes to KVC_TRACE_FILE as JSON lines."""
 
     def __init__(self, trace_file: Optional[str] = None):
-        self.trace_file = trace_file or os.environ.get("KVC_TRACE_FILE")
+        from kvcompress_tpu import envs
+        self.trace_file = trace_file or envs.KVC_TRACE_FILE or None
         self._lock = threading.Lock()
         self._active: Dict[str, Span] = {}
 

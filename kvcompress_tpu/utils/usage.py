@@ -33,8 +33,9 @@ def usage_stats_enabled() -> bool:
     global _enabled_cache
     if _enabled_cache is None:
         _enabled_cache = not (
-            os.environ.get("KVC_DO_NOT_TRACK") == "1"
-            or os.environ.get("KVC_NO_USAGE_STATS") == "1"
+            __import__("kvcompress_tpu.envs", fromlist=["x"]).KVC_DO_NOT_TRACK
+            or __import__("kvcompress_tpu.envs",
+                          fromlist=["x"]).KVC_NO_USAGE_STATS
             or os.path.exists(_DO_NOT_TRACK_PATH))
     return _enabled_cache
 

@@ -153,3 +153,34 @@ def test_streaming_outputs(params):
     lens = [len(o.outputs[0].token_ids) for o in outs]
     assert lens == sorted(lens) and lens[-1] == 9
     async_eng.shutdown()
+
+
+def test_tokenizer_pool_matches_inline(params, monkeypatch):
+    """KVC_TOKENIZER_POOL_SIZE>0 routes per-seq detokenization through
+    the thread pool (transformers_utils/tokenizer_group.py); outputs -
+    text, stop-string truncation, finish reasons - must be identical to
+    the inline path (reference tokenizer_group pooled variants)."""
+    rng = np.random.default_rng(5)
+    prompts = [rng.integers(0, VOCAB, size=9).tolist() for _ in range(3)]
+
+    def serve(prompts, stop=None):
+        eng = make_engine(params)
+        rids = [eng.add_request(None, prompt_token_ids=p,
+                                sampling_params=SamplingParams(
+                                    temperature=0.0, ignore_eos=True,
+                                    max_tokens=10, stop=stop))
+                for p in prompts]
+        outs = run_all(eng)
+        return [(outs[r].outputs[0].text, outs[r].outputs[0].finish_reason,
+                 outs[r].outputs[0].stop_reason) for r in rids]
+
+    inline = serve(prompts)
+    stop_tok = inline[0][0].split()[4]
+    inline_stop = serve(prompts, stop=[stop_tok])
+
+    monkeypatch.setenv("KVC_TOKENIZER_POOL_SIZE", "2")
+    pooled = serve(prompts)
+    pooled_stop = serve(prompts, stop=[stop_tok])
+    assert pooled == inline
+    assert pooled_stop == inline_stop
+    assert any(r[1] == "stop" for r in pooled_stop)
