@@ -180,6 +180,14 @@ class CacheConfig:
     # reference's --kv-cache-dtype fp8 counterpart; ~1.9x the block count
     # in the same HBM)
     cache_dtype: str = "bfloat16"
+    # Prefix caching (reference --enable-prefix-caching,
+    # block_manager_v2.py): finished uncompressed prompts' full blocks
+    # are pooled and reused by copy for later prompts sharing the prefix
+    # (core/prefix_cache.py). Like the reference's KVC restriction, a
+    # compressed sequence's blocks never enter the pool.
+    enable_prefix_caching: bool = False
+    # ceiling on pooled physical blocks, as a fraction of the cache
+    prefix_pool_fraction: float = 0.25
 
     def block_bytes(self, head_size: int) -> int:
         if self.cache_dtype == "int8":

@@ -239,6 +239,14 @@ class LLMEngine:
                                        proposer=proposer)
         self.scheduler = Scheduler(cfg, num_blocks)
         self.stats = EngineStats()
+        # prefix caching (copy-on-hit pool; core/prefix_cache.py)
+        self.prefix_pool = None
+        if cfg.cache.enable_prefix_caching:
+            from kvcompress_tpu.core.prefix_cache import PrefixPool
+            self.prefix_pool = PrefixPool(
+                cfg.cache.block_size,
+                cfg.model.num_layers * cfg.model.num_kv_heads,
+                int(num_blocks * cfg.cache.prefix_pool_fraction))
         self._seqs: Dict[str, Sequence] = {}
         self._rng = jax.random.PRNGKey(cfg.seed)
         self._force_compress = False
@@ -565,6 +573,12 @@ class LLMEngine:
             pending_outputs = self._flush_pending()
         with BENCHMARKER.range("compress"):
             self._maybe_compress()
+        # under memory pressure, pooled prefixes are the first thing to
+        # go - they are pure cache, a preempted sequence is lost work
+        # (reference prefix_caching_block.py evictor-on-demand semantics)
+        while (self.prefix_pool is not None and len(self.prefix_pool)
+               and self.scheduler.must_preempt(self.multi_step)):
+            self._release_one_prefix_entry()
         while (self.scheduler.must_preempt(self.multi_step)
                and len(self.scheduler.running) > 1):
             # drain in-flight work BEFORE choosing a victim: preempt_last
@@ -606,6 +620,14 @@ class LLMEngine:
             self._apply_free_snapshot(
                 self._note_dispatch(),
                 int(np.asarray(effective_free_blocks(self.state.free_top))))
+            prefill_seq = self.scheduler.next_prefill()
+        if (prefill_seq is None and self.scheduler.waiting
+                and self.prefix_pool is not None):
+            # admission still blocked: drain pooled prefixes before
+            # letting a prompt starve
+            while (len(self.prefix_pool) and not self.scheduler.
+                   can_allocate(self.scheduler.waiting[0])):
+                self._release_one_prefix_entry()
             prefill_seq = self.scheduler.next_prefill()
         if prefill_seq is not None:
             with BENCHMARKER.range("prefill"):
@@ -757,12 +779,128 @@ class LLMEngine:
             "blocks": self.scheduler.blocks_needed_for_prefill(seq),
         })
 
+    # ------------------------------------------------------ prefix caching
+    def _release_one_prefix_entry(self) -> None:
+        entry = self.prefix_pool.pop_lru()
+        if entry is None:
+            return
+        self.state, free_top = self.programs.prefix_release(
+            self.state, entry.blocks, entry.n_blocks)
+        self._apply_free_snapshot(self._note_dispatch(), int(free_top))
+        self.stats.counter("prefix_cache_evictions")
+
+    def _prefix_plain_seq(self, seq: Sequence) -> bool:
+        """Prefix pool participation requires a plain text prompt: mm
+        embeds / prompt adapters / LoRA change the KVs a token id maps
+        to, so content hashes would lie (the reference folds extra keys
+        into the block hash; out of scope here)."""
+        return (getattr(seq, "mm_embeds", None) is None
+                and not getattr(seq, "prompt_adapter_slot", 0)
+                and seq.lora_int_id == 0)
+
+    def _try_prefix_hit(self, seq: Sequence):
+        """On a pool hit: adopt a copy of the cached prefix blocks into
+        the sequence's slot, then prefill only the suffix through the
+        chunked-prefill continuation. Returns the dispatched pending
+        entry, or None (fall through to the normal prefill)."""
+        if self.prefix_pool is None or not self._prefix_plain_seq(seq):
+            return None
+        mc = self.cfg.model
+        from kvcompress_tpu.models.decoder import window_array
+        if (mc.alibi or window_array(mc) is not None or mc.kv_lora_rank
+                or mc.prefix_lm or self.mesh is not None
+                or self.programs.pp > 1):
+            return None  # continuation not wired for these (chunk plan)
+        res = self.prefix_pool.lookup(seq.prompt_token_ids)
+        if res is None:
+            return None
+        entry, n = res
+        bs = self.cfg.cache.block_size
+        if (self.programs.prefill_spec.impl != "xla"
+                and (n * bs) % 128):
+            return None  # pallas continuation tiles Tk by 128
+        sp = seq.sampling_params
+        compress_on = (self.cfg.kvcompress.enabled
+                       and (sp.max_cache_tokens >= 0
+                            or sp.target_compression_rate < 1.0))
+        window = self.cfg.kvcompress.prefill_metric_collection_window_size
+        P = seq.num_prompt_tokens
+        if compress_on and P - n * bs < window:
+            return None  # suffix must cover the metric window
+        cached = n * bs
+        self.state, free_top = self.programs.prefix_adopt(
+            self.state, entry.blocks, seq.slot, n)
+        self._apply_free_snapshot(self._note_dispatch(), int(free_top))
+
+        # suffix chunk plan (offsets shifted by the adopted prefix)
+        suffix = P - cached
+        plan = self._plan_prefill_chunks(suffix) or [(0, suffix)]
+        chunks = [(cached + off, ln) for off, ln in plan]
+
+        st = SamplingTensors.from_params(
+            [sp], pad_to=1, vocab_size=self.cfg.model.vocab_size)
+        lp_n = sp.logprobs or 0
+        tokens = np.asarray(seq.prompt_token_ids, np.int32)
+        packed = lp = None
+        for i, (off, ln) in enumerate(chunks):
+            final = i == len(chunks) - 1
+            self._rng, key = jax.random.split(self._rng)
+            kw = {}
+            if final and seq.guided is not None:
+                kw["allowed_mask"] = jnp.asarray(seq.guided.mask())
+            self.state, packed, lp = self.programs.prefill_cont(
+                self.state, tokens[off:off + ln], ln, off // bs,
+                seq.slot, sp.metric_collection_buffer_size, st, key,
+                is_final=final, use_seeds=sp.seed is not None,
+                logprobs_n=lp_n if final else 0, **kw)
+        self._carry = None  # batch composition changed
+        self.stats.counter("prefix_cache_hit_tokens", cached)
+        self.stats.counter("prefix_cache_hits")
+        return {
+            "seq": seq, "packed": packed, "lp": lp, "lp_n": lp_n,
+            "id": self._note_dispatch(),
+            "blocks": self.scheduler.blocks_needed_for_prefill(seq),
+        }
+
+    def _prefix_contribute(self, seq: Sequence) -> bool:
+        """At normal finish of a never-compressed sequence: transfer its
+        full prompt blocks to the pool instead of freeing them. Returns
+        True when the slot was harvested (caller must not free it)."""
+        if (self.prefix_pool is None or seq.compressed
+                or not self._prefix_plain_seq(seq)):
+            return False
+        sp = seq.sampling_params
+        if sp.max_cache_tokens >= 0 or sp.target_compression_rate < 1.0:
+            return False
+        n = self.prefix_pool.wants(seq.prompt_token_ids)
+        if n < 1:
+            return False
+        self.state, blocks, free_top = self.programs.prefix_harvest(
+            self.state, seq.slot, n)
+        self._apply_free_snapshot(self._note_dispatch(), int(free_top))
+        self.prefix_pool.contribute(seq.prompt_token_ids, blocks, n)
+        self.stats.counter("prefix_cache_contributions")
+        return True
+
     def _do_prefill(self, seq: Sequence) -> List[RequestOutput]:
         assert self._pending is None, \
             "prefill dispatched with a decode burst in flight"
         outputs = []
         while len(self._pending_prefill) >= 2:
             outputs += self._collect_one_prefill()
+        hit = self._try_prefix_hit(seq)
+        if hit is not None:
+            self._pending_prefill.append(hit)
+            self.stats.counter("prompt_tokens", seq.num_prompt_tokens)
+            self.stats.counter("generation_tokens")
+            if (self.cfg.kvcompress.enabled
+                    and (seq.sampling_params.max_cache_tokens >= 0
+                         or seq.sampling_params.target_compression_rate
+                         < 1.0)):
+                self._force_compress = True
+            if not self.pipeline_decode:
+                outputs += self._collect_prefill()
+            return outputs
         chunks = self._plan_prefill_chunks(seq.num_prompt_tokens)
         if chunks is not None:
             self._do_prefill_chunked(seq, chunks)
@@ -1434,8 +1572,10 @@ class LLMEngine:
             status = self._check_stop(seq)
             if status is not None:
                 slot = seq.slot
+                harvested = self._prefix_contribute(seq)
                 self.scheduler.finish_seq(seq, status)
-                freed_slots.append(slot)
+                if not harvested:
+                    freed_slots.append(slot)
                 seq.finish_time = time.monotonic()
                 self._record_request_stats(seq)
                 outputs.append(self._make_output(seq, finished=True))
@@ -1447,7 +1587,9 @@ class LLMEngine:
             self.state, free_top = self.programs.free_slots(
                 self.state, freed_slots)
             self._apply_free_snapshot(self._note_dispatch(), int(free_top))
-            self.stats.counter("requests_finished", len(freed_slots))
+        n_finished = sum(1 for o in outputs if o.finished)
+        if n_finished:
+            self.stats.counter("requests_finished", n_finished)
         return outputs
 
     def _record_request_stats(self, seq: Sequence) -> None:

@@ -101,6 +101,7 @@ class EnginePrograms:
         self._compress_fns: Dict[Tuple[int, int], Any] = {}
         self._decode_fns: Dict[Any, Any] = {}
         self._free_fn = None
+        self._prefix_fns: Dict[Any, Any] = {}
         # serving PP: model trunks route through the GPipe shard_map
         # programs (parallel/pipeline.py) and allocator pops/pushes route
         # by (layer group, head group) so blocks stay stage-local
@@ -1371,3 +1372,135 @@ class EnginePrograms:
         mask = np.zeros((S,), bool)
         mask[list(slot_ids)] = True
         return self._free_fn(state, jnp.asarray(mask))
+
+    # ------------------------------------------------------ prefix caching
+    # Copy-on-hit prefix caching (reference vllm/core/block_manager_v2.py
+    # + block/prefix_caching_block.py, re-designed for the donated-state
+    # runtime): a finished uncompressed sequence's full prompt blocks are
+    # HARVESTED into a host-side pool (ownership transfer, no refcounts);
+    # a later prompt sharing the prefix ADOPTS a fresh copy of those
+    # blocks (block-row gather/scatter, HBM-bound) and prefills only the
+    # suffix via the chunked-prefill continuation. Copying instead of
+    # sharing keeps every invariant the reference's refcount/COW machinery
+    # exists to protect: per-head block exclusivity, in-place compression,
+    # and single-owner frees.
+
+    def _build_prefix_harvest(self, NB: int):
+        bs = self.cfg.cache.block_size
+
+        def harvest_fn(state: CacheState, slot, keep):
+            L, S, H, B = state.block_tables.shape
+            row = state.block_tables[:, slot]           # [L, H, B]
+            ctx = state.context_lens[:, slot]           # [L, H]
+            nb_alloc = (ctx + bs - 1) // bs
+            blk = jnp.arange(B, dtype=jnp.int32)[None, None, :]
+            # free everything PAST the harvested prefix (partial prompt
+            # block + generated-token blocks)
+            tail = (blk >= keep) & (blk < nb_alloc[..., None])
+            stack, top = stack_push(state.free_stack, state.free_top,
+                                    row, tail, head_axis=1, layer_axis=0,
+                                    layer_groups=self.pp)
+            src = row[:, :, :NB]                        # [L, H, NB]
+            ctx_new = state.context_lens.at[:, slot].set(0)
+            new_state = CacheState(
+                k_cache=state.k_cache, v_cache=state.v_cache,
+                kv_metrics=state.kv_metrics,
+                kv_positions=state.kv_positions,
+                block_tables=state.block_tables, context_lens=ctx_new,
+                free_stack=stack, free_top=top,
+                k_scale=state.k_scale, v_scale=state.v_scale)
+            return new_state, src, effective_free_blocks(top)
+
+        return jax.jit(harvest_fn, donate_argnums=(0,))
+
+    def prefix_harvest(self, state, slot: int, keep_blocks: int):
+        """Transfer the first `keep_blocks` blocks of every (layer, head)
+        of `slot` to the caller (returned as [L, H, NB]) and free the
+        rest; the slot's context zeroes. NB is pow2-bucketed to bound
+        compilations."""
+        NB = 1 << (max(keep_blocks, 1) - 1).bit_length()
+        NB = min(NB, self.cfg.max_blocks_per_head)
+        key = ("harvest", NB)
+        if key not in self._prefix_fns:
+            self._prefix_fns[key] = self._build_prefix_harvest(NB)
+        return self._prefix_fns[key](
+            state, jnp.asarray(slot, jnp.int32),
+            jnp.asarray(keep_blocks, jnp.int32))
+
+    def _build_prefix_adopt(self, NB: int):
+        bs = self.cfg.cache.block_size
+
+        def adopt_fn(state: CacheState, src, slot, n_blocks):
+            L, S, H, B = state.block_tables.shape
+            nb_total = state.k_cache.shape[0]
+            blk = jnp.arange(NB, dtype=jnp.int32)[None, None, :]
+            need = jnp.broadcast_to(blk < n_blocks,
+                                    (L, H, NB))         # [L, H, NB]
+            ids, top = stack_pop(state.free_stack, state.free_top, need,
+                                 head_axis=1, layer_axis=0,
+                                 layer_groups=self.pp)
+            bt = state.block_tables.at[:, slot, :, :NB].set(
+                jnp.where(need, ids, 0))
+            ctx = state.context_lens.at[:, slot].set(n_blocks * bs)
+            # block-ROW copies (CLAUDE.md: row gathers, never flat
+            # element gathers at this scale)
+            src_f = jnp.clip(src.reshape(-1), 0, nb_total - 1)
+            dst_f = jnp.where(need.reshape(-1), ids.reshape(-1),
+                              nb_total)  # positive OOR sentinel: dropped
+            def cp(arr):
+                return arr.at[dst_f].set(arr[src_f], mode="drop")
+            new_state = CacheState(
+                k_cache=cp(state.k_cache), v_cache=cp(state.v_cache),
+                kv_metrics=cp(state.kv_metrics),
+                kv_positions=cp(state.kv_positions),
+                block_tables=bt, context_lens=ctx,
+                free_stack=state.free_stack, free_top=top,
+                k_scale=(cp(state.k_scale) if state.k_scale is not None
+                         else None),
+                v_scale=(cp(state.v_scale) if state.v_scale is not None
+                         else None))
+            return new_state, effective_free_blocks(top)
+
+        return jax.jit(adopt_fn, donate_argnums=(0,))
+
+    def prefix_adopt(self, state, src_blocks, slot: int, n_blocks: int):
+        """Allocate `n_blocks` fresh blocks per (layer, head) for `slot`
+        and fill them with copies of the pool entry's blocks; sets the
+        slot's context to the copied prefix so a chunked-prefill
+        continuation can take over at nb_off = n_blocks."""
+        NB = src_blocks.shape[-1]
+        key = ("adopt", NB)
+        if key not in self._prefix_fns:
+            self._prefix_fns[key] = self._build_prefix_adopt(NB)
+        return self._prefix_fns[key](
+            state, src_blocks, jnp.asarray(slot, jnp.int32),
+            jnp.asarray(n_blocks, jnp.int32))
+
+    def _build_prefix_release(self, NB: int):
+        def release_fn(state: CacheState, blocks, n_blocks):
+            blk = jnp.arange(NB, dtype=jnp.int32)[None, None, :]
+            mask = jnp.broadcast_to(blk < n_blocks, blocks.shape)
+            stack, top = stack_push(state.free_stack, state.free_top,
+                                    blocks, mask, head_axis=1,
+                                    layer_axis=0, layer_groups=self.pp)
+            new_state = CacheState(
+                k_cache=state.k_cache, v_cache=state.v_cache,
+                kv_metrics=state.kv_metrics,
+                kv_positions=state.kv_positions,
+                block_tables=state.block_tables,
+                context_lens=state.context_lens,
+                free_stack=stack, free_top=top,
+                k_scale=state.k_scale, v_scale=state.v_scale)
+            return new_state, effective_free_blocks(top)
+
+        return jax.jit(release_fn, donate_argnums=(0,))
+
+    def prefix_release(self, state, blocks, n_blocks: int):
+        """Return a pool entry's blocks ([L, H, NB]) to the free stacks
+        (LRU eviction of the prefix pool under memory pressure)."""
+        NB = blocks.shape[-1]
+        key = ("release", NB)
+        if key not in self._prefix_fns:
+            self._prefix_fns[key] = self._build_prefix_release(NB)
+        return self._prefix_fns[key](
+            state, blocks, jnp.asarray(n_blocks, jnp.int32))

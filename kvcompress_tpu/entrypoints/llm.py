@@ -26,6 +26,7 @@ def build_engine_config(
     max_model_len: Optional[int] = None,
     gpu_memory_utilization: float = 0.9,
     kv_cache_dtype: str = "auto",
+    enable_prefix_caching: bool = False,
     enable_kvcompress: bool = True,
     compression_interval: int = 16,
     max_kv_per_compression: int = 5_000_000,
@@ -69,7 +70,8 @@ def build_engine_config(
         model=model_cfg,
         cache=CacheConfig(block_size=block_size,
                           gpu_memory_utilization=gpu_memory_utilization,
-                          cache_dtype=kv_cache_dtype),
+                          cache_dtype=kv_cache_dtype,
+                          enable_prefix_caching=enable_prefix_caching),
         kvcompress=KVCompressConfig(
             enabled=enable_kvcompress,
             compression_interval=compression_interval,

@@ -95,10 +95,16 @@ def _kernel(
         return pltpu.make_async_copy(
             v_hbm.at[h, pl.ds(j * CK, CK)], vbuf.at[slot], vsem.at[slot])
 
+    # The flash loop runs in the BASE-2 domain: log2(e) folds into the
+    # logit scale so the exponentials are exp2 (the VPU's native exponent
+    # path). The scale stays a single f32 multiply on the dot output -
+    # folding it into bf16 Q would add a rounding step to every logit.
+    LOG2E = 1.4426950408889634
     q = q_ref[0].reshape(G4, d)                   # head-major row stack
     row = jax.lax.broadcasted_iota(jnp.int32, (G4, CK), 0)
     colc = jax.lax.broadcasted_iota(jnp.int32, (G4, CK), 1)
     qpos = q_offset + q_start + row % BQ          # GLOBAL query position
+    qpos_min = q_offset + q_start
 
     # zero this group's metric block at its first q step (qb iterates
     # innermost, so the block stays resident across the qb sweep)
@@ -106,49 +112,70 @@ def _kernel(
     def _():
         m_ref[...] = jnp.zeros_like(m_ref)
 
-    def chunk_logits(j, kc):
+    def chunk_logits(j, kc, masked):
+        """Base-2 logits. masked=False: every column of chunk j is
+        causally visible to every row of this q tile, so the iota
+        compare + select is skipped - at T >> BQ that is most chunks,
+        and the mask is pure VPU overhead the MXU never sees."""
         s = jax.lax.dot_general(
             q, kc, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) * scale
+            preferred_element_type=jnp.float32)
         if logit_cap:
-            s = logit_cap * jnp.tanh(s / logit_cap)
+            s = (logit_cap * LOG2E) * jnp.tanh(s * (scale / logit_cap))
+        else:
+            s = s * (scale * LOG2E)
+        if not masked:
+            return s
         col = j * CK + colc
         causal = (col <= qpos) & (col < total_len) & (qpos < total_len)
-        return jnp.where(causal, s, NEG_INF), col
+        return jnp.where(causal, s, NEG_INF)
 
     # ---------------- main pass: online-softmax flash ----------------
+    # Chunks [0, n_full) lie fully inside the causal prefix of every row
+    # of this q tile AND inside total_len: they run the unmasked body.
+    # Chunks [n_full, n_chunks) cross the causal diagonal or the length
+    # frontier and pay the mask. Two fori_loops instead of a per-chunk
+    # branch: lax.cond inside the hot loop measured ~30% slower (Mosaic
+    # cannot pipeline across the branch).
+    n_full = jnp.minimum(
+        jnp.minimum(qpos_min + 1, total_len) // CK, n_chunks)
+
     @pl.when(n_chunks > 0)
     def _():
         k_copy(0, 0).start()
         v_copy(0, 0).start()
 
-        def body(j, carry):
-            m_i, l_i, acc = carry
-            slot = j % 2
+        def make_body(masked):
+            def body(j, carry):
+                m_i, l_i, acc = carry
+                slot = j % 2
 
-            @pl.when(j + 1 < n_chunks)
-            def _():
-                k_copy((j + 1) % 2, j + 1).start()
-                v_copy((j + 1) % 2, j + 1).start()
+                @pl.when(j + 1 < n_chunks)
+                def _():
+                    k_copy((j + 1) % 2, j + 1).start()
+                    v_copy((j + 1) % 2, j + 1).start()
 
-            k_copy(slot, j).wait()
-            s, _ = chunk_logits(j, kbuf[slot])
-            m_new = jnp.maximum(m_i, jnp.max(s, axis=-1, keepdims=True))
-            p = jnp.exp(s - m_new)
-            corr = jnp.exp(m_i - m_new)
-            l_i = l_i * corr + jnp.sum(p, axis=-1, keepdims=True)
-            v_copy(slot, j).wait()
-            pv = jax.lax.dot_general(
-                p.astype(vbuf.dtype), vbuf[slot],
-                (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            acc = acc * corr + pv
-            return m_new, l_i, acc
+                k_copy(slot, j).wait()
+                s = chunk_logits(j, kbuf[slot], masked)
+                m_new = jnp.maximum(m_i,
+                                    jnp.max(s, axis=-1, keepdims=True))
+                p = jnp.exp2(s - m_new)
+                corr = jnp.exp2(m_i - m_new)
+                l_i = l_i * corr + jnp.sum(p, axis=-1, keepdims=True)
+                v_copy(slot, j).wait()
+                pv = jax.lax.dot_general(
+                    p.astype(vbuf.dtype), vbuf[slot],
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                acc = acc * corr + pv
+                return m_new, l_i, acc
+            return body
 
         m0 = jnp.full((G4, 1), NEG_INF, jnp.float32)
         l0 = jnp.zeros((G4, 1), jnp.float32)
         a0 = jnp.zeros((G4, d), jnp.float32)
-        m_f, l_f, acc = jax.lax.fori_loop(0, n_chunks, body, (m0, l0, a0),
+        m_f, l_f, acc = jax.lax.fori_loop(0, n_chunks,
+                                          make_body(True), (m0, l0, a0),
                                           unroll=False)
         o_ref[0] = (acc / jnp.maximum(l_f, 1e-9)).astype(
             o_ref.dtype).reshape(GH, BQ, d)
@@ -170,8 +197,9 @@ def _kernel(
                         k_copy((j + 1) % 2, j + 1).start()
 
                     k_copy(slot, j).wait()
-                    s, col = chunk_logits(j, kbuf[slot])
-                    p = jnp.exp(s - m_f) / jnp.maximum(l_f, 1e-9)
+                    s = chunk_logits(j, kbuf[slot], True)
+                    col = j * CK + colc
+                    p = jnp.exp2(s - m_f) / jnp.maximum(l_f, 1e-9)
                     if use_l2:
                         p = p * p
                     rec = ((qpos >= total_len - window)

@@ -29,6 +29,9 @@ def add_engine_args(p: argparse.ArgumentParser) -> None:
                         "reference's --kv-cache-dtype fp8 counterpart)")
     p.add_argument("--num-blocks", type=int, default=None,
                    help="override profiled cache size (blocks)")
+    p.add_argument("--enable-prefix-caching", action="store_true",
+                   help="pool finished uncompressed prompts' blocks for "
+                        "copy-reuse by later shared-prefix prompts")
     p.add_argument("--tensor-parallel-size", "-tp", type=int, default=1)
     p.add_argument("--pipeline-parallel-size", "-pp", type=int, default=1)
     p.add_argument("--data-parallel-size", "-dp", type=int, default=1,
@@ -89,6 +92,7 @@ def build_llm(args):
         gpu_memory_utilization=args.gpu_memory_utilization,
         kv_cache_dtype=args.kv_cache_dtype,
         enable_kvcompress=args.enable_kvc,
+        enable_prefix_caching=args.enable_prefix_caching,
         compression_interval=args.compression_interval,
         max_kv_per_compression=args.max_kv_per_compression,
         prefill_metric_collection_window_size=(
