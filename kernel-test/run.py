@@ -165,56 +165,76 @@ def test_prefill_cont_kernel(P, Tq, Hq, Hkv, d, dtype):
     check("metrics", m, m_ref, 3e-3)
 
 
-def perf_prefill(T=6144, Hq=32, Hkv=8, d=128, inner=8, reps=4):
-    """On-chip prefill kernel TF/s at the bench shape (VERDICT round-2
-    item 2: the head-grouped rewrite must be validated on hardware).
-    Causal attention FLOPs ~= 4 * (T^2/2) * Hq * d (QK^T + PV). The
-    kernel is invoked `inner` times INSIDE one jitted scan (each call
-    consuming the previous output) so the ~25 ms tunnel dispatch+fetch
-    round trip amortises instead of dominating the measurement."""
+def _slope_time(make_fn, fresh_input, n1=2, n2=8, reps=3):
+    """Per-iteration kernel time via the SLOPE method: t(n2) - t(n1) over
+    (n2 - n1) chained iterations cancels both the tunnel round trip
+    (~25 ms) and the result-fetch cost. Timing a single jitted call is
+    WRONG on this backend twice over: jax.block_until_ready returns
+    before remote execution completes (dispatch is async through the
+    tunnel), and repeat dispatches with identical arguments can be served
+    from the tunnel's result cache - so each rep draws FRESH inputs and
+    forces a host fetch of a scalar reduction of the result."""
     import time
+    f1, f2 = make_fn(n1), make_fn(n2)
+    x = fresh_input()
+    float(f1(x)); float(f2(x))  # compile both
+    best = 1e9
+    for _ in range(reps):
+        x = fresh_input()
+        float(x.sum())  # input resident before the clock starts
+        t0 = time.perf_counter(); float(f1(x))
+        ta = time.perf_counter() - t0
+        t0 = time.perf_counter(); float(f2(x))
+        tb = time.perf_counter() - t0
+        best = min(best, (tb - ta) / (n2 - n1))
+    return best
+
+
+def perf_prefill(T=6144, Hq=32, Hkv=8, d=128):
+    """On-chip prefill kernel TF/s at the bench shape. Causal attention
+    FLOPs ~= 4 * (T^2/2) * Hq * d (QK^T + PV); see _slope_time for why
+    the earlier per-dispatch timing (45-47 "TF/s" in r04 RESULTS.json)
+    under-reported by ~2x - it was measuring tunnel overhead."""
     rng = np.random.default_rng(2)
-    q = jnp.asarray(rng.standard_normal((T, Hq, d)), jnp.bfloat16)
     k = jnp.asarray(rng.standard_normal((T, Hkv, d)), jnp.bfloat16)
     v = jnp.asarray(rng.standard_normal((T, Hkv, d)), jnp.bfloat16)
     kw = dict(metric_window=32, buffer_len=jnp.asarray(0), use_l2=True,
               use_average=False, use_maxpool=True)
 
-    @jax.jit
-    def chained(q, k, v):
-        def body(qc, _):
-            o, _m = ppf.prefill_attention(
-                qc, k, v, jnp.asarray(T), d ** -0.5, **kw)
-            return o.astype(qc.dtype), None
-        out, _ = jax.lax.scan(body, q, None, length=inner)
-        return out
+    def make_fn(n):
+        @jax.jit
+        def f(q):
+            def body(qc, _):
+                o, _m = ppf.prefill_attention(
+                    qc, k, v, jnp.asarray(T), d ** -0.5, **kw)
+                return o.astype(qc.dtype), None
+            out, _ = jax.lax.scan(body, q, None, length=n)
+            return out.astype(jnp.float32).sum()
+        return f
 
-    out = chained(q, k, v)
-    jax.block_until_ready(out)
-    best = 1e9
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        out = chained(q, k, v)
-        jax.block_until_ready(out)
-        best = min(best, (time.perf_counter() - t0) / inner)
+    def fresh():
+        return jnp.asarray(
+            np.random.standard_normal((T, Hq, d)), jnp.bfloat16)
+
+    best = _slope_time(make_fn, fresh)
     flops = 4 * (T * T / 2) * Hq * d
-    print(f"prefill kernel T={T} Hq={Hq} d={d} bf16: best {best*1e3:.2f} "
+    print(f"prefill kernel T={T} Hq={Hq} d={d} bf16: {best*1e3:.2f} "
           f"ms = {flops / best / 1e12:.1f} TF/s")
     RECORD["perf"]["prefill"] = {
         "T": T, "Hq": Hq, "Hkv": Hkv, "d": d, "dtype": "bfloat16",
         "best_ms": round(best * 1e3, 3),
-        "tflops_per_s": round(flops / best / 1e12, 1)}
+        "tflops_per_s": round(flops / best / 1e12, 1),
+        "method": "slope(n=2,8), fresh inputs, scalar fetch"}
 
 
-def perf_tail(S=64, Hq=32, Hkv=8, d=128, bs=16, nb=8, KT=16, inner=64,
-              reps=4):
-    """Decode tail kernel latency at the bench's compressed table width.
-    `inner` chained invocations inside one jitted scan amortise the
-    tunnel round trip (see perf_prefill)."""
-    import time
+def perf_tail(S=64, Hq=32, Hkv=8, d=128, bs=16, nb=8, KT=16,
+              name="tail_decode"):
+    """Decode tail kernel latency + achieved KV-read bandwidth. nb=8 is
+    the bench's compressed table width; perf_tail_baseline() runs the
+    UNCOMPRESSED width (VERDICT r04 item 4) where the kernel must be
+    HBM-bound - that number pins the baseline denominator to physics."""
     rng = np.random.default_rng(3)
     num_blocks = S * Hkv * nb + 64
-    q = jnp.asarray(rng.standard_normal((S, Hq, d)), jnp.bfloat16)
     tk = jnp.asarray(rng.standard_normal((S, Hkv, KT, d)), jnp.bfloat16)
     tv = jnp.asarray(rng.standard_normal((S, Hkv, KT, d)), jnp.bfloat16)
     tlen = jnp.full((S,), KT - 1, jnp.int32)
@@ -224,31 +244,38 @@ def perf_tail(S=64, Hq=32, Hkv=8, d=128, bs=16, nb=8, KT=16, inner=64,
                      jnp.int32)
     ctx = jnp.full((S, Hkv), nb * bs, jnp.int32)
 
-    @jax.jit
-    def chained(q, tk, tv, tlen, kc, vc, bt, ctx):
-        def body(qc, _):
-            o, _mc, _mt = ppa.paged_decode_attention_tail(
-                qc, tk, tv, tlen, kc, vc, bt, ctx, d ** -0.5,
-                use_l2=True, record_metrics=True)
-            return o.astype(qc.dtype), None
-        out, _ = jax.lax.scan(body, q, None, length=inner)
-        return out
+    def make_fn(n):
+        @jax.jit
+        def f(q):
+            def body(qc, _):
+                o, _mc, _mt = ppa.paged_decode_attention_tail(
+                    qc, tk, tv, tlen, kc, vc, bt, ctx, d ** -0.5,
+                    use_l2=True, record_metrics=True)
+                return o.astype(qc.dtype), None
+            out, _ = jax.lax.scan(body, q, None, length=n)
+            return out.astype(jnp.float32).sum()
+        return f
 
-    o = chained(q, tk, tv, tlen, kc, vc, bt, ctx)
-    jax.block_until_ready(o)
-    best = 1e9
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        o = chained(q, tk, tv, tlen, kc, vc, bt, ctx)
-        jax.block_until_ready(o)
-        best = min(best, (time.perf_counter() - t0) / inner)
+    def fresh():
+        return jnp.asarray(
+            np.random.standard_normal((S, Hq, d)), jnp.bfloat16)
+
+    best = _slope_time(make_fn, fresh, n1=4, n2=32)
     kv_bytes = (S * Hkv * (nb * bs + KT) * d * 2 * 2)
-    print(f"tail kernel S={S} nb={nb} bs={bs}: best {best*1e6:.0f} us, "
+    print(f"{name} S={S} nb={nb} bs={bs}: {best*1e6:.0f} us, "
           f"KV read {kv_bytes / best / 1e9:.0f} GB/s")
-    RECORD["perf"]["tail_decode"] = {
+    RECORD["perf"][name] = {
         "S": S, "Hq": Hq, "Hkv": Hkv, "d": d, "bs": bs, "nb": nb, "KT": KT,
         "dtype": "bfloat16", "best_us": round(best * 1e6),
-        "kv_read_gb_per_s": round(kv_bytes / best / 1e9)}
+        "kv_read_gb_per_s": round(kv_bytes / best / 1e9),
+        "method": "slope(n=4,32), fresh inputs, scalar fetch"}
+
+
+def perf_tail_baseline():
+    """Uncompressed bench-baseline width: 10 sequences x 6144-token
+    contexts (nb=384) - the shape whose kernel time sets the baseline
+    denominator of the headline compression-gain ratio."""
+    perf_tail(S=10, nb=384, name="tail_decode_baseline")
 
 
 def main():
@@ -277,6 +304,7 @@ def main():
         test_prefill_cont_kernel(6144, 1024, 32, 8, 128, jnp.bfloat16)
         perf_prefill()
         perf_tail()
+        perf_tail_baseline()
     else:
         test_tail_kernel(8, 32, 8, 128, 16, 128, 16, jnp.bfloat16)
         test_prefill_kernel(2048, 32, 8, 128, jnp.bfloat16)

@@ -123,6 +123,7 @@ class LLM:
         dtype: str = "bfloat16",
         quantization: Optional[str] = None,
         num_blocks: Optional[int] = None,
+        trust_remote_code: bool = False,
         **engine_kw,
     ):
         import jax.numpy as jnp
@@ -174,7 +175,12 @@ class LLM:
             self._vision = load_multimodal(model, dtype=jdtype)
 
         from transformers import AutoTokenizer
-        tok = AutoTokenizer.from_pretrained(tokenizer or model)
+        # trust_remote_code loads tokenizer classes shipped INSIDE the
+        # local checkpoint dir (reference transformers_utils/config.py +
+        # tokenizer.py trust_remote_code plumbing; zero-egress: only
+        # code already on disk can load)
+        tok = AutoTokenizer.from_pretrained(
+            tokenizer or model, trust_remote_code=trust_remote_code)
         if cfg.parallel.data_parallel_size > 1:
             from kvcompress_tpu.parallel.data_parallel import (
                 DataParallelEngine)

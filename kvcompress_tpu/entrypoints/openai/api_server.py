@@ -29,16 +29,30 @@ def _apply_chat_template(tokenizer, messages) -> str:
 
 
 class OpenAIServer:
-    def __init__(self, engine, model_name: str = "model", llm=None):
+    def __init__(self, engine=None, model_name: str = "model", llm=None,
+                 rpc=None, tokenizer=None):
         """llm: the entrypoints.llm.LLM wrapper, when available - enables
         image content parts in /v1/chat/completions (reference
         entrypoints/chat_utils.py parse_image; base64 data URLs only:
         this deployment is zero-egress, remote image fetch is rejected
-        loudly rather than hanging)."""
-        self.async_engine = AsyncEngine(engine)
-        self.engine = engine
+        loudly rather than hanging).
+
+        rpc: an entrypoints.openai.rpc.RPCEngineClient in place of the
+        in-process engine (reference api_server.py:97-130 RPC mode): the
+        engine runs in its own process; this front-end keeps only the
+        tokenizer (pass it explicitly) and proxies metrics/embeddings
+        over the socket."""
+        self.rpc = rpc
+        if rpc is not None:
+            assert engine is None, "pass either engine or rpc, not both"
+            self.async_engine = rpc
+            self.engine = None
+            self.tokenizer = tokenizer
+        else:
+            self.async_engine = AsyncEngine(engine)
+            self.engine = engine
+            self.tokenizer = engine.tokenizer
         self.model_name = model_name
-        self.tokenizer = engine.tokenizer
         self.llm = llm
         self._image_processor = None
         self._httpd: Optional[ThreadingHTTPServer] = None
@@ -54,6 +68,8 @@ class OpenAIServer:
                     "id": self.model_name, "object": "model",
                     "created": 0, "owned_by": "kvcompress-tpu"}]}
             if method == "GET" and path == "/metrics":
+                if self.rpc is not None:
+                    return 200, self.rpc.metrics_text()
                 return 200, self.engine.stats.prometheus()
             if method == "POST" and path == "/v1/completions":
                 return self._completions(body)
@@ -160,10 +176,13 @@ class OpenAIServer:
             ids = (text if isinstance(text, list)
                    else self.tokenizer.encode(text))
             total_tokens += len(ids)
-            emb = self.engine.programs.embed(
-                np.asarray(ids, np.int32), len(ids))
+            if self.rpc is not None:
+                vec = self.rpc.embed(ids)
+            else:
+                vec = np.asarray(self.engine.programs.embed(
+                    np.asarray(ids, np.int32), len(ids))).tolist()
             data.append({"object": "embedding", "index": i,
-                         "embedding": np.asarray(emb).tolist()})
+                         "embedding": vec})
         return 200, {"object": "list", "data": data,
                      "model": self.model_name,
                      "usage": {"prompt_tokens": total_tokens,

@@ -13,6 +13,9 @@ import sys
 def add_engine_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("model", help="path to a local HF model directory")
     p.add_argument("--tokenizer", default=None)
+    p.add_argument("--trust-remote-code", action="store_true",
+                   help="allow tokenizer/config classes shipped inside "
+                        "the local checkpoint directory")
     p.add_argument("--dtype", default="bfloat16",
                    choices=["bfloat16", "float32"])
     p.add_argument("--quantization", "-q", default=None,
@@ -78,11 +81,11 @@ def add_engine_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--num-scheduler-steps", type=int, default=0)
 
 
-def build_llm(args):
-    from kvcompress_tpu.entrypoints.llm import LLM
-    return LLM(
-        args.model,
+def llm_kwargs(args) -> dict:
+    return dict(
+        model=args.model,
         tokenizer=args.tokenizer,
+        trust_remote_code=args.trust_remote_code,
         dtype=args.dtype,
         quantization=args.quantization,
         num_blocks=args.num_blocks,
@@ -124,8 +127,33 @@ def build_llm(args):
     )
 
 
+def build_llm(args):
+    from kvcompress_tpu.entrypoints.llm import LLM
+    return LLM(**llm_kwargs(args))
+
+
 def cmd_serve(args) -> None:
     from kvcompress_tpu.entrypoints.openai.api_server import OpenAIServer
+    if args.rpc:
+        # decoupled mode (reference api_server.py:97-130): engine in its
+        # own process, this process keeps HTTP + tokenizer only
+        from transformers import AutoTokenizer
+        from kvcompress_tpu.entrypoints.openai.rpc import (
+            RPCEngineClient, spawn_engine_process)
+        proc, sock_path = spawn_engine_process(llm_kwargs(args))
+        client = RPCEngineClient(sock_path, connect_timeout=600.0)
+        tok = AutoTokenizer.from_pretrained(args.tokenizer or args.model)
+        server = OpenAIServer(rpc=client, tokenizer=tok,
+                              model_name=args.model)
+        print(f"kvcompress-tpu serving {args.model} on "
+              f"{args.host}:{args.port} (rpc engine pid {proc.pid})",
+              flush=True)
+        try:
+            server.serve(host=args.host, port=args.port)
+        finally:
+            client.shutdown()
+            proc.join(timeout=10)
+        return
     llm = build_llm(args)
     server = OpenAIServer(llm.llm_engine, model_name=args.model, llm=llm)
     print(f"kvcompress-tpu serving {args.model} on "
@@ -153,6 +181,10 @@ def main(argv=None) -> None:
     add_engine_args(serve)
     serve.add_argument("--host", default="0.0.0.0")
     serve.add_argument("--port", type=int, default=8000)
+    serve.add_argument("--rpc", action="store_true",
+                       help="run the engine in its own process behind a "
+                            "unix-socket RPC (reference "
+                            "entrypoints/openai/rpc/)")
     serve.set_defaults(fn=cmd_serve)
 
     gen = sub.add_parser("generate", help="one-shot generation")

@@ -81,3 +81,33 @@ def test_no_data_still_emits_json():
     assert out.returncode == 0, out.stderr[-2000:]
     rec = _parse_json_line(out.stdout)
     assert rec["value"] == 0.0
+
+
+@pytest.mark.full
+def test_measured_pass_triggers_zero_compiles():
+    """The deterministic-variant-set invariant (CLAUDE.md): the warm pass
+    must compile EVERY program variant the measured pass will use, so the
+    measured pass dispatches with zero XLA compiles - the r04 driver run
+    lost ~18 s to a compile at step 82 of the measured pass. Runs one
+    compressed phase directly with JAX_LOG_COMPILES=1 and asserts no
+    compile log lines appear after the init+warm marker."""
+    env = dict(os.environ)
+    path = [p for p in env.get("PYTHONPATH", "").split(os.pathsep)
+            if p and "axon" not in p]
+    env["PYTHONPATH"] = os.pathsep.join([REPO] + path)
+    env.update({
+        "JAX_PLATFORMS": "cpu", "BENCH_QUICK": "1",
+        "KVC_COMPILATION_CACHE": CACHE + "_zc",
+        "JAX_LOG_COMPILES": "1",
+        "BENCH_PHASE_DEADLINE": "600",
+    })
+    out = subprocess.run(
+        [sys.executable, BENCH, "--phase", "compressed"],
+        capture_output=True, text=True, env=env, timeout=500)
+    assert "PHASE_RESULT" in out.stdout, out.stderr[-2000:]
+    marker = out.stderr.find("init+warm=")
+    assert marker != -1, out.stderr[-2000:]
+    measured = out.stderr[marker:]
+    compiles = [l for l in measured.splitlines()
+                if "Compiling " in l or "Finished XLA compilation" in l]
+    assert not compiles, compiles[:10]
