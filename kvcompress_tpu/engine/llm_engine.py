@@ -206,6 +206,7 @@ class LLMEngine:
         # artificial preemption fault injection (reference
         # VLLM_TEST_ENABLE_ARTIFICIAL_PREEMPT, core/scheduler.py:388-396)
         from kvcompress_tpu import envs
+        self._check_invariants = envs.KVC_CHECK_INVARIANTS
         self._artificial_preempt = envs.KVC_TEST_ENABLE_ARTIFICIAL_PREEMPT
         self._artificial_preempt_rate = \
             envs.KVC_TEST_ARTIFICIAL_PREEMPT_RATE
@@ -653,6 +654,10 @@ class LLMEngine:
         self.stats.gauge("gpu_cache_usage_perc",
                          1.0 - self.scheduler.free_blocks
                          / max(self.scheduler.total_blocks, 1))
+        if self._check_invariants:
+            from kvcompress_tpu.utils.invariants import \
+                assert_block_invariants
+            assert_block_invariants(self.state, self.prefix_pool)
         return outputs
 
     # ------------------------------------------------------------- prefill

@@ -59,6 +59,12 @@ _SPECS: Dict[str, tuple] = {
         lambda s: s == "1", False,
         "Force the pure-python fallbacks for the C host ops "
         "(utils/host_ops.py; csrc/)."),
+    # ----------------------------------------------------------- sanitizer
+    "KVC_CHECK_INVARIANTS": (
+        lambda s: s == "1", False,
+        "Verify block-accounting invariants (aliasing, use-after-free, "
+        "shard-locality, conservation - utils/invariants.py) after every "
+        "engine step; debug/soak mode, costs a device fetch per step."),
     # ---------------------------------------------------- fault injection
     "KVC_TEST_ENABLE_ARTIFICIAL_PREEMPT": (
         lambda s: s == "1", False,
